@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship manifest pipeline (the reference's
+one hardcoded query — /root/reference/src/main.rs:120-292 — expressed
+Spark-first) end-to-end at sf0.001.  ``queries()`` / ``oracle_sql()``
+expose every operator in SURVEY.md §2 via the registry in
+``s3_manifest_spark.registry``.
 """
 
 from __future__ import annotations
@@ -12,27 +12,62 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark import registry
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    # Semantics the whole engine assumes (see s3_manifest_spark.session):
+    # tz-naive-UTC ms timestamps to match the reference (main.rs:140-144)
+    # and the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic listing → manifest projection+filter → stats.
+
+    Touches source, all five derivations (P1-P5), the prefix filter
+    (F1), and a map-side-combinable aggregate — the reference's whole
+    §2A surface in one plan, no Python in the row path.
+    """
+    from s3_manifest_spark.manifest.core import derive_manifest
+    from s3_manifest_spark.sources.tables import synth_listing
+
+    _configure(spark)
+    listing = synth_listing(spark, SF_SMOKE_DIR)
+    manifest = derive_manifest(listing, bucket="test-bucket", prefix="data/")
+    return (
+        manifest.groupBy(
+            F.substring_index(F.col("Key"), "/", 2).alias("prefix2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("object_count"),
+            F.sum("Size").alias("total_bytes"),
+            F.max("LastModified").alias("newest_mtime"),
+        )
+        .orderBy("prefix2")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    registry.load_all()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_configure(spark), sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.ORACLES)

@@ -1,0 +1,67 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The settings here are correctness-relevant (UTC session time zone and
+millisecond parquet timestamps reproduce the reference's tz-naive-UTC,
+ms-precision output — /root/reference/src/main.rs:140-144,385) or
+scale-relevant (AQE, skew-join handling, Arrow for the pandas-UDF
+boundary).  Tests and bench.py both go through :func:`get_spark` so
+every run sees identical semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Correctness configs: identical results on local[*] and a real cluster.
+_SEMANTIC_CONFS = {
+    # Reference emits tz-naive UTC timestamps at ms precision
+    # (main.rs:140-144); DuckDB oracle comparisons need the same zone.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MILLIS",
+    # ANSI off: out-of-range casts become NULL (the reference defaults
+    # every unparseable value rather than erroring, main.rs:373-387).
+    "spark.sql.ansi.enabled": "false",
+}
+
+# Scale configs: sized for local testing, but every one of these is the
+# setting we would ship to a 1000-executor cluster (AQE re-plans at
+# runtime, so shuffle.partitions is only an upper-bound hint there).
+_SCALE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 10 MB default broadcast threshold is fine; dims here are tiny and
+    # we add explicit broadcast() hints where the dimension is known small.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Arrow for the pandas-UDF boundary (similarity / multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Keep scan partitions full-sized so small files coalesce.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "s3-manifest-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster the submitter sets master/deploy-mode and this factory
+    only contributes conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in {**_SEMANTIC_CONFS, **_SCALE_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # getOrCreate can return a pre-existing session whose builder confs
+    # were ignored; re-assert the runtime-settable semantic confs.
+    for k, v in _SEMANTIC_CONFS.items():
+        spark.conf.set(k, v)
+    return spark

@@ -1,0 +1,127 @@
+"""Fidelity tests for the manifest core — each case encodes the
+reference's exact semantics (/root/reference/src/main.rs:210-219,
+361-390); see SURVEY.md §2C."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from s3_manifest_spark.manifest.core import (
+    MANIFEST_SCHEMA,
+    derive_manifest,
+    manifest_stats,
+    write_manifest,
+)
+
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("last_modified", T.StringType(), True),
+    ]
+)
+
+
+def _listing(spark, rows):
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def _one(spark, key, size=1, lm="2024-10-22T12:34:56Z", **kw):
+    df = derive_manifest(_listing(spark, [(key, size, lm)]), "b", **kw)
+    return df.collect()[0]
+
+
+def test_happy_path(spark):
+    r = _one(spark, "a/b/c.txt", 42, "2024-10-22T12:34:56Z")
+    assert r.Bucket == "b"
+    assert r.Key == "a/b/c.txt"
+    assert r.FileName == "c.txt"
+    assert r.Size == 42
+    assert r.LastModified == dt.datetime(2024, 10, 22, 12, 34, 56)
+
+
+def test_no_delimiter_yields_whole_key(spark):
+    # main.rs:376 — rsplit().next() on a miss returns the whole string
+    assert _one(spark, "README").FileName == "README"
+
+
+def test_key_ending_in_delimiter_yields_empty(spark):
+    assert _one(spark, "a/b/").FileName == ""
+
+
+def test_regex_metachar_delimiter_is_literal(spark):
+    # '.' and '|' must split literally, not as regex (SURVEY §7.4.2)
+    assert _one(spark, "a.b.c", delimiter=".").FileName == "c"
+    assert _one(spark, "a|b|c", delimiter="|").FileName == "c"
+    assert _one(spark, "a.b.c", delimiter="|").FileName == "a.b.c"
+
+
+def test_multichar_delimiter(spark):
+    assert _one(spark, "a--b--c", delimiter="--").FileName == "c"
+
+
+def test_null_defaults(spark):
+    # main.rs:373-387 — null key → "", null size → 0, null mtime → epoch 0
+    r = _one(spark, None, None, None)
+    assert (r.Key, r.FileName, r.Size) == ("", "", 0)
+    assert r.LastModified == dt.datetime(1970, 1, 1)
+
+
+def test_garbage_mtime_is_epoch0(spark):
+    assert _one(spark, "k", 1, "not-a-date").LastModified == dt.datetime(1970, 1, 1)
+
+
+def test_millisecond_truncation(spark):
+    r = _one(spark, "k", 1, "2024-10-22T12:34:56.123456Z")
+    assert r.LastModified == dt.datetime(2024, 10, 22, 12, 34, 56, 123000)
+
+
+def test_prefix_filter_is_raw_startswith(spark):
+    rows = [("logs/a", 1, None), ("logs2/b", 2, None), ("other/c", 3, None)]
+    got = derive_manifest(_listing(spark, rows), "b", prefix="logs")
+    # NOT path-aware: "logs2/b" matches prefix "logs" (main.rs:215)
+    assert sorted(r.Key for r in got.collect()) == ["logs/a", "logs2/b"]
+
+
+def test_output_schema_exact(spark):
+    df = derive_manifest(_listing(spark, [("a/b", 1, None)]), "b")
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in MANIFEST_SCHEMA.fields
+    ]
+
+
+def test_no_nulls_in_output(spark):
+    df = derive_manifest(_listing(spark, [(None, None, None), ("x", 1, "bad")]), "b")
+    pdf = df.toPandas()
+    assert not pdf.isnull().any().any()
+
+
+def test_write_roundtrip_ms_precision(spark, tmp_path):
+    df = derive_manifest(
+        _listing(spark, [("a/b.txt", 5, "2024-10-22T12:34:56.789Z")]), "b"
+    )
+    out = str(tmp_path / "manifest")
+    write_manifest(df, out)
+    back = spark.read.parquet(out).collect()[0]
+    assert back.LastModified == dt.datetime(2024, 10, 22, 12, 34, 56, 789000)
+    assert back.Size == 5
+
+
+def test_batch_boundary_scale(spark):
+    # >1000 rows to cover the reference's flush boundary (main.rs:236);
+    # in Spark batching is internal, we just assert counts survive.
+    rows = [(f"p/{i}", i, "2024-01-01T00:00:00Z") for i in range(2500)]
+    df = derive_manifest(_listing(spark, rows), "b", prefix="p/")
+    assert df.count() == 2500
+
+
+def test_manifest_stats(spark):
+    rows = [("a/1", 10, None), ("a/2", 20, None), ("b/1", 5, None), ("root", 1, None)]
+    stats = {
+        r.top_prefix: (r.object_count, r.total_bytes)
+        for r in manifest_stats(derive_manifest(_listing(spark, rows), "b")).collect()
+    }
+    assert stats == {"a": (2, 30), "b": (1, 5), "": (1, 1)}
