@@ -1,0 +1,459 @@
+"""Relational operator surface (SURVEY.md §2B, built-in block).
+
+The reference has none of these (single-table pipeline, SURVEY.md §2A
+"explicitly absent" table) — they are the declared extension surface.
+Everything here is pure ``pyspark.sql`` composition: Catalyst owns
+pushdown/pruning/join selection; AQE owns runtime re-planning.
+
+Determinism rules shared with the DuckDB oracles:
+- every float aggregate is ``round(...)``-ed identically on both sides
+  (the driver's value hash is exact, not tolerant);
+- every window/top-k ordering carries a unique tie-break key;
+- DuckDB integer sums are cast back to BIGINT (HUGEINT → float64 in
+  pandas otherwise);
+- extracted date parts are cast to BIGINT on both sides.
+
+Scale notes are per-query docstrings: each says what shuffles, what
+broadcasts, and why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+
+# --- scan-level: filter + projection pushdown ---------------------------
+
+@register(
+    "filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective predicate + narrow projection over the fact table.
+
+    Both the three predicates and the 4-column projection reach the
+    parquet scan (PushedFilters / ReadSchema in explain) — at 100 TB
+    this is the difference between reading 4 columns of matching
+    row groups and reading everything.  No shuffle at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+# --- joins ----------------------------------------------------------------
+
+@register(
+    "hash_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                          AS order_count,
+           round(sum(o_totalprice), 2)       AS segment_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join fact→dim then low-cardinality aggregate.
+
+    Declared as a plain join: AQE picks broadcast when the customer
+    side fits, shuffled-hash/sort-merge when it doesn't, and its
+    skew-join splitting kicks in for hot customers.  The aggregate is
+    map-side combinable (5 segments), so the second shuffle is tiny.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "broadcast_join",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           count(*)                      AS customer_count,
+           round(avg(c_acctbal), 4)      AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two tiny dims with explicit broadcast hints.
+
+    nation (25 rows) and region (≤25 rows) are broadcast, so the fact
+    side never shuffles for the join — at 100 TB of customers this
+    plan has exactly one shuffle (the final groupBy), and AQE coalesces
+    its partitions.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT c_custkey, TRUE AS has_orders FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, FALSE AS has_orders FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti, tagged and unioned.
+
+    Semi/anti never materialize the probe side's payload — Spark keeps
+    only the join key from orders, and with AQE the build side is
+    broadcast when small.  Scales as one shuffle of distinct keys.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_orders = customer.join(orders, cond, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without = customer.join(orders, cond, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_orders.unionAll(without)
+
+
+# --- aggregation ----------------------------------------------------------
+
+@register(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate over 2 grouping keys.
+
+    Partial (map-side) aggregation reduces each scan partition to ≤6
+    rows before the single shuffle; whole-stage codegen keeps all the
+    arithmetic JVM-side.  This plan is unchanged at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)  AS distinct_users,
+           count(*)                 AS event_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group — Spark expands to a two-phase
+    aggregate (partial distinct per partition, then merge), so the
+    shuffle carries (event_type, user_id) pairs, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+@register("approx_distinct")  # rows-only: HLL estimates are engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct's shuffle would dominate.  Sketches merge associatively,
+    so the shuffle carries one ~KB sketch per group per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+@register(
+    "rollup_cube",
+    oracle="""
+    SELECT n_name,
+           c_mktsegment,
+           count(*)                     AS customer_count,
+           round(sum(c_acctbal), 2)     AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — Spark expands grouping sets before the
+    aggregate, so this stays a single shuffle; the broadcast dim join
+    adds none."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# --- window functions -----------------------------------------------------
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer.  row_number over (o_totalprice DESC,
+    o_orderkey) — the unique tie-break makes results deterministic
+    across engines.  One shuffle on o_custkey; Spark pushes a per-
+    partition top-k (WindowGroupLimit) below the shuffle, so at scale
+    each map task emits ≤3 rows per customer it sees."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_revenue
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order (orderkey
+    tie-break ⇒ a unique, engine-independent prefix-sum order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+# --- sort / limit ----------------------------------------------------------
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k.  orderBy().limit(k) compiles to TakeOrderedAndProject
+    — each task keeps a k-row heap and the driver merges, so no global
+    sort and no full shuffle ever happens, at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big_spenders AS (
+           SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+         )
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM big_spenders)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM big_spenders)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM big_spenders)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) over two key sets,
+    tagged into one result.  Each set op is a shuffle on the key —
+    Spark plans intersect/except as aggregated semi/anti joins."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(building.union(big).distinct(), "union")
+        .unionAll(tag(building.intersect(big), "intersect"))
+        .unionAll(tag(building.exceptAll(big.distinct()).distinct(), "except"))
+    )
+
+
+# --- scalar function surfaces ------------------------------------------------
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(lang)                                   AS lang_upper,
+           length(text)                                  AS text_len,
+           substr(text, 1, 12)                           AS head12,
+           replace(source, 'src', 'source-')             AS source_renamed,
+           strpos(text, 'table')                         AS table_pos,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS ws_tokens
+    FROM documents
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (upper/length/substr/replace/
+    instr/split) — all JVM built-ins inside one codegen stage, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias("source_renamed"),
+        F.instr(F.col("text"), "table").cast("long").alias("table_pos"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)       AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)      AS order_month,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS order_day,
+           date_trunc('month', o_orderdate)        AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time surface (extract, trunc, diff) — codegen'd, no
+    shuffle.  Parts are cast to BIGINT on both sides so the hash agrees."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object) feeding an aggregate.  At scale
+    prefer from_json with an explicit schema once per column; shown here
+    with path extraction because the props payload is schemaless."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
