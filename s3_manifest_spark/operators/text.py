@@ -1,0 +1,196 @@
+"""Text-analysis operators for an LLM training-data pipeline
+(SURVEY.md §2B extension surface): corpus stats, quality scoring,
+token counting, heuristic language-ID, document fingerprinting.
+
+All row-level logic is built-in array/string expressions — zero Python
+in the hot path, so every query here is a single codegen'd scan plus
+(at most) one map-side-combinable aggregate.  That shape is what makes
+these safe at 100 TB of documents: the scan parallelism is the only
+knob that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+#: Whitespace tokens (documents fixture is space-separated).
+_TOKENS = "split(text, ' ', -1)"
+
+#: BPE-ish lexer: alpha runs, digit runs, single other non-space chars.
+#: Same regex is valid in Java (Spark) and RE2 (DuckDB).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Tiny per-language stopword marker sets for the heuristic lang-id.
+#: Deterministic, not linguistically serious — the fixture vocabulary is
+#: synthetic; what matters is that Spark and the oracle agree exactly.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "de", "et"),
+}
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*)                                                 AS doc_count,
+           CAST(sum(n_chars) AS BIGINT)                             AS total_chars,
+           round(avg(len(string_split(text, ' '))), 4)              AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT)        AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape per language: doc counts, char volume, token stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.expr(_TOKENS))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT)                             AS n_chars
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens and a BPE-ish
+    regex lexer (alpha runs / digit runs / single symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the', 'a', 'of', 'and', 'in'))) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: mean word length, stopword ratio,
+    vocabulary diversity.  The usual cheap pre-filters before expensive
+    dedup/training steps — one narrow projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.greatest(F.size(F.expr(_TOKENS)), F.lit(1))
+    stop = F.expr(
+        f"size(filter({_TOKENS}, w -> w IN ('the','a','of','and','in')))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / ntok, 4).alias(
+            "avg_word_len"
+        ),
+        F.round(stop / ntok, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(F.expr(_TOKENS))) / ntok, 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({markers})))"
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a fixed priority order on
+    ties and 'und' when nothing matches.  A real system would swap the
+    marker sets for char-n-gram profiles; the dataflow (scan → score →
+    argmax, no shuffle) is the part that must scale."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score(lang: str):
+        markers = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+        return F.expr(f"size(filter({_TOKENS}, w -> w IN ({markers})))")
+
+    s = {lang: score(lang) for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0), "und"
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    distinct token set.  Robust to token reordering (the cheapest
+    near-dup signal); md5 is bit-identical across engines, so this one
+    IS oracle-checkable, unlike seeded minhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.expr(_TOKENS))), " ")
+        ).alias("fingerprint"),
+    )

@@ -38,5 +38,6 @@ def load_all() -> None:
         dedup,
         similarity,
         text,
+        multimodal,
     )
     from s3_manifest_spark.streaming import windows  # noqa: F401

@@ -1,0 +1,132 @@
+"""Semantic tests for the LLM-pipeline operators: not just
+oracle-parity (test_oracle_parity covers that) but "does the operator
+find what it is supposed to find" on the fixture's known structure."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return entrymod.queries()
+
+
+def test_dedup_exact_no_false_positives(spark, q):
+    # sf fixture has no exact duplicates — every group has 1 copy
+    pdf = q["dedup_exact"](spark, SF).toPandas()
+    assert (pdf["copies"] == 1).all()
+    assert len(pdf) == 500
+
+
+def test_jaccard_finds_near_dups(spark, q):
+    pdf = q["dedup_ngram_jaccard"](spark, SF).toPandas()
+    assert len(pdf) > 0, "fixture has near-duplicates by construction"
+    assert (pdf["jaccard"] >= 0.5).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+
+
+def test_minhash_lsh_recalls_strong_pairs(spark, q):
+    """LSH must recover the high-jaccard pairs the exact method finds
+    (4 bands × 4 rows: P(miss) = (1-j^4)^4 ≤ 1.7% at j≥0.8)."""
+    exact = q["dedup_ngram_jaccard"](spark, SF).toPandas()
+    strong = {
+        (a, b)
+        for a, b, j in zip(exact.doc_a, exact.doc_b, exact.jaccard)
+        if j >= 0.8
+    }
+    lsh = q["dedup_minhash_lsh"](spark, SF).toPandas()
+    got = set(zip(lsh.doc_a, lsh.doc_b))
+    assert strong, "expected strong near-dup pairs in fixture"
+    recall = len(strong & got) / len(strong)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(strong)} strong pairs"
+    # and LSH never reports a pair below the exact threshold
+    assert (lsh["jaccard"] >= 0.5).all()
+
+
+def test_simhash_pairs_are_near_dups(spark, q):
+    pdf = q["dedup_simhash"](spark, SF).toPandas()
+    assert (pdf["hamming"] <= 3).all()
+    # simhash near-pairs should heavily overlap the jaccard near-dups
+    exact = q["dedup_ngram_jaccard"](spark, SF).toPandas()
+    jacc_pairs = set(zip(exact.doc_a, exact.doc_b))
+    sim_pairs = set(zip(pdf.doc_a, pdf.doc_b))
+    if sim_pairs:
+        assert len(sim_pairs & jacc_pairs) / len(sim_pairs) >= 0.5
+
+
+def test_similarity_topk_matches_numpy(spark, q):
+    """Brute-force top-k must equal an independent numpy ground truth
+    (exact cosine, same rounding + tie-break)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    pdf = q["similarity_topk"](spark, SF).toPandas()
+    assert set(pdf.groupby("query_id").size()) == {5}
+    for qid in ids[ids % 100 == 0]:
+        qv = emb[ids == qid][0]
+        cos = emb @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(round(c, 6), i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = [(i, c) for c, i in order[:5]]
+        got = pdf[pdf.query_id == qid].sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        )
+        assert list(got.neighbor_id) == [i for i, _ in expect], f"query {qid}"
+        assert np.allclose(list(got.cos_sim), [c for _, c in expect], atol=1e-6)
+
+
+def test_ann_lsh_candidates_are_correct(spark, q):
+    """ANN reports a subset of the true pair space with correct cosine
+    values (the fixture's vectors are near-orthogonal, so recall vs
+    brute force isn't meaningful — correctness of scored candidates is)."""
+    bf = q["similarity_topk"](spark, SF).toPandas()
+    ann = q["similarity_ann_lsh"](spark, SF).toPandas()
+    assert len(ann) > 0, "6-plane LSH over 500 vectors must yield collisions"
+    assert set(ann.columns) == set(bf.columns)
+    assert (ann.groupby("query_id").size() <= 5).all()
+    # any (query, neighbor) also in brute-force output must agree on cos
+    merged = ann.merge(bf, on=["query_id", "neighbor_id"], suffixes=("_a", "_b"))
+    if len(merged):
+        assert (merged.cos_sim_a - merged.cos_sim_b).abs().max() < 1e-9
+
+
+def test_multimodal_decode_plumbing(spark, q):
+    pdf = q["multimodal_decode"](spark, SF).toPandas()
+    assert len(pdf) == 500
+    assert set(pdf.columns) == {"doc_id", "width", "height", "n_frames", "mean_byte"}
+    assert pdf["width"].between(1, 64).all()
+    assert pdf["mean_byte"].between(0, 255).all()
+
+
+def test_stream_live_equals_batch_twin(spark, q):
+    batch = q["stream_tumbling"](spark, SF).toPandas()
+    live = q["stream_tumbling_live"](spark, SF).toPandas()
+    key = ["window_start", "event_type"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    l = live.sort_values(key).reset_index(drop=True)  # noqa: E741
+    assert b[["n_events"]].equals(l[["n_events"]])
+    assert (b["total_value"] - l["total_value"]).abs().max() < 1e-9
+
+
+def test_session_windows_respect_gap(spark, q):
+    pdf = q["stream_session"](spark, SF).toPandas()
+    # session_end = last event + 30 min ⇒ end - start ≥ 30 min always
+    assert ((pdf["session_end"] - pdf["session_start"]).dt.total_seconds() >= 1800).all()
+    # sessions of one user never overlap
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("session_start")
+        assert (
+            g["session_start"].iloc[1:].to_numpy()
+            >= g["session_end"].iloc[:-1].to_numpy()
+        ).all()
