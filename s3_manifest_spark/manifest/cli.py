@@ -1,0 +1,82 @@
+"""CLI mirroring the reference's clap surface (C3 —
+/root/reference/src/main.rs:23-60)::
+
+    s3-manifest-spark s3://bucket/prefix -o out.parquet
+        [--source-endpoint URL] [--dest-endpoint URL] [-d DELIM]
+        [--source-access-key K --source-secret-key S]
+        [--dest-access-key K --dest-secret-key S]
+
+Differences by design: listing is parallel (shards × executors, not
+one serial loop) and S3 output streams through s3a:// multipart upload
+instead of buffering the whole file in RAM (main.rs:327-329).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from s3_manifest_spark.session import get_spark
+from s3_manifest_spark.sources.s3_listing import (
+    make_boto3_client_factory,
+    manifest_from_s3,
+    parse_output_location,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="s3-manifest-spark",
+        description="Generate a parquet manifest of an S3 bucket/prefix.",
+    )
+    p.add_argument("s3_uri", help="source, e.g. s3://bucket/prefix")
+    p.add_argument("-o", "--output", required=True, help="local path or s3://bucket/key")
+    p.add_argument("-d", "--delimiter", default="/", help="FileName delimiter (literal)")
+    p.add_argument("--source-endpoint", default=None)
+    p.add_argument("--dest-endpoint", default=None)
+    p.add_argument("--source-access-key", default=None)
+    p.add_argument("--source-secret-key", default=None)
+    p.add_argument("--dest-access-key", default=None)
+    p.add_argument("--dest-secret-key", default=None)
+    p.add_argument("--shards", type=int, default=64, help="target listing parallelism")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="s3-manifest-spark-cli")
+
+    # Dest-side S3A config, per-bucket so source and dest can use
+    # different endpoints/credentials (C1, main.rs:294-319).
+    out_bucket, _ = parse_output_location(args.output)
+    if out_bucket:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        pfx = f"fs.s3a.bucket.{out_bucket}."
+        if args.dest_endpoint:
+            hconf.set(pfx + "endpoint", args.dest_endpoint)
+        if args.dest_access_key and args.dest_secret_key:
+            hconf.set(pfx + "access.key", args.dest_access_key)
+            hconf.set(pfx + "secret.key", args.dest_secret_key)
+
+    factory = make_boto3_client_factory(
+        endpoint_url=args.source_endpoint,
+        access_key=args.source_access_key,
+        secret_key=args.source_secret_key,
+    )
+    manifest = manifest_from_s3(
+        spark,
+        args.s3_uri,
+        output=args.output,
+        delimiter=args.delimiter,
+        client_factory=factory,
+        target_shards=args.shards,
+    )
+    # observe() gives the object count without a second scan (A1/A2,
+    # main.rs:231, 284-289).
+    n = manifest.count()
+    print(f"Done. Manifest rows: {n} -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

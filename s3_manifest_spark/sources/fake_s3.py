@@ -1,0 +1,91 @@
+"""In-memory stand-in for the S3 ``list_objects_v2`` API.
+
+Dev/test fixture (no S3 or moto in this container): implements exactly
+the request/response subset the connector uses — Prefix, Delimiter,
+MaxKeys, ContinuationToken, IsTruncated, Contents, CommonPrefixes —
+with S3's real semantics (lexicographic key order, token = resume
+position).  Lives in the package (not tests/) so Spark executors can
+unpickle the client factory by module reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from bisect import bisect_left, bisect_right
+
+
+class FakeS3Client:
+    """Minimal ListObjectsV2 over a static {bucket: {key: (size, mtime)}}."""
+
+    def __init__(self, buckets: dict[str, dict[str, tuple[int, dt.datetime]]]):
+        self._buckets = {
+            b: dict(sorted(objs.items())) for b, objs in buckets.items()
+        }
+
+    def list_objects_v2(self, **kw):
+        bucket = kw["Bucket"]
+        prefix = kw.get("Prefix", "")
+        delimiter = kw.get("Delimiter")
+        max_keys = kw.get("MaxKeys", 1000)
+        token = kw.get("ContinuationToken", "")
+
+        objs = self._buckets[bucket]
+        keys = list(objs.keys())
+        lo = bisect_left(keys, max(prefix, token))
+        hi = bisect_right(keys, prefix + "￿") if prefix else len(keys)
+
+        contents, common, seen_prefixes = [], [], set()
+        i = lo
+        emitted = 0
+        while i < hi and emitted < max_keys:
+            k = keys[i]
+            if delimiter:
+                rest = k[len(prefix):]
+                d = rest.find(delimiter)
+                if d >= 0:
+                    cp = prefix + rest[: d + len(delimiter)]
+                    if cp not in seen_prefixes:
+                        seen_prefixes.add(cp)
+                        common.append({"Prefix": cp})
+                        emitted += 1
+                    # skip the whole group
+                    i = bisect_right(keys, cp + "￿", i, hi)
+                    continue
+            size, mtime = objs[k]
+            contents.append({"Key": k, "Size": size, "LastModified": mtime})
+            emitted += 1
+            i += 1
+
+        truncated = i < hi
+        resp = {
+            "IsTruncated": truncated,
+            "Contents": contents,
+            "CommonPrefixes": common,
+            "KeyCount": emitted,
+        }
+        if truncated:
+            resp["NextContinuationToken"] = keys[i]
+        return resp
+
+
+def synth_bucket(n: int = 2500) -> dict[str, dict[str, tuple[int, dt.datetime]]]:
+    """Deterministic fake bucket: n keys across nested prefixes plus
+    root-level objects — exercises sharding, pagination, and delimiter
+    grouping."""
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    objs: dict[str, tuple[int, dt.datetime]] = {}
+    for i in range(n):
+        top = f"dir{i % 7}"
+        sub = f"sub{i % 13}"
+        objs[f"{top}/{sub}/file-{i:06d}.parquet"] = (
+            (i * 37) % 100_000,
+            epoch + dt.timedelta(minutes=i),
+        )
+    for i in range(20):
+        objs[f"rootfile-{i:02d}.txt"] = (i, epoch + dt.timedelta(days=i))
+    return {"fake-bucket": objs}
+
+
+def fake_client_factory():
+    """Picklable factory for executor-side use (module-level by design)."""
+    return FakeS3Client(synth_bucket())

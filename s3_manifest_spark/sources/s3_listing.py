@@ -1,0 +1,266 @@
+"""Parallel S3 object-listing connector (reference operators S1/S2/R1/
+C1/C2 — /root/reference/src/main.rs:86-118, 187-257, 294-319).
+
+The reference lists serially: one tokio task, 1000 keys per round trip
+(main.rs:187-257) — its throughput ceiling is ~page_size/RTT.  Here the
+keyspace is split into shards (delimiter-discovered common prefixes)
+and each Spark task pages through its own shard with an independent
+client, so listing throughput scales with executor count instead of
+being pinned to one connection.  This is the single biggest scale win
+over the reference (SURVEY.md §4, "serial listing" anti-pattern row).
+
+Dataflow::
+
+    discover_shards (driver, few API calls)
+        → spark.createDataFrame(shards)          # tiny
+        → repartition(n_shards)                  # one task per shard
+        → mapInPandas(page through shard)        # bounded memory: one
+                                                 #   page → one batch
+        → listing DataFrame(key, size, last_modified, etag, storage_class)
+        → derive_manifest(...)                   # manifest/core.py
+
+boto3 is import-gated (not in this container): pass any picklable
+zero-arg ``client_factory`` returning an object with ``list_objects_v2``
+(see sources.fake_s3 for the test double with real S3 pagination
+semantics).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Listing rows mirror rusoto_s3::Object's consumed fields (main.rs:209,
+#: 361-390) — nullable, RFC3339 string mtime, exactly what
+#: derive_manifest expects.
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("last_modified", T.StringType(), True),
+        T.StructField("etag", T.StringType(), True),
+        T.StructField("storage_class", T.StringType(), True),
+    ]
+)
+
+PAGE_SIZE = 1000  # the reference's max_keys (main.rs:192)
+
+
+def parse_s3_uri(uri: str) -> tuple[str, str]:
+    """``s3://bucket/prefix`` → (bucket, prefix) — main.rs:86-104."""
+    if not uri.startswith("s3://"):
+        raise ValueError(f"not an s3 uri: {uri!r}")
+    rest = uri[len("s3://"):]
+    if not rest or rest.startswith("/"):
+        raise ValueError(f"missing bucket in {uri!r}")
+    bucket, _, prefix = rest.partition("/")
+    return bucket, prefix
+
+
+def parse_output_location(output: str) -> tuple[str | None, str]:
+    """Output arg → (bucket | None, path/key) — main.rs:106-118."""
+    if output.startswith("s3://"):
+        bucket, key = parse_s3_uri(output)
+        if not key:
+            raise ValueError(f"missing key in output {output!r}")
+        return bucket, key
+    return None, output
+
+
+def make_boto3_client_factory(
+    endpoint_url: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str | None = None,
+    max_attempts: int = 3,
+) -> Callable[[], object]:
+    """Picklable boto3 client factory mirroring the reference's client
+    config (custom endpoint, static-or-default credential chain,
+    3-attempt adaptive retry — main.rs:174, 294-319).  Import-gated:
+    raises only when actually called without boto3 installed."""
+
+    def factory():
+        import boto3  # gated: not available in every environment
+        from botocore.config import Config
+
+        kwargs: dict = {
+            "config": Config(retries={"mode": "adaptive", "max_attempts": max_attempts})
+        }
+        if endpoint_url:
+            kwargs["endpoint_url"] = endpoint_url
+        if region:
+            kwargs["region_name"] = region
+        if access_key and secret_key:
+            # both provided → static creds; else default provider chain
+            # (matches main.rs:303-312)
+            kwargs["aws_access_key_id"] = access_key
+            kwargs["aws_secret_access_key"] = secret_key
+        return boto3.client("s3", **kwargs)
+
+    return factory
+
+
+def _retry(fn, attempts: int = 3, base_ms: int = 100):
+    """Exponential backoff + jitter around an API call (main.rs:174,
+    196-206).  boto3 retries transport errors itself; this guards
+    non-boto clients and throttling responses uniformly."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            delay = (base_ms / 1000.0) * (2**attempt) * (0.5 + random.random())
+            time.sleep(delay)
+
+
+def discover_shards(
+    client,
+    bucket: str,
+    prefix: str = "",
+    delimiter: str = "/",
+    target_shards: int = 64,
+    max_rounds: int = 3,
+) -> tuple[list[str], list[dict]]:
+    """Split the keyspace under ``prefix`` into disjoint shard prefixes
+    via delimiter listings (S3 CommonPrefixes), BFS-expanding until
+    ``target_shards`` is reached or nothing expands.
+
+    Returns (shard_prefixes, direct_objects): objects that live at a
+    listed level (not under any returned shard) come back as rows so
+    coverage is exact — every key is in exactly one shard or in
+    direct_objects.
+    """
+    shards: list[str] = []
+    direct: list[dict] = []
+    frontier = [prefix]
+    for _ in range(max_rounds):
+        if not frontier:
+            break
+        next_frontier: list[str] = []
+        for p in frontier:
+            token = None
+            children: list[str] = []
+            while True:
+                kw = {
+                    "Bucket": bucket,
+                    "Prefix": p,
+                    "Delimiter": delimiter,
+                    "MaxKeys": PAGE_SIZE,
+                }
+                if token:
+                    kw["ContinuationToken"] = token
+                resp = _retry(lambda: client.list_objects_v2(**kw))
+                direct.extend(resp.get("Contents", []))
+                children.extend(cp["Prefix"] for cp in resp.get("CommonPrefixes", []))
+                if not resp.get("IsTruncated"):
+                    break
+                token = resp.get("NextContinuationToken")
+            next_frontier.extend(children)
+        if len(shards) + len(next_frontier) >= target_shards or not next_frontier:
+            shards.extend(next_frontier)
+            frontier = []
+        else:
+            # not enough parallelism yet — expand one more level
+            frontier = next_frontier
+    shards.extend(frontier)
+    return shards, direct
+
+
+def _obj_to_row(obj: dict) -> dict:
+    lm = obj.get("LastModified")
+    return {
+        "key": obj.get("Key"),
+        "size": obj.get("Size"),
+        "last_modified": lm.isoformat() if hasattr(lm, "isoformat") else lm,
+        "etag": obj.get("ETag"),
+        "storage_class": obj.get("StorageClass"),
+    }
+
+
+def list_objects_df(
+    spark: SparkSession,
+    bucket: str,
+    prefix: str = "",
+    client_factory: Callable[[], object] | None = None,
+    delimiter: str = "/",
+    target_shards: int = 64,
+    page_size: int = PAGE_SIZE,
+) -> DataFrame:
+    """Listing DataFrame over ``s3://bucket/prefix``, parallel by shard.
+
+    The prefix predicate is pushed into the API request itself (S2,
+    main.rs:190).  Each task holds at most one page (``page_size``
+    rows) plus one Arrow batch in memory, mirroring the reference's
+    bounded-buffer flush loop (main.rs:236-246) but N-wide.
+    """
+    client_factory = client_factory or make_boto3_client_factory()
+    driver_client = client_factory()
+    shards, direct = discover_shards(
+        driver_client, bucket, prefix, delimiter, target_shards
+    )
+
+    def list_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()  # one client per task, never pickled
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                token = None
+                while True:
+                    kw = {"Bucket": bucket, "Prefix": shard, "MaxKeys": page_size}
+                    if token:
+                        kw["ContinuationToken"] = token
+                    resp = _retry(lambda: client.list_objects_v2(**kw))
+                    contents = resp.get("Contents", [])
+                    if contents:
+                        yield pd.DataFrame([_obj_to_row(o) for o in contents])
+                    if not resp.get("IsTruncated"):
+                        break
+                    token = resp.get("NextContinuationToken")
+
+    parts = []
+    if shards:
+        shard_df = spark.createDataFrame(
+            [(s,) for s in shards], T.StructType([T.StructField("shard", T.StringType())])
+        ).repartition(len(shards), "shard")
+        parts.append(shard_df.mapInPandas(list_shard, schema=LISTING_SCHEMA))
+    if direct:
+        parts.append(
+            spark.createDataFrame([_obj_to_row(o) for o in direct], LISTING_SCHEMA)
+        )
+    if not parts:
+        return spark.createDataFrame([], LISTING_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def manifest_from_s3(
+    spark: SparkSession,
+    source_uri: str,
+    output: str | None = None,
+    delimiter: str = "/",
+    client_factory: Callable[[], object] | None = None,
+    target_shards: int = 64,
+) -> DataFrame:
+    """The reference CLI's whole job (main.rs:120-292): list → derive
+    manifest → optionally write parquet.  S3 output goes through the
+    s3a:// filesystem (streaming multipart upload — fixes the
+    whole-file-in-RAM defect at main.rs:327-329)."""
+    from s3_manifest_spark.manifest.core import derive_manifest, write_manifest
+
+    bucket, prefix = parse_s3_uri(source_uri)
+    listing = list_objects_df(
+        spark, bucket, prefix, client_factory, delimiter, target_shards
+    )
+    manifest = derive_manifest(listing, bucket, prefix, delimiter)
+    if output is not None:
+        out_bucket, path = parse_output_location(output)
+        write_manifest(manifest, f"s3a://{out_bucket}/{path}" if out_bucket else path)
+    return manifest

@@ -1,0 +1,121 @@
+"""Connector tests against the in-package fake S3 (real ListObjectsV2
+pagination/delimiter semantics, no network)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3_manifest_spark.sources.fake_s3 import (
+    FakeS3Client,
+    fake_client_factory,
+    synth_bucket,
+)
+from s3_manifest_spark.sources.s3_listing import (
+    discover_shards,
+    list_objects_df,
+    manifest_from_s3,
+    parse_output_location,
+    parse_s3_uri,
+)
+
+ALL_KEYS = set(synth_bucket()["fake-bucket"].keys())  # 2520 keys
+
+
+def test_parse_s3_uri():
+    assert parse_s3_uri("s3://b/p/q") == ("b", "p/q")
+    assert parse_s3_uri("s3://b") == ("b", "")
+    assert parse_s3_uri("s3://b/") == ("b", "")
+    with pytest.raises(ValueError):
+        parse_s3_uri("http://b/p")
+    with pytest.raises(ValueError):
+        parse_s3_uri("s3:///p")
+
+
+def test_parse_output_location():
+    assert parse_output_location("s3://ob/k.parquet") == ("ob", "k.parquet")
+    assert parse_output_location("/tmp/out.parquet") == (None, "/tmp/out.parquet")
+    with pytest.raises(ValueError):
+        parse_output_location("s3://ob")
+
+
+def test_fake_pagination_matches_s3_semantics():
+    c = fake_client_factory()
+    got, token, pages = [], None, 0
+    while True:
+        kw = {"Bucket": "fake-bucket", "MaxKeys": 100}
+        if token:
+            kw["ContinuationToken"] = token
+        r = c.list_objects_v2(**kw)
+        got.extend(o["Key"] for o in r["Contents"])
+        pages += 1
+        if not r["IsTruncated"]:
+            break
+        token = r["NextContinuationToken"]
+    assert pages > 1
+    assert got == sorted(ALL_KEYS)  # S3 returns lexicographic order
+
+
+def test_discover_shards_partition_keyspace():
+    c = fake_client_factory()
+    shards, direct = discover_shards(c, "fake-bucket", "", target_shards=5)
+    assert len(shards) == 7  # dir0..dir6
+    assert {o["Key"] for o in direct} == {k for k in ALL_KEYS if k.startswith("rootfile")}
+    # deeper expansion when target is higher
+    shards2, _ = discover_shards(c, "fake-bucket", "", target_shards=50)
+    assert len(shards2) == 7 * 13
+    assert len(set(shards2)) == len(shards2)
+
+
+def test_list_objects_df_complete_and_exact(spark):
+    df = list_objects_df(
+        spark, "fake-bucket", client_factory=fake_client_factory, page_size=100
+    )
+    rows = df.collect()
+    keys = [r.key for r in rows]
+    assert len(keys) == len(ALL_KEYS)          # no dup from shard overlap
+    assert set(keys) == ALL_KEYS               # no loss from pagination
+    by_key = {r.key: r for r in rows}
+    sample = by_key["dir1/sub1/file-000001.parquet"]
+    assert sample.size == 37
+    assert sample.last_modified.startswith("2024-01-01T00:01:00")
+
+
+def test_list_objects_df_prefix_pushdown(spark):
+    df = list_objects_df(
+        spark, "fake-bucket", prefix="dir3/", client_factory=fake_client_factory
+    )
+    keys = {r.key for r in df.collect()}
+    assert keys == {k for k in ALL_KEYS if k.startswith("dir3/")}
+
+
+def test_manifest_from_s3_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "manifest.parquet")
+    manifest_from_s3(
+        spark,
+        "s3://fake-bucket/dir2/",
+        output=out,
+        client_factory=fake_client_factory,
+    )
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    expect = {k for k in ALL_KEYS if k.startswith("dir2/")}
+    assert {r.Key for r in rows} == expect
+    r0 = min(rows, key=lambda r: r.Key)
+    assert r0.Bucket == "fake-bucket"
+    assert r0.FileName == r0.Key.rsplit("/", 1)[-1]
+    assert r0.Size >= 0 and r0.LastModified.year == 2024
+
+
+def test_retry_gives_up_then_succeeds(spark):
+    class Flaky(FakeS3Client):
+        calls = 0
+
+        def list_objects_v2(self, **kw):
+            Flaky.calls += 1
+            if Flaky.calls % 3 == 1:
+                raise ConnectionError("transient")
+            return super().list_objects_v2(**kw)
+
+    c = Flaky(synth_bucket())
+    shards, direct = discover_shards(c, "fake-bucket", "", target_shards=5)
+    assert len(shards) == 7 and len(direct) == 20
