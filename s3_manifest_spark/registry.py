@@ -22,7 +22,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Cache hygiene between registry calls: a prior query may have
+            # persisted intermediates (e.g. dedup shingles) that it cannot
+            # unpersist itself — its DataFrame is evaluated lazily by the
+            # caller AFTER the function returns.  By the time the NEXT
+            # query is requested, the previous result is materialized, so
+            # dropping all cached blocks here releases executor memory
+            # without ever evicting something still needed.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
