@@ -224,6 +224,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
+    similarity ≥ {threshold}, scored exactly.
+
+    Physical strategy: broadcast one side (vectors are narrow — id +
+    64 floats) and score pairs map-side, so the big side never
+    shuffles; there is NO shuffle at all until the caller aggregates.
+    Exactness is what makes this the verification baseline.  At 100 TB
+    the same logical op swaps its physical plan to LSH prefiltering
+    (random-hyperplane buckets as in similarity_ann_lsh, or the
+    MinHash banding above) followed by this exact scorer over
+    candidates only — identical output contract, shuffle volume
+    O(docs × bands) instead of O(n²).
+    """
+    from s3_manifest_spark.operators.similarity import cosine
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = v.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
+    scored = pairs.select(
+        F.col("vec_id").alias("vec_a"),
+        "vec_b",
+        F.round(cosine(F.col("embedding"), F.col("eb")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= EMBED_DUP_THRESHOLD)
+
+
 @register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 3.

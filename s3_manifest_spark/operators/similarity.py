@@ -127,6 +127,100 @@ def _lsh_signature(e: Column) -> Column:
     return sig
 
 
+IVF_K = 8        # coarse centroids
+IVF_NPROBE = 2   # cells probed per query
+
+
+def _centroids_from(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean vector from an (c, e) assignment — posexplode to
+    (cluster, dim) cells, average, and fold back into an ordered array.
+    Two small shuffles keyed by (cluster, dim) / cluster; never wider
+    than K × dims rows after the first aggregation."""
+    per_dim = assigned.select("c", F.posexplode("e").alias("pos", "val"))
+    dim_means = per_dim.groupBy("c", "pos").agg(F.avg("val").alias("m"))
+    return (
+        dim_means.groupBy("c")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("c", F.transform("pm", lambda x: x["m"]).alias("ce"))
+    )
+
+
+def _nearest(v: DataFrame, cent: DataFrame, n: int) -> DataFrame:
+    """Top-n nearest centroids per vector by cosine (broadcast the K
+    centroid rows; map-side scoring, one window shuffle keyed by id)."""
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "c", cosine(F.col("e"), F.col("ce")).alias("sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= n)
+        .drop("rn", "sim")
+    )
+
+
+@register("similarity_ivf")  # rows-only: cluster geometry is engine-internal
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic coarse
+    quantizer (modulo seed → one Lloyd refinement, all DataFrame ops),
+    vectors assigned to their nearest cell, queries probe only
+    IVF_NPROBE cells.
+
+    The 100 TB shape: the index build is two bounded aggregations
+    (K × dims cells), the cell assignment is a broadcast of K centroid
+    rows (map-side, no shuffle of the corpus), and the search shuffle
+    carries only vectors in probed cells — cost scales with cell
+    occupancy, not N.  Recall tunes via IVF_K / IVF_NPROBE exactly as
+    in FAISS-style IVF-Flat.
+    """
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    )
+    # seed assignment → mean → one Lloyd step → final cells
+    cent0 = _centroids_from(v.withColumn("c", (F.col("vec_id") % IVF_K).cast("int")))
+    assign1 = _nearest(v, cent0, 1)
+    cent1 = _centroids_from(assign1)
+    cells = _nearest(v, cent1, 1).select("vec_id", "e", F.col("c").alias("cell"))
+
+    q = (
+        cells.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    probes = _nearest(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qe").alias("e")),
+        cent1,
+        IVF_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), F.col("c").alias("cell"))
+    probed = q.join(F.broadcast(probes), "query_id")
+
+    scored = (
+        cells.alias("cand")
+        .join(
+            F.broadcast(probed.alias("p")),
+            (F.col("cand.cell") == F.col("p.cell"))
+            & (F.col("cand.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("cand.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p.qe"), F.col("cand.e")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 @register("similarity_ann_lsh")  # rows-only: bucket membership is hash-seeded
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets.

@@ -53,5 +53,6 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        joins_advanced,
     )
     from s3_manifest_spark.streaming import windows  # noqa: F401
