@@ -14,6 +14,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Pin BLAS pools to one thread per process BEFORE the JVM (and thus the
+# Python workers, which inherit its environment) is launched.  Spark
+# already runs one Python worker per core; letting each worker's
+# OpenBLAS/MKL spawn a full pool oversubscribes cores×cores threads and
+# turned a ~10 ms numpy matmul into seconds of contention.  Parallelism
+# belongs to Spark's partitioning, not to nested BLAS pools.
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 # Correctness configs: identical results on local[*] and a real cluster.
 _SEMANTIC_CONFS = {
     # Reference emits tz-naive UTC timestamps at ms precision
