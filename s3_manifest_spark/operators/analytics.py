@@ -1,0 +1,264 @@
+"""Analytical operator surface beyond the §2B core: pivot/unpivot,
+statistical aggregates, grouping sets, scalar-subquery rewrites, and a
+composite training-data curation pipeline.  The reference has none of
+these (SURVEY.md §2A "explicitly absent": its only aggregate is a
+scalar counter, /root/reference/src/main.rs:231).
+
+Same determinism rules as relational.py: float aggregates rounded
+identically on both sides, integer sums cast to BIGINT in DuckDB,
+unique tie-breaks on every ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS status_F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS status_O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by priority, spread across order-status columns.
+
+    The pivot value list is declared explicitly, which keeps the plan a
+    single pass — Spark otherwise runs an extra distinct-collect job to
+    discover values, a driver round-trip you never want at 100 TB.
+    With declared values this is one map-side-combinable hash aggregate
+    on a low-cardinality key; the pivot itself adds zero shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"status_{s}") for s in ORDER_STATUSES],
+    )
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey'    AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): fold measure columns into (metric, val)
+    rows.  ``unpivot`` is a generator expression — narrow, no shuffle,
+    output is exactly rows × measures.  The long layout is what makes
+    per-metric windowing/aggregation uniform downstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+    )
+
+
+@register(
+    "stats_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+           round(var_samp(l_discount), 6)                      AS disc_var,
+           round(corr(l_quantity, l_extendedprice), 6)         AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)   AS qty_price_covar,
+           round(quantile_cont(l_extendedprice, 0.5), 4)       AS price_median,
+           round(quantile_cont(l_extendedprice, 0.95), 4)      AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/corr/covar +
+    exact interpolated percentiles.
+
+    All are single-pass partial aggregates (Spark keeps running
+    moments per partition and merges) EXCEPT ``percentile``, which
+    buffers per group — at 100 TB swap it for
+    ``approx_percentile(col, p, accuracy)`` (t-digest-style sketch,
+    mergeable, bounded memory); the exact form here is what gives the
+    oracle an exact hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("price_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("price_p95"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT coalesce(n_name, '<all>')       AS nation,
+           coalesce(c_mktsegment, '<all>') AS segment,
+           count(*)                        AS customer_count,
+           round(sum(c_acctbal), 2)        AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (independent of rollup/cube): per-nation,
+    per-segment, and grand totals in one aggregation pass.  Spark
+    expands the sets via a single Expand node feeding one shuffle —
+    strictly cheaper than unioning three separate aggregates, which
+    would triple the scan.  The nation dim is broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    j.createOrReplaceTempView("cust_nation")
+    return spark.sql(
+        """
+        SELECT coalesce(n_name, '<all>')       AS nation,
+               coalesce(c_mktsegment, '<all>') AS segment,
+               count(*)                        AS customer_count,
+               round(sum(c_acctbal), 2)        AS total_acctbal
+        FROM cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           floor(cust_avg * 10000) / 10000 AS cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > 2 * cust_avg
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery pattern ("orders more than twice the
+    customer's average") rewritten as a windowed aggregate — the
+    de-correlated form every optimizer targets.  One shuffle on the
+    correlation key instead of a per-row subquery probe; at 100 TB the
+    window state per key is a single running sum/count.
+
+    The average is computed as exact-decimal sum ÷ count rather than
+    float ``avg``: float summation order differs per engine, and a
+    1-ulp difference both flips the rounded display value on .00005
+    boundaries and makes the `> 2×avg` predicate itself
+    engine-dependent.  Decimal sums are order-independent, so both
+    engines divide identical numbers.  Display truncation uses
+    ``floor`` rather than ``round``: the quotient of a 2-dp-exact sum
+    by a count of 10 lands exactly on .xxxx5, where Spark's HALF_UP
+    decimal rounding and DuckDB's binary rounding legitimately
+    disagree — floor is identical on identical doubles.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            cust_avg.alias("cust_avg"),
+        )
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .withColumn("cust_avg", F.floor(F.col("cust_avg") * 10000) / 10000)
+    )
+
+
+#: Shared curation thresholds (Spark and oracle must agree).
+CURATION_LANGS = ("en", "de", "fr")
+CURATION_MIN_CHARS = 120
+CURATION_MAX_WORD_LEN = 60
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, text, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND length(text) >= {CURATION_MIN_CHARS}
+        AND len(list_filter(string_split(text, ' '), w -> length(w) > {CURATION_MAX_WORD_LEN})) = 0
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           count(*)               AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT)   AS first_doc
+    FROM deduped
+    GROUP BY lang, source
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite: language filter →
+    quality gates (min length, no pathological tokens) → exact dedup
+    keeping the lowest doc_id → per-(lang, source) token accounting.
+
+    The whole pipeline is two shuffles at any scale: one on the
+    content hash (uniform by construction) for dedup, one on the
+    low-cardinality (lang, source) rollup with map-side combine.
+    Filters run at the scan (pushdown) so rejected documents never
+    leave their input partition.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    filtered = (
+        docs.filter(F.col("lang").isin(*CURATION_LANGS))
+        .filter(F.length("text") >= CURATION_MIN_CHARS)
+        .filter(
+            F.size(F.filter(toks, lambda w: F.length(w) > CURATION_MAX_WORD_LEN)) == 0
+        )
+        .select("doc_id", "text", "lang", "source", F.size(toks).cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        filtered.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -54,5 +54,6 @@ def load_all() -> None:
         text,
         multimodal,
         joins_advanced,
+        analytics,
     )
     from s3_manifest_spark.streaming import windows  # noqa: F401
