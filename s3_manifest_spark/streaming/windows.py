@@ -183,3 +183,80 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg → availableNow drain), surfaced as a batch DataFrame so
     the driver can smoke it.  Values equal stream_tumbling's."""
     return run_tumbling_stream(spark, sf_dir)
+
+
+#: Output/state schemas for the custom stateful operator.  State stays
+#: scalar (4 fixed-width fields per user) so per-key state is O(1)
+#: bytes — the property that lets arbitrary-cardinality keyed state
+#: survive at 100 TB input.
+USER_STATE_OUTPUT = (
+    "user_id long, n_events long, total_value double, max_value double, last_ts timestamp"
+)
+_USER_STATE_SCHEMA = "n long, total double, mx double, last_us long"
+
+
+def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running profile (event count, value sum/max, last seen
+    timestamp) that no built-in windowed aggregate expresses — the
+    state is an arbitrary Python tuple, updated per Arrow batch.
+
+    Execution shape: one shuffle keys events by user; each micro-batch
+    updates O(1)-sized state per user and emits the refreshed profile
+    (Update mode).  With the availableNow trigger over the fixture the
+    drain is deterministic: exactly one row per user, equal to the
+    batch groupBy twin (asserted in tests/test_streaming_state.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user_state(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total, mx, last_us = state.get
+        else:
+            n, total, mx, last_us = 0, 0.0, float("-inf"), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+            # normalize to µs regardless of pandas' ns/us datetime unit
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ts_us.max()))
+        state.update((n, total, mx, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [mx],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    profiles = stream.groupBy("user_id").applyInPandasWithState(
+        update_user_state,
+        outputStructType=USER_STATE_OUTPUT,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"user_state_{abs(hash(sf_dir)) % 10_000_000}"
+    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+        q = (
+            profiles.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_user_state_live")  # rows-only: custom stateful streaming op
+def stream_user_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user profile, drained deterministically
+    (one row per user; values equal the batch groupBy twin)."""
+    return run_user_state_stream(spark, sf_dir)

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the properties that make these queries
+survive a 100× scale-up are visible in `explain`, so pin them.
+
+- predicates and projections must reach the parquet scan
+  (PushedFilters / ReadSchema);
+- small-dimension joins must be broadcast, not shuffled;
+- narrow pipelines must contain no Exchange at all;
+- aggregations must be two-phase (map-side partial before the shuffle).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_pushdown")
+    assert "PushedFilters: [" in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "IsNotNull" in pushed or "GreaterThan" in pushed, pushed
+    # projection pruning: the scan must not read unused wide columns
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_comment" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_manifest_projection_is_shuffle_free(spark):
+    plan = plan_of(spark, "manifest_project")
+    assert "Exchange" not in plan, "pure projection must not shuffle"
+    # '*' before an operator = inside a WholeStageCodegen span
+    assert re.search(r"\* Project", plan), plan
+
+
+def test_small_dim_joins_broadcast(spark):
+    for name in ("broadcast_join", "hash_join", "range_join_bands"):
+        plan = plan_of(spark, name)
+        assert "Broadcast" in plan, f"{name} should broadcast its small side:\n{plan}"
+
+
+def test_groupby_aggregates_are_two_phase(spark):
+    plan = plan_of(spark, "agg_groupby")
+    # partial + final HashAggregate = map-side combine before the shuffle
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_semi_anti_join_stays_semi(spark):
+    plan = plan_of(spark, "semi_anti_join")
+    assert re.search(r"Semi", plan), plan
+
+
+def test_asof_join_single_exchange(spark):
+    # union + window as-of: exactly one shuffle (by join key), not a
+    # per-interval explosion.
+    plan = plan_of(spark, "asof_join")
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= 2, f"expected <=2 exchanges (key + AQE), got {n_exchanges}:\n{plan}"
