@@ -1,0 +1,185 @@
+"""Scalar / window function surface beyond relational.py's basics:
+navigation windows (lag/lead/first/last), filtered-conditional
+aggregates, regex functions, array functions, and arg-max selection.
+The reference's entire scalar-function surface is two functions
+(substring_index-style last-token split and an RFC3339 parse,
+/root/reference/src/main.rs:376,381-387) — everything here is declared
+extension surface (SURVEY.md §2B).
+
+Array-valued results are folded to strings (`array_join`) before
+leaving the query: the driver's value hash stringifies cells, and
+engine-native array reprs (numpy vs list) would differ even when the
+contents match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over each customer's order history.
+
+    One shuffle on the partition key; lag/lead/first are O(1) state in
+    a single per-key pass.  The ordering carries o_orderkey as a
+    unique tie-break so every engine sees the same sequence (multiple
+    orders share an order date at every sf).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)  AS big_qty_items,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                                                                    AS discounted_revenue,
+           round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6)   AS avg_tax_finished,
+           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40) AS BIGINT)
+                                                                    AS bulk_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause semantics) — expressed as
+    conditional expressions inside ONE aggregation pass, not four
+    separate scans unioned back together.  Map-side partials carry all
+    four accumulators at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("big_qty_items"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("discounted_revenue"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_tax"))), 6
+        ).alias("avg_tax_finished"),
+        F.count_distinct(
+            F.when(F.col("l_quantity") > 40, F.col("l_suppkey"))
+        ).alias("bulk_suppliers"),
+    )
+
+
+@register(
+    "regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[0-9]+')                   AS first_number,
+           regexp_replace(text, '[0-9]+', '#', 'g')         AS numbers_masked,
+           regexp_matches(text, '(?i)\bdata\b')             AS mentions_data,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+                                                            AS capitalized_words
+    FROM documents
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / global replace / match test /
+    match count.  Patterns stay in the RE2 ∩ Java-regex common subset
+    so both engines agree; all JVM-side, one codegen stage, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("numbers_masked"),
+        F.col("text").rlike(r"(?i)\bdata\b").alias("mentions_data"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Z][a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("capitalized_words"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                          AS n_tokens,
+           array_to_string(toks[1:5], ' ')                    AS head5,
+           list_contains(toks, 'the')                         AS has_the,
+           CAST(len(list_distinct(toks)) AS BIGINT)           AS distinct_tokens,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',')
+                                                              AS first3_sorted
+    FROM t
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface: size / slice / contains / distinct / sort,
+    folded to strings for engine-neutral comparison.  All built-in
+    array expressions over one tokenize — narrow, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join(F.slice("toks", 1, 5), " ").alias("head5"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.size(F.array_distinct("toks")).cast("long").alias("distinct_tokens"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), ","
+        ).alias("first3_sorted"),
+    )
+
+
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT n_name,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+                                                   AS richest_customer,
+           round(max(c_acctbal), 2)                AS top_acctbal,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+                                                   AS poorest_customer
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min selection per group in a single aggregation —
+    the shuffle carries one candidate row per group per partition
+    (map-side combined), vs. a window row_number approach that
+    shuffles every row.  DuckDB's arg_max takes only scalar ordering
+    keys, so the (acctbal, custkey) tie-break is encoded as one
+    monotone BIGINT — cents × 10⁷ + custkey (custkey < 10⁷ at every
+    sf) — used identically by both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return j.groupBy("n_name").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+    )

@@ -56,4 +56,5 @@ def load_all() -> None:
         joins_advanced,
         analytics,
     )
+    from s3_manifest_spark.functions import scalar  # noqa: F401
     from s3_manifest_spark.streaming import windows  # noqa: F401
