@@ -57,6 +57,94 @@ def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- joins ----------------------------------------------------------------
 
 @register(
+    "star_join_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (TPC-H Q5 shape): revenue by nation for one
+    region and date range.
+
+    Plan shape at any scale: region/nation are broadcast (hinted), so
+    the dimension chain adds ZERO shuffles; customer⋈orders⋈lineitem
+    are the only shuffled joins, each keyed on its natural key, and the
+    o_orderdate + r_name predicates push into the scans so the fact
+    tables arrive pre-filtered.  AQE re-plans the shuffled joins to
+    broadcast at runtime when the filtered side collapses below the
+    threshold — exactly what happens at small sf.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+N_SALTS = 8
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation over a pathologically low-cardinality
+    key (5 event types): phase 1 aggregates on (key, salt) — spreading
+    each hot key over N_SALTS reducers — phase 2 merges the partials.
+
+    Equivalent by associativity to the direct groupBy (the oracle IS
+    the direct form), which is the point: salting is a *physical*
+    rewrite for skew, not a semantic change.  Spark's own map-side
+    partial aggregation makes this redundant for algebraic aggregates —
+    the technique matters for holistic aggregates (collect_list,
+    percentile) and for skewed JOIN keys, where the same
+    salt-then-merge shape is the standard fix.  The sum is re-rounded
+    only at the end so partial grouping cannot change the result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+@register(
     "hash_join",
     oracle="""
     SELECT c_mktsegment,
