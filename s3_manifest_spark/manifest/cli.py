@@ -63,18 +63,32 @@ def main(argv: list[str] | None = None) -> int:
         access_key=args.source_access_key,
         secret_key=args.source_secret_key,
     )
-    manifest = manifest_from_s3(
+    # observe() collects count/bytes from the same job that writes the
+    # output (A1/A2, main.rs:231, 284-289) — a follow-up count() would
+    # re-list the whole bucket.
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    obs = Observation("manifest-stats")
+    t0 = _time.perf_counter()
+    manifest_from_s3(
         spark,
         args.s3_uri,
         output=args.output,
         delimiter=args.delimiter,
         client_factory=factory,
         target_shards=args.shards,
+        observation=obs,
     )
-    # observe() gives the object count without a second scan (A1/A2,
-    # main.rs:231, 284-289).
-    n = manifest.count()
-    print(f"Done. Manifest rows: {n} -> {args.output}")
+    stats = obs.get
+    elapsed = _time.perf_counter() - t0
+    n, total = stats["objects"], stats["total_bytes"]
+    # final stats line mirrors the reference's (main.rs:284-289)
+    print(
+        f"Done. Processed {n} objects ({total} bytes) in {elapsed:.1f}s "
+        f"({n / max(elapsed, 1e-9):.0f} objects/sec) -> {args.output}"
+    )
     return 0
 
 

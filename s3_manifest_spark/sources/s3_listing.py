@@ -248,11 +248,20 @@ def manifest_from_s3(
     delimiter: str = "/",
     client_factory: Callable[[], object] | None = None,
     target_shards: int = 64,
+    observation=None,
 ) -> DataFrame:
     """The reference CLI's whole job (main.rs:120-292): list → derive
     manifest → optionally write parquet.  S3 output goes through the
     s3a:// filesystem (streaming multipart upload — fixes the
-    whole-file-in-RAM defect at main.rs:327-329)."""
+    whole-file-in-RAM defect at main.rs:327-329).
+
+    Pass a ``pyspark.sql.Observation`` to collect the reference's run
+    stats (object count / total bytes, main.rs:231, 284-289) from the
+    SAME job that writes the output — a follow-up ``count()`` would
+    re-list the entire bucket.
+    """
+    from pyspark.sql import functions as F
+
     from s3_manifest_spark.manifest.core import derive_manifest, write_manifest
 
     bucket, prefix = parse_s3_uri(source_uri)
@@ -260,6 +269,12 @@ def manifest_from_s3(
         spark, bucket, prefix, client_factory, delimiter, target_shards
     )
     manifest = derive_manifest(listing, bucket, prefix, delimiter)
+    if observation is not None:
+        manifest = manifest.observe(
+            observation,
+            F.count(F.lit(1)).alias("objects"),
+            F.coalesce(F.sum("Size"), F.lit(0)).alias("total_bytes"),
+        )
     if output is not None:
         out_bucket, path = parse_output_location(output)
         write_manifest(manifest, f"s3a://{out_bucket}/{path}" if out_bucket else path)

@@ -119,3 +119,23 @@ def test_retry_gives_up_then_succeeds(spark):
     c = Flaky(synth_bucket())
     shards, direct = discover_shards(c, "fake-bucket", "", target_shards=5)
     assert len(shards) == 7 and len(direct) == 20
+
+
+def test_manifest_observed_stats_single_job(spark, tmp_path):
+    """Observation collects count/bytes from the same job that writes
+    the manifest - no second listing pass (A2, main.rs:284-289)."""
+    from pyspark.sql import Observation
+
+    out = str(tmp_path / "obs.parquet")
+    obs = Observation("stats")
+    manifest_from_s3(
+        spark,
+        "s3://fake-bucket/dir1/",
+        output=out,
+        client_factory=fake_client_factory,
+        observation=obs,
+    )
+    stats = obs.get
+    back = spark.read.parquet(out)
+    assert stats["objects"] == back.count()
+    assert stats["total_bytes"] == sum(r.Size for r in back.collect())
