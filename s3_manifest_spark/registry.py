@@ -55,6 +55,7 @@ def load_all() -> None:
         multimodal,
         joins_advanced,
         analytics,
+        timeseries,
     )
     from s3_manifest_spark.functions import scalar  # noqa: F401
     from s3_manifest_spark.streaming import windows  # noqa: F401
