@@ -68,10 +68,16 @@ class FakeS3Client:
         return resp
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def synth_bucket(n: int = 2500) -> dict[str, dict[str, tuple[int, dt.datetime]]]:
     """Deterministic fake bucket: n keys across nested prefixes plus
     root-level objects — exercises sharding, pagination, and delimiter
-    grouping."""
+    grouping.  Cached so reused executor workers (and repeated test
+    clients) don't rebuild large buckets per task — clients never
+    mutate it (FakeS3Client copies on construction)."""
     epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     objs: dict[str, tuple[int, dt.datetime]] = {}
     for i in range(n):
@@ -89,3 +95,26 @@ def synth_bucket(n: int = 2500) -> dict[str, dict[str, tuple[int, dt.datetime]]]
 def fake_client_factory():
     """Picklable factory for executor-side use (module-level by design)."""
     return FakeS3Client(synth_bucket())
+
+
+class LatentFakeS3Client(FakeS3Client):
+    """Fake client with a simulated per-request round trip — for
+    benchmarking listing strategies against realistic S3 RTTs."""
+
+    def __init__(self, buckets, rtt_ms: float):
+        super().__init__(buckets)
+        self._rtt_s = rtt_ms / 1000.0
+
+    def list_objects_v2(self, **kw):
+        import time
+
+        time.sleep(self._rtt_s)
+        return super().list_objects_v2(**kw)
+
+
+@functools.lru_cache(maxsize=8)
+def shared_latent_client(n: int = 2500, rtt_ms: float = 0.0) -> LatentFakeS3Client:
+    """One client per (n, rtt) per PROCESS: reused executor workers get
+    a cache hit instead of re-sorting an n-key bucket per task.  Safe
+    because clients are read-only after construction."""
+    return LatentFakeS3Client(synth_bucket(n), rtt_ms)
