@@ -126,3 +126,63 @@ def decode_features(
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = binary_corpus(spark, sf_dir)
     return decode_features(corpus)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def sample_frames(corpus: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling seam for video-like payloads: each asset expands
+    to every ``stride``-th frame as its own row (idx, size, content
+    hash).  A real implementation would seek keyframes via a codec;
+    the fake splits the payload into the n_frames equal chunks the
+    fake decoder reports.
+
+    The expansion happens INSIDE the Arrow batch (one input frame →
+    one output frame of rows), so memory per task is one batch of
+    payloads plus its sampled frames — the knob at 100 TB is
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` against payload
+    size, same as decode.
+    """
+    import hashlib
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                _, _, n_frames, _ = _fake_decode(payload)
+                step = max(n // n_frames, 1)
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * step : (idx + 1) * step]
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            len(chunk),
+                            hashlib.sha256(chunk).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return corpus.select("doc_id", "payload").mapInPandas(
+        explode_frames, schema=FRAME_SCHEMA
+    )
+
+
+@register("multimodal_frame_sample")  # rows-only: Python frame-explode seam
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every {stride}-th frame of every asset as a row — the sampling
+    pass a video-training pipeline runs before feature extraction."""
+    return sample_frames(binary_corpus(spark, sf_dir))

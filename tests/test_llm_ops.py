@@ -130,3 +130,23 @@ def test_session_windows_respect_gap(spark, q):
             g["session_start"].iloc[1:].to_numpy()
             >= g["session_end"].iloc[:-1].to_numpy()
         ).all()
+
+
+def test_frame_sample_deterministic_and_strided(spark):
+    from s3_manifest_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        binary_corpus,
+        sample_frames,
+    )
+
+    corpus = binary_corpus(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, sample_frames(corpus).collect()))
+    b = sorted(map(tuple, sample_frames(corpus).collect()))
+    assert a == b, "frame sampling must be deterministic"
+    by_doc = {}
+    for doc_id, idx, nb, fh in a:
+        by_doc.setdefault(doc_id, []).append(idx)
+        assert nb > 0 and len(fh) == 16
+    assert all(
+        idxs == list(range(0, max(idxs) + 1, FRAME_STRIDE)) for idxs in by_doc.values()
+    )
