@@ -62,6 +62,19 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` documents — the
+    standard MinHash-corpus guard against stop-shingles, whose buckets
+    would otherwise collect huge doc lists and skew both the
+    collect_list state and the pair expansion (O(k²) in bucket size).
+    One extra map-side-combinable count per shingle; ``n`` (per-doc
+    distinct-shingle count) is intentionally NOT recomputed, so Jaccard
+    denominators still reflect the full document."""
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_counts.filter(F.col("df") <= max_df).select("sh")
+    return sh.join(keep, "sh", "left_semi")
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -124,9 +137,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: shuffle keys are shingles (near-uniform); the one skew
     risk is a stop-shingle whose doc list explodes the collect_list —
-    production runs should cap document frequency (drop shingles with
-    count(doc) > ~10⁴, standard MinHash-corpus practice) before the
-    expansion; dedup_minhash_lsh is the designed scale path.
+    apply :func:`cap_document_frequency` before the expansion there
+    (dedup_minhash_lsh, the designed scale path, already does).  This
+    oracle-checked query keeps the uncapped exact semantics.
     """
     sh = _shingled(spark, sf_dir)
     grp = (
@@ -154,6 +167,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_MAX_DF = 10_000  # stop-shingle guard (no-op at fixture scale)
+
+
 @register("dedup_minhash_lsh")  # rows-only: seeded-hash values are engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidates + exact verification.
@@ -169,7 +185,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: referenced by the signature build AND both sides of the
     # verification join — without persist, Catalyst project-collapses the
     # interpreted shingle HOF into every reference and recomputes it.
-    sh = _shingled(spark, sf_dir).persist()
+    # The document-frequency cap runs first so stop-shingles never reach
+    # the bucket state or the pair expansion.
+    sh = cap_document_frequency(_shingled(spark, sf_dir), MINHASH_MAX_DF).persist()
     sig = sh.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         *[

@@ -150,3 +150,18 @@ def test_frame_sample_deterministic_and_strided(spark):
     assert all(
         idxs == list(range(0, max(idxs) + 1, FRAME_STRIDE)) for idxs in by_doc.values()
     )
+
+
+def test_document_frequency_cap(spark):
+    from s3_manifest_spark.operators.dedup import _shingled, cap_document_frequency
+
+    sh = _shingled(spark, "/root/testdata/sf0.001")
+    import pyspark.sql.functions as F
+
+    max_df_all = sh.groupBy("sh").count().agg(F.max("count")).collect()[0][0]
+    # generous cap keeps everything
+    assert cap_document_frequency(sh, max_df_all).count() == sh.count()
+    # cap of 1 keeps exactly the shingles unique to one document
+    uniq = cap_document_frequency(sh, 1)
+    assert uniq.count() == uniq.select("sh").distinct().count()
+    assert 0 < uniq.count() < sh.count()
