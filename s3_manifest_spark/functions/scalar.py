@@ -55,6 +55,33 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT)      AS acctbal_quartile,
+           round(percent_rank() OVER w, 6)      AS pct_rank,
+           round(cume_dist() OVER w, 6)         AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing, percent rank,
+    cumulative distribution per market segment.  Same execution shape
+    as every window: one shuffle on the partition key, one ordered
+    pass; the (value, unique-id) ordering makes ranks engine-stable."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("acctbal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "conditional_agg",
     oracle="""
     SELECT l_returnflag,
