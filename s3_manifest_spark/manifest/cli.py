@@ -39,6 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dest-access-key", default=None)
     p.add_argument("--dest-secret-key", default=None)
     p.add_argument("--shards", type=int, default=64, help="target listing parallelism")
+    p.add_argument(
+        "--single-object",
+        action="store_true",
+        help=(
+            "write ONE parquet object at exactly OUTPUT (reference-"
+            "compatible: consumers GET that key directly).  Default is a "
+            "directory of part-files written in parallel — faster, but a "
+            "different output layout than the reference."
+        ),
+    )
     return p
 
 
@@ -80,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         client_factory=factory,
         target_shards=args.shards,
         observation=obs,
+        single_object=args.single_object,
     )
     stats = obs.get
     elapsed = _time.perf_counter() - t0

@@ -94,7 +94,12 @@ def derive_manifest(
     return out
 
 
-def write_manifest(df: DataFrame, output: str, max_records_per_file: int = 5_000_000) -> None:
+def write_manifest(
+    df: DataFrame,
+    output: str,
+    max_records_per_file: int = 5_000_000,
+    single_object: bool = False,
+) -> None:
     """Persist a manifest as Parquet (local path, s3a://, hdfs://, ...).
 
     Replaces the reference's ArrowWriter + whole-file-in-RAM PutObject
@@ -102,12 +107,53 @@ def write_manifest(df: DataFrame, output: str, max_records_per_file: int = 5_000
     so memory stays bounded regardless of manifest size, and each task
     writes its own file in parallel.  ``maxRecordsPerFile`` keeps
     individual files splittable-scan friendly at the 100 TB end.
+
+    Output-location semantics intentionally diverge from the reference
+    by default: the reference PUTs ONE parquet object at exactly
+    ``output`` (main.rs:271-282), while the parallel write produces a
+    DIRECTORY of part-files at that path.  Consumers that GET the
+    single object at the manifest key should pass
+    ``single_object=True``: the frame is coalesced to one task, written
+    to a scratch directory, and the lone part-file is renamed to
+    exactly ``output`` via the Hadoop FileSystem API (works for
+    ``file://``, ``s3a://``, ``hdfs://``).  Single-object mode funnels
+    the write through one task — correct compatibility mode, not the
+    100 TB path.
     """
-    (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(output)
-    )
+    if not single_object:
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(output)
+        )
+        return
+
+    spark = df.sparkSession
+    tmp = output.rstrip("/") + ".__smsp_tmp__"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    out_path = jvm.org.apache.hadoop.fs.Path(output)
+    fs = tmp_path.getFileSystem(conf)
+    try:
+        statuses = fs.listStatus(tmp_path)
+        part = next(
+            st.getPath()
+            for st in statuses
+            if st.getPath().getName().startswith("part-")
+        )
+        if fs.exists(out_path):
+            fs.delete(out_path, True)
+        parent = out_path.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(part, out_path):
+            raise IOError(f"rename {part} -> {output} failed")
+    finally:
+        fs.delete(tmp_path, True)
 
 
 def manifest_stats(df: DataFrame) -> DataFrame:

@@ -15,7 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, track_persist
 from s3_manifest_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.5
@@ -187,7 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted shingle HOF into every reference and recomputes it.
     # The document-frequency cap runs first so stop-shingles never reach
     # the bucket state or the pair expansion.
-    sh = cap_document_frequency(_shingled(spark, sf_dir), MINHASH_MAX_DF).persist()
+    sh = track_persist(cap_document_frequency(_shingled(spark, sf_dir), MINHASH_MAX_DF))
     sig = sh.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         *[

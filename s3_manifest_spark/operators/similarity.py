@@ -111,13 +111,20 @@ def _lsh_signature(e: Column) -> Column:
 
     sign(Σᵢ eᵢ·hᵖᵢ) per plane p, packed into an int.  Collision
     probability rises with cosine similarity (random-hyperplane LSH).
+
+    The plane vector length is derived from ``size(e)`` — a hardcoded
+    length would null-pad under ``zip_with`` for shorter embeddings,
+    folding every projection to NULL and silently collapsing all
+    vectors into bucket 0 (LSH would degenerate to all-pairs).
     """
     sig = F.lit(0).cast("long")
     for p in range(LSH_PLANES):
         proj = F.aggregate(
             F.zip_with(
                 e,
-                F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: _plane(i, p)),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(e) - 1), lambda i: _plane(i, p)
+                ),
                 lambda x, h: x.cast("double") * h,
             ),
             F.lit(0.0),

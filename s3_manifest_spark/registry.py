@@ -17,6 +17,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: DataFrames persisted by registry queries via :func:`track_persist`,
+#: awaiting cleanup at the NEXT registry invocation (their owner's
+#: result is evaluated lazily by the caller after the function
+#: returns, so the owner cannot unpersist them itself).
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for deferred cleanup.
+
+    Registry queries must use this instead of bare ``.persist()`` so
+    that the next registry call unpersists exactly these blocks — not
+    the whole session cache (``clearCache`` would also evict caches the
+    driver or embedding application created outside the registry).
+    """
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -24,14 +43,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate query name {name!r}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Cache hygiene between registry calls: a prior query may have
-            # persisted intermediates (e.g. dedup shingles) that it cannot
-            # unpersist itself — its DataFrame is evaluated lazily by the
-            # caller AFTER the function returns.  By the time the NEXT
-            # query is requested, the previous result is materialized, so
-            # dropping all cached blocks here releases executor memory
-            # without ever evicting something still needed.
-            spark.catalog.clearCache()
+            # Cache hygiene between registry calls: unpersist only the
+            # intermediates a PRIOR registry query persisted (tracked
+            # above).  By the time the next query is requested, the
+            # previous result is materialized, so this releases executor
+            # memory without evicting anything still needed — and without
+            # touching caches created outside the registry.
+            while _TRACKED_PERSISTS:
+                _TRACKED_PERSISTS.pop().unpersist(blocking=False)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -32,6 +32,13 @@ _SEMANTIC_CONFS = {
     # ANSI off: out-of-range casts become NULL (the reference defaults
     # every unparseable value rather than erroring, main.rs:373-387).
     "spark.sql.ansi.enabled": "false",
+    # SESSION-WIDE INVARIANT: parquet TIMESTAMP(NANOS) columns (which
+    # Spark otherwise refuses to read, e.g. events.parquet) are read as
+    # raw nanosecond longs everywhere in this engine; readers convert
+    # explicitly via timestamp_micros(ts div 1000) (sources/tables.py).
+    # Declared here, not ad-hoc at read sites, so no later read is
+    # surprised by a long where it expected a rejected type.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Scale configs: sized for local testing, but every one of these is the

@@ -249,6 +249,7 @@ def manifest_from_s3(
     client_factory: Callable[[], object] | None = None,
     target_shards: int = 64,
     observation=None,
+    single_object: bool = False,
 ) -> DataFrame:
     """The reference CLI's whole job (main.rs:120-292): list → derive
     manifest → optionally write parquet.  S3 output goes through the
@@ -277,5 +278,9 @@ def manifest_from_s3(
         )
     if output is not None:
         out_bucket, path = parse_output_location(output)
-        write_manifest(manifest, f"s3a://{out_bucket}/{path}" if out_bucket else path)
+        write_manifest(
+            manifest,
+            f"s3a://{out_bucket}/{path}" if out_bucket else path,
+            single_object=single_object,
+        )
     return manifest

@@ -25,11 +25,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects outright.  Read nanos as long, then
-        # truncate to micros with exact integer division (float division
-        # would wobble the last digit at int64 magnitude).  DuckDB does
-        # the same ns→us truncation when casting to TIMESTAMP, so the
-        # oracle sees identical instants.
+        # parquet reader rejects outright.  nanosAsLong is a session-wide
+        # invariant declared in session.py; re-asserted here only for
+        # externally-created sessions that bypassed get_spark.  Read
+        # nanos as long, then truncate to micros with exact integer
+        # division (float division would wobble the last digit at int64
+        # magnitude).  DuckDB does the same ns→us truncation when
+        # casting to TIMESTAMP, so the oracle sees identical instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -78,7 +78,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -86,8 +86,12 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     islands AS (
+      -- (ts, event_id) ordering matches the lag window above: with a
+      -- ROWS frame, tied-ts rows would otherwise get engine-chosen peer
+      -- order and a boundary row's cumulative sum could split the tie
+      -- pair into different sessions.
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
       FROM marked
     )

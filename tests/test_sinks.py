@@ -71,3 +71,22 @@ def test_write_manifest_max_records_splits_files(spark, tmp_path):
     n = _manifest(spark).count()
     assert len(files) >= n // 1000, (len(files), n)
     assert _values(spark.read.parquet(out)) == _values(_manifest(spark))
+
+
+def test_write_manifest_single_object(spark, tmp_path):
+    """Reference-compat mode: exactly ONE parquet object at exactly the
+    output path (main.rs:271-282 PUTs a single object at the key)."""
+    out = str(tmp_path / "manifest.parquet")
+    write_manifest(_manifest(spark), out, single_object=True)
+    import os
+
+    assert os.path.isfile(out), "output must be a single file, not a dir"
+    assert not os.path.exists(out + ".__smsp_tmp__"), "scratch dir cleaned"
+    assert _values(spark.read.parquet(out)) == _values(_manifest(spark))
+
+
+def test_write_manifest_single_object_overwrites(spark, tmp_path):
+    out = str(tmp_path / "manifest.parquet")
+    write_manifest(_manifest(spark), out, single_object=True)
+    write_manifest(_manifest(spark).limit(10), out, single_object=True)
+    assert spark.read.parquet(out).count() == 10
