@@ -1,0 +1,392 @@
+"""Corpus-curation operators for an LLM training-data pipeline
+(SURVEY.md §2B extension surface): document chunking, vocabulary
+extraction, TF-IDF keyterms, PII redaction, deterministic stratified
+sampling, latest-record dedup, and quantile outlier filtering.
+
+Like the rest of the extension surface these are pure built-in-function
+plans — the heavy rows never cross the Python boundary.  Each docstring
+notes the shuffle structure, because at 100 TB that IS the cost model:
+a per-document operator (chunking, redaction, sampling) must stay
+shuffle-free, and a corpus-level one (vocabulary, TF-IDF, quantiles)
+must shuffle only aggregated/short rows, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 30
+CHUNK_STRIDE = 20  # 10-token overlap between consecutive chunks
+
+#: Whitespace tokens (documents fixture is space-separated).
+_TOKENS = "split(text, ' ', -1)"
+
+# PII patterns valid in both Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, start + 1, least(start + {CHUNK_TOKENS}, len(toks))),
+             ' ') AS chunk_text,
+           CAST(least(start + {CHUNK_TOKENS}, len(toks)) - start AS BIGINT)
+             AS n_chunk_tokens
+    FROM s
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (context-window prep).
+
+    Each document yields ⌈n/stride⌉ chunks of ≤{CHUNK_TOKENS} tokens at
+    stride {CHUNK_STRIDE}.  The whole plan is scan → generator expression
+    (``sequence`` + ``posexplode``) → projection: zero shuffles, and the
+    fan-out happens inside the task that already holds the text — the
+    only way chunking survives 100 TB (shipping raw text to a shuffle
+    to chunk it would double the largest column's IO).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    n = F.size("toks")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+            ).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            (
+                F.least(F.col("start") + CHUNK_TOKENS, F.size("toks"))
+                - F.col("start")
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    SELECT token,
+           count(*)                 AS n_total,
+           count(DISTINCT doc_id)   AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_total DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary: top-{VOCAB_TOP_K} tokens by corpus frequency
+    with document frequency.
+
+    One explode (in-task) then ONE shuffle keyed by token with map-side
+    partial aggregation — the shuffle carries (token, partial count)
+    pairs, bounded by |vocabulary| per task, not by corpus size.  The
+    final top-k is a TakeOrdered over the aggregated (small) relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@register(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dlen FROM tf GROUP BY doc_id
+    ),
+    df AS (
+      SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((cnt * 1.0 / dlen) * ln(nd * 1.0 / dfreq), 6) AS tfidf
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} TF-IDF keyterms per document.
+
+    tf = term count ÷ doc length, idf = ln(N ÷ doc-frequency), ranked
+    per document on the ROUNDED score (+ term tie-break) so rank order
+    is engine-independent.
+
+    Shuffle structure at scale: term counts aggregate once keyed by
+    (doc_id, term); doc length reuses that relation (groupBy doc_id —
+    short rows); document frequency aggregates keyed by term
+    (vocabulary-sized).  The df relation joins back on term — left as a
+    shuffle join because a 100 TB corpus's vocabulary can exceed
+    broadcast size; AQE downgrades it to broadcast when it doesn't.
+    N is a 1-row aggregate, broadcast by definition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt") * 1.0 / F.col("dlen"))
+                * F.log(F.col("nd") * 1.0 / F.col("dfreq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .drop("rn")
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails/phones per document.
+
+    The fixture corpus contains no PII, so a deterministic synthetic
+    email+phone is appended per document before scrubbing — the
+    redaction dataflow (scan → regexp_replace chain → projection) is
+    what's under test, and it is shuffle-free and codegen'd, the shape
+    that lets a scrub pass run at ingest cost over 100 TB.  Output
+    carries md5(redacted) rather than the full text to keep the result
+    narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+          END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: ~25% of 'en' documents, ~6.25%
+    of everything else, keyed on the first md5 hex digit of doc_id.
+
+    Hash-based sampling (vs ``sample()``'s seeded RNG) is reproducible
+    across engines, runs, AND repartitionings — the property a training
+    pipeline needs so a re-run selects the identical subset.  It is a
+    pure filter: pushed to the scan, no shuffle, and the rate per
+    stratum is a config map, not a plan change.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en", digit.isin("0", "1", "2", "3")
+    ).otherwise(digit == "0")
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-record-wins dedup: newest event per user
+    (ties broken by highest event_id — a total order, so the survivor
+    is unique).
+
+    One shuffle keyed by user_id; rank-1 selection benefits from
+    Spark's window TopK pushdown so per-key state is a single row, not
+    a sorted buffer — the standard snapshot-compaction shape for
+    billions of keys.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "ts", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "outlier_filter",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                      AS n_docs,
+           CAST(min(n_chars) AS BIGINT)  AS min_chars,
+           CAST(max(n_chars) AS BIGINT)  AS max_chars
+    FROM documents, b
+    WHERE n_chars BETWEEN lo AND hi
+    GROUP BY lang
+    """,
+)
+def outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based outlier removal: keep documents whose length lies
+    within the corpus [p05, p95], summarized per language.
+
+    The bounds are ONE interpolated-percentile aggregate (a single
+    reduce to one row) broadcast back over the scan — the corpus is
+    read, not shuffled.  At 100 TB the exact percentile pass would be
+    swapped for ``approx_percentile`` (see ``percentile_digest``) with
+    the identical plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register("percentile_digest")  # rows-only: t-digest estimates are engine-specific
+def percentile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of document length via
+    ``approx_percentile`` — the mergeable-sketch path that replaces
+    exact percentiles at scale (per-partition digests merge on the
+    driver; no global sort, bounded memory).  Estimates are
+    engine-specific, hence rows-only; merge-consistency with the exact
+    path is asserted in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.05, 0.5, 0.95), 10000)"
+        ).alias("p"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        "lang",
+        F.col("p")[0].alias("p05"),
+        F.col("p")[1].alias("p50"),
+        F.col("p")[2].alias("p95"),
+        "n_docs",
+    )

@@ -75,6 +75,7 @@ def load_all() -> None:
         joins_advanced,
         analytics,
         timeseries,
+        curation,
     )
     from s3_manifest_spark.functions import scalar  # noqa: F401
     from s3_manifest_spark.streaming import windows  # noqa: F401

@@ -1,0 +1,123 @@
+"""Semantic tests for the corpus-curation operators (doc chunking,
+vocabulary, TF-IDF, PII redaction, sampling, latest-record dedup,
+outlier filtering) — properties on the fixture's known structure;
+oracle-parity is covered by the driver harness."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from s3_manifest_spark.operators.curation import CHUNK_STRIDE, CHUNK_TOKENS
+from s3_manifest_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return entrymod.queries()
+
+
+def test_chunking_covers_every_token(spark, q):
+    """Union of chunk starts at the stride must tile [0, n): the last
+    chunk reaches the final token, the first starts at 0, and token
+    counts per chunk never exceed CHUNK_TOKENS."""
+    chunks = q["doc_chunking"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n")
+    ).toPandas()
+    n_by_doc = dict(zip(docs.doc_id, docs.n))
+    assert (chunks["n_chunk_tokens"] <= CHUNK_TOKENS).all()
+    assert (chunks["n_chunk_tokens"] >= 1).all()
+    for doc_id, grp in chunks.groupby("doc_id"):
+        n = n_by_doc[doc_id]
+        expected_chunks = (n + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        assert len(grp) == expected_chunks, (doc_id, n)
+        last = grp.sort_values("chunk_idx").iloc[-1]
+        # last chunk ends exactly at the final token
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_chunk_tokens == n
+
+
+def test_chunk_overlap_is_exact(spark, q):
+    """Consecutive chunks share exactly CHUNK_TOKENS - CHUNK_STRIDE
+    tokens (when the earlier chunk is full)."""
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    chunks = q["doc_chunking"](spark, SF).toPandas()
+    grp = chunks[chunks.doc_id == chunks.doc_id.iloc[0]].sort_values("chunk_idx")
+    for (_, a), (_, b) in zip(grp.iterrows(), grp.iloc[1:].iterrows()):
+        if a.n_chunk_tokens == CHUNK_TOKENS:
+            tail = a.chunk_text.split(" ")[CHUNK_STRIDE:]
+            head = b.chunk_text.split(" ")[: len(tail)]
+            assert tail == head
+            assert len(tail) == overlap
+
+
+def test_vocab_counts_are_consistent(spark, q):
+    v = q["vocab_topk"](spark, SF).toPandas()
+    assert (v["n_docs"] <= v["n_total"]).all()
+    assert v["n_total"].is_monotonic_decreasing or len(v) <= 1
+    n_docs = load_table(spark, SF, "documents").count()
+    assert (v["n_docs"] <= n_docs).all()
+
+
+def test_tfidf_prefers_rare_terms(spark, q):
+    """A term appearing in every document has idf = ln(1) = 0, so top
+    terms must never be corpus-universal."""
+    t = q["tfidf_topterms"](spark, SF).toPandas()
+    v = q["vocab_topk"](spark, SF).toPandas()
+    n_docs = load_table(spark, SF, "documents").count()
+    universal = set(v[v.n_docs == n_docs].token)
+    assert (t["tfidf"] >= 0).all()
+    top1 = t.sort_values(["doc_id", "tfidf"], ascending=[True, False]).groupby(
+        "doc_id"
+    ).head(1)
+    assert not set(top1.term) & universal
+
+
+def test_pii_redact_finds_planted_pii(spark, q):
+    p = q["pii_redact"](spark, SF).toPandas()
+    assert (p["n_emails"] >= 1).all()
+    assert (p["n_phones"] >= 1).all()
+
+
+def test_sample_stratified_is_deterministic_and_rate_shaped(spark, q):
+    a = q["sample_stratified"](spark, SF).toPandas()
+    b = q["sample_stratified"](spark, SF).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    docs = load_table(spark, SF, "documents").groupBy("lang").count().toPandas()
+    total = dict(zip(docs.lang, docs["count"]))
+    got = a.groupby("lang").size()
+    en_rate = got.get("en", 0) / total["en"]
+    assert 0.10 < en_rate < 0.45, en_rate  # ~25% target, binomial slack
+
+
+def test_dedup_latest_one_row_per_user_and_is_max(spark, q):
+    d = q["dedup_latest"](spark, SF).toPandas()
+    events = load_table(spark, SF, "events").toPandas()
+    assert d.user_id.is_unique
+    assert set(d.user_id) == set(events.user_id)
+    max_ts = events.groupby("user_id").ts.max()
+    for _, r in d.iterrows():
+        assert r.ts == max_ts[r.user_id]
+
+
+def test_outlier_filter_bounds(spark, q):
+    o = q["outlier_filter"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    lo, hi = docs.n_chars.quantile(0.05), docs.n_chars.quantile(0.95)
+    assert (o["min_chars"] >= lo).all()
+    assert (o["max_chars"] <= hi).all()
+    assert o["n_docs"].sum() < len(docs)
+
+
+def test_percentile_digest_brackets_exact(spark, q):
+    """approx_percentile at accuracy 10000 on a few hundred rows is
+    exact-rank; it must bracket the true quantiles per lang."""
+    pd_ = q["percentile_digest"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    for _, r in pd_.iterrows():
+        grp = docs[docs.lang == r.lang].n_chars
+        assert grp.min() <= r.p05 <= r.p50 <= r.p95 <= grp.max()
