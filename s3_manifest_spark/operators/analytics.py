@@ -262,3 +262,137 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer via a RANGE window frame —
+    value-based (all orders within 7 days), not row-count-based, so
+    same-day peers are always in the frame together regardless of
+    intra-day order.
+
+    The order key is epoch-days (an exact integer), making the frame
+    boundary arithmetic identical across engines; a timestamp-interval
+    frame would hinge on each engine's interval semantics.  One shuffle
+    keyed by customer, sort amortized across all frames in the
+    partition."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
+    )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+          )
+    """,
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries, written as SQL and
+    left to Catalyst — which decorrelates them into a left-semi and a
+    left-anti hash join over the same orders scan (no per-row
+    re-execution, unlike a naive correlated evaluation).  The physical
+    plan is asserted join-based in tests/test_plans.py."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+              )
+        """
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, o_orderstatus AS s, count(*) AS c
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT o_custkey,
+           string_agg(s, ',' ORDER BY s)                               AS statuses,
+           CAST(sum(c) AS BIGINT)                                      AS total_orders,
+           CAST(coalesce(max(CASE WHEN s = 'F' THEN c END), 0) AS BIGINT) AS f_orders,
+           CAST(count(*) AS BIGINT)                                    AS n_statuses,
+           string_agg(s || '=' || CAST(c * 2 AS VARCHAR), ','
+                      ORDER BY s)                                      AS doubled
+    FROM per
+    GROUP BY o_custkey
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-customer order-status histogram as
+    a real MapType column, then map_keys / map_values / element_at /
+    transform_values / map_entries over it.
+
+    Maps don't hash portably, so the outputs are folded to scalars and
+    sorted strings; the DuckDB oracle computes the same values straight
+    from the grouped relation (it checks VALUES, not storage).  Build
+    is two map-side-combinable aggregations on the same key — the map
+    itself never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "c")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda _, v: v * 2)
+    return m.select(
+        "o_custkey",
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_orders"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("f_orders"),
+        F.size(F.map_keys("m")).cast("long").alias("n_statuses"),
+        F.array_join(
+            F.transform(
+                F.map_entries(doubled),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("doubled"),
+    )

@@ -264,3 +264,205 @@ def stream_user_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user profile, drained deterministically
     (one row per user; values equal the batch groupBy twin)."""
     return run_user_state_stream(spark, sf_dir)
+
+
+def _sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 min per event_type (shared
+    batch/stream) — each event lands in exactly 2 windows."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    -- each event belongs to 2 overlapping 1h/30min windows:
+    -- window_start = its 30-min bucket minus k*30min, k in {0,1}
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - k * INTERVAL 30 MINUTE AS window_start,
+             event_type, value
+      FROM events, (SELECT unnest(generate_series(0, 1)) AS k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)                       AS n_events,
+           round(sum(value), 2)           AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sliding-window aggregation.  Spark's window()
+    assigns each event to window_count = size/slide overlapping windows
+    inside the scan task (an in-task Expand, like the oracle's
+    generate_series fan-out) — state per key is windows-in-flight ×
+    groups, so a 2× overlap costs 2× aggregation state, not 2× input
+    IO."""
+    return _sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
+    """Stage the events fixture into a spool directory (the layout a
+    production file-stream source watches).  ``copies>1`` hard-links
+    the same parquet N times — a deterministic duplicated stream for
+    exactly-once/dedup scenarios."""
+    import os
+    import shutil
+
+    spool = os.path.join(
+        tempfile.gettempdir(),
+        f"smsp-events{tag}-x{copies}-{os.path.basename(sf_dir)}",
+    )
+    os.makedirs(spool, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(spool, f"events-{i}.parquet")
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{sf_dir}/events.parquet", dst)
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet", dst)
+    return spool
+
+
+def _drain(df: DataFrame, name: str, mode: str) -> None:
+    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+@register("stream_dedup_live")  # rows-only: streaming execution
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup: the spool carries every event
+    TWICE (duplicated delivery), and streaming ``dropDuplicates`` on
+    event_id + watermark reduces it back to one copy — verified by the
+    per-type counts equaling the batch single-copy counts (tests).
+
+    Watermarked dedup is the 100 TB shape: state holds only event_ids
+    newer than the watermark horizon, so memory is bounded by the
+    duplication window, not the stream's lifetime.
+    """
+    import os
+
+    spool = _spool_events(sf_dir, copies=2, tag="-dup")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(spool)
+    )
+    deduped = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"dedup_{abs(hash(sf_dir)) % 10_000_000}"
+    _drain(deduped, name, "complete")
+    return spark.table(name)
+
+
+#: click→purchase attribution horizon for the interval join
+_ATTRIB_WINDOW = "1 hour"
+
+
+@register(
+    "stream_join",
+    oracle="""
+    SELECT c.event_id          AS click_id,
+           p.event_id          AS purchase_id,
+           c.user_id           AS user_id,
+           p.ts                AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: each click pairs
+    with the same user's purchases within the next hour (attribution).
+    One shuffle keys both sides by user_id; the time predicate filters
+    inside each co-partition."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {_ATTRIB_WINDOW}")),
+        )
+        .select("click_id", "purchase_id", "user_id", "purchase_ts")
+    )
+
+
+@register("stream_join_live")  # rows-only: stream-stream join execution
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real watermarked stream-stream interval join (clicks ⋈
+    purchases on user_id within the attribution window), drained with
+    availableNow.  Both sides carry watermarks and the join has a time
+    bound, so Spark can expire buffered state as the watermark
+    advances — unbounded-state joins never survive production streams.
+    Result set equals the batch twin's (asserted in tests)."""
+    stream = read_events_stream(spark, sf_dir)
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {_ATTRIB_WINDOW}")),
+    ).select("click_id", "purchase_id", "user_id", "purchase_ts")
+    name = f"ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
+    _drain(joined, name, "append")
+    return spark.table(name)

@@ -68,3 +68,27 @@ def test_asof_join_single_exchange(spark):
     plan = plan_of(spark, "asof_join")
     n_exchanges = len(re.findall(r"\bExchange\b", plan))
     assert n_exchanges <= 2, f"expected <=2 exchanges (key + AQE), got {n_exchanges}:\n{plan}"
+
+
+def test_exists_subquery_decorrelates_to_joins(spark):
+    """EXISTS / NOT EXISTS must become semi/anti hash joins, not
+    per-row subquery re-execution."""
+    plan = plan_of(spark, "exists_subquery")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "InSubquery" not in plan
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    plan = plan_of(spark, "doc_chunking")
+    assert "Exchange" not in plan, "chunk fan-out must stay in-task"
+
+
+def test_sample_stratified_filter_pushes_to_scan(spark):
+    """The sampling predicate involves md5 (not pushable) but the scan
+    must still prune to the three projected columns + text-free read."""
+    plan = plan_of(spark, "sample_stratified")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "text" not in cols, f"text column must be pruned, got {cols}"

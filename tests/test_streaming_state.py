@@ -34,3 +34,42 @@ def test_user_state_stream_equals_batch(spark):
         assert abs(g.total_value - w.total_value) < 1e-6, uid
         assert g.max_value == w.max_value, uid
         assert g.last_ts == w.last_ts, uid
+
+
+def test_stream_dedup_live_removes_duplicated_delivery(spark):
+    """The dedup spool delivers every event twice; watermarked
+    dropDuplicates must restore exactly the single-copy counts."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.n_events
+        for r in q["stream_dedup_live"](spark, sf).collect()
+    }
+    from s3_manifest_spark.sources.tables import load_table
+
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_join_live_equals_batch_twin(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    live = {
+        (r.click_id, r.purchase_id)
+        for r in q["stream_join_live"](spark, sf).collect()
+    }
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in q["stream_join"](spark, sf).collect()
+    }
+    assert live == batch and len(batch) > 0
