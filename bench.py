@@ -76,6 +76,36 @@ def main() -> int:
             rows[name] = len(pdf)
 
     total = round(sum(timings.values()), 4)
+
+    # DuckDB oracle wall-clock on the same parquet at the same sf — the
+    # operative baseline (BASELINE.md: "within 2x of the DuckDB oracle
+    # per query").  Measured here, min-of-RUNS, so every bench report
+    # carries its own denominator.
+    oracle_secs: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={int(cpus)}")
+        for t in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name, sql in entrymod.oracle_sql().items():
+            best = None
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(sql).fetch_df()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            oracle_secs[name] = round(best, 4)
+    except Exception:
+        pass  # oracle timings are informative, never fail the bench
+
     print(
         json.dumps(
             {
@@ -87,6 +117,8 @@ def main() -> int:
                 "rows": rows,
                 "cpus": int(cpus),
                 "runs_per_query": RUNS,
+                "oracle_sec": oracle_secs,
+                "oracle_total_sec": round(sum(oracle_secs.values()), 4),
             }
         )
     )

@@ -68,24 +68,54 @@ def cosine(a: Column, b: Column) -> Column:
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
-    The query side (N/{QUERY_STRIDE} rows) is broadcast, so the big side
-    never shuffles for the join; the only shuffle is the per-query
-    window, whose key count equals the number of queries.  Ordering is
-    on the ROUNDED score (+ neighbor_id tie-break) so rank order is
-    reproducible across engines regardless of last-ulp noise.
+    Physical strategy — broadcast-query matrix scoring with per-batch
+    partial top-k (same rewrite that took dedup_embedding from 68 s to
+    ~2 s): the small query matrix (N/{QUERY_STRIDE} unit-normalized
+    rows) is broadcast; each Arrow batch of the corpus computes one
+    BLAS ``block @ queriesᵀ`` and keeps only its local top-k per query
+    under the FINAL ordering (rounded score desc, neighbor_id asc) —
+    sound because every global top-k member is a top-k member of its
+    own batch.  The window then merges ≤ k·batches candidate rows per
+    query instead of N — the shuffle carries candidates, not scores.
+    No shuffle touches the corpus itself.
     """
+    import numpy as np
+    import pandas as pd
+
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = (
-        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+    qpdf = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).toPandas()
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+    k = TOP_K
+
+    def score(batches):
+        ids_q, queries = bc.value
+        for batch in batches:
+            nids = batch["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            e /= np.linalg.norm(e, axis=1, keepdims=True)
+            sims = np.round(e @ queries.T, 6)  # (batch, q)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                keep = nids != qid  # exclude self-match
+                cand_ids, cand_sims = nids[keep], sims[keep, j]
+                # exact partial top-k under (sim desc, neighbor_id asc)
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = v.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql import Window
 
@@ -134,87 +164,93 @@ def _lsh_signature(e: Column) -> Column:
     return sig
 
 
-IVF_K = 8        # coarse centroids
-IVF_NPROBE = 2   # cells probed per query
-
-
-def _centroids_from(assigned: DataFrame) -> DataFrame:
-    """Per-cluster mean vector from an (c, e) assignment — posexplode to
-    (cluster, dim) cells, average, and fold back into an ordered array.
-    Two small shuffles keyed by (cluster, dim) / cluster; never wider
-    than K × dims rows after the first aggregation."""
-    per_dim = assigned.select("c", F.posexplode("e").alias("pos", "val"))
-    dim_means = per_dim.groupBy("c", "pos").agg(F.avg("val").alias("m"))
-    return (
-        dim_means.groupBy("c")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("c", F.transform("pm", lambda x: x["m"]).alias("ce"))
-    )
-
-
-def _nearest(v: DataFrame, cent: DataFrame, n: int) -> DataFrame:
-    """Top-n nearest centroids per vector by cosine (broadcast the K
-    centroid rows; map-side scoring, one window shuffle keyed by id)."""
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "c", cosine(F.col("e"), F.col("ce")).alias("sim")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= n)
-        .drop("rn", "sim")
-    )
+IVF_K = 8            # coarse centroids
+IVF_NPROBE = 2       # cells probed per query
+IVF_TRAIN_STRIDE = 2  # 1-in-N deterministic sample for quantizer training
+IVF_LLOYD_STEPS = 2
 
 
 @register("similarity_ivf")  # rows-only: cluster geometry is engine-internal
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: deterministic coarse
-    quantizer (modulo seed → one Lloyd refinement, all DataFrame ops),
-    vectors assigned to their nearest cell, queries probe only
-    IVF_NPROBE cells.
+    """IVF (inverted-file) approximate top-k, FAISS-style split:
 
-    The 100 TB shape: the index build is two bounded aggregations
-    (K × dims cells), the cell assignment is a broadcast of K centroid
-    rows (map-side, no shuffle of the corpus), and the search shuffle
-    carries only vectors in probed cells — cost scales with cell
-    occupancy, not N.  Recall tunes via IVF_K / IVF_NPROBE exactly as
-    in FAISS-style IVF-Flat.
+    1. TRAIN (driver): the coarse quantizer is k-means-trained on a
+       deterministic 1-in-{IVF_TRAIN_STRIDE} sample — exactly how
+       FAISS trains IVF on a corpus sample, because the quantizer only
+       needs the density shape, not every row.  Seed assignment is
+       vec_id % K, then {IVF_LLOYD_STEPS} Lloyd steps in numpy.
+    2. SEARCH (one distributed pass): centroids + query matrix +
+       per-query probe cells are broadcast; each Arrow batch assigns
+       its vectors to cells (one BLAS matmul), scores only the rows
+       whose cell is probed by some query, and emits its local top-k
+       per query.  A final window merges ≤ k·batches candidates.
+
+    The corpus is never shuffled and never collected; driver memory
+    holds only the training sample.  At 100 TB the sample stride grows
+    (the quantizer still trains on ~1M vectors) and the plan is
+    unchanged — recall tunes via IVF_K / IVF_NPROBE as in IVF-Flat.
     """
-    v = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
-    )
-    # seed assignment → mean → one Lloyd step → final cells
-    cent0 = _centroids_from(v.withColumn("c", (F.col("vec_id") % IVF_K).cast("int")))
-    assign1 = _nearest(v, cent0, 1)
-    cent1 = _centroids_from(assign1)
-    cells = _nearest(v, cent1, 1).select("vec_id", "e", F.col("c").alias("cell"))
+    import numpy as np
+    import pandas as pd
 
-    q = (
-        cells.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-    )
-    probes = _nearest(
-        q.select(F.col("query_id").alias("vec_id"), F.col("qe").alias("e")),
-        cent1,
-        IVF_NPROBE,
-    ).select(F.col("vec_id").alias("query_id"), F.col("c").alias("cell"))
-    probed = q.join(F.broadcast(probes), "query_id")
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    scored = (
-        cells.alias("cand")
-        .join(
-            F.broadcast(probed.alias("p")),
-            (F.col("cand.cell") == F.col("p.cell"))
-            & (F.col("cand.vec_id") != F.col("p.query_id")),
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("cand.vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("p.qe"), F.col("cand.e")), 6).alias("cos_sim"),
-        )
+    # -- train: deterministic sample -> seeded Lloyd on the driver
+    tr = v.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0).toPandas()
+    tids = tr["vec_id"].to_numpy(dtype="int64")
+    X = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    assign = (tids % IVF_K).astype("int64")
+    cent = np.zeros((IVF_K, X.shape[1]))
+    for _ in range(IVF_LLOYD_STEPS):
+        for c in range(IVF_K):
+            members = Xn[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ centn.T, axis=1)  # ties -> lowest cell id
+    centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    # -- query probe lists (queries are corpus rows; tiny, driver-side)
+    qpdf = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).toPandas()
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qsims = qm @ centn.T
+    probes = np.argsort(-qsims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    bc = spark.sparkContext.broadcast((qids, qm, probes, centn))
+    k = TOP_K
+
+    def score(batches):
+        ids_q, queries, probe_cells, cents = bc.value
+        for batch in batches:
+            nids = batch["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            cells = np.argmax(en @ cents.T, axis=1)
+            sims = np.round(en @ queries.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                keep = np.isin(cells, probe_cells[j]) & (nids != qid)
+                if not keep.any():
+                    continue
+                cand_ids, cand_sims = nids[keep], sims[keep, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = v.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql import Window
 

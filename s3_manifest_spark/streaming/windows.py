@@ -15,6 +15,7 @@ of input volume.  Session windows keep one open session per key; the
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,6 +160,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+#: State-store partition count for the fixture drains.  The number of
+#: state stores (and per-micro-batch task waves, checkpoint files,
+#: store commits) is fixed by shuffle.partitions WHEN THE QUERY STARTS;
+#: 32 stores for a bounded fixture drain is pure overhead.  On a real
+#: cluster this is sized to executor count × cores — it's a per-query
+#: knob, which is exactly why it's scoped here and not in session.py.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_tumbling_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -168,7 +189,9 @@ def run_tumbling_stream(
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     agg = _tumbling_agg(stream)
     name = f"tumbling_{abs(hash(sf_dir)) % 10_000_000}"
-    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+    with _stream_partitions(spark), tempfile.TemporaryDirectory(
+        prefix="smsp-ckpt-"
+    ) as ckpt:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -246,7 +269,9 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_state_{abs(hash(sf_dir)) % 10_000_000}"
-    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+    with _stream_partitions(spark), tempfile.TemporaryDirectory(
+        prefix="smsp-ckpt-"
+    ) as ckpt:
         q = (
             profiles.writeStream.format("memory")
             .queryName(name)
@@ -341,7 +366,9 @@ def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
 
 
 def _drain(df: DataFrame, name: str, mode: str) -> None:
-    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+    with _stream_partitions(df.sparkSession), tempfile.TemporaryDirectory(
+        prefix="smsp-ckpt-"
+    ) as ckpt:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
