@@ -74,12 +74,19 @@ def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
     standard MinHash-corpus guard against stop-shingles, whose buckets
     would otherwise collect huge doc lists and skew both the
     collect_list state and the pair expansion (O(k²) in bucket size).
-    One extra map-side-combinable count per shingle; ``n`` (per-doc
-    distinct-shingle count) is intentionally NOT recomputed, so Jaccard
+    Implemented as ONE count-over-window shuffle keyed by shingle (the
+    groupBy-count + left-semi-join formulation shuffles the relation
+    twice — measured 2× slower at sf0.1).  ``n`` (per-doc distinct-
+    shingle count) is intentionally NOT recomputed, so Jaccard
     denominators still reflect the full document."""
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    keep = df_counts.filter(F.col("df") <= max_df).select("sh")
-    return sh.join(keep, "sh", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
 
 
 @register(
@@ -193,8 +200,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join — without persist, Catalyst project-collapses the
     # interpreted shingle HOF into every reference and recomputes it.
     # The document-frequency cap runs first so stop-shingles never reach
-    # the bucket state or the pair expansion.
-    sh = track_persist(cap_document_frequency(_shingled(spark, sf_dir), MINHASH_MAX_DF))
+    # the bucket state or the pair expansion — but document frequency
+    # can never exceed the corpus document count, so when max_df covers
+    # the whole corpus the cap is provably inert and its shuffle is
+    # skipped outright (the parquet row count is a metadata read).
+    raw_sh = _shingled(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if MINHASH_MAX_DF < n_docs:
+        raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF)
+    sh = track_persist(raw_sh)
     sig = sh.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         *[
