@@ -390,3 +390,142 @@ def percentile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")[2].alias("p95"),
         "n_docs",
     )
+
+
+@register(
+    "text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic gibberish/boilerplate detector (low entropy = repetitive
+    text, the kind a training pipeline drops).
+
+    Uses the algebraic identity H = log2(n) − Σc·log2(c)/n so the
+    whole thing is two map-side-combinable aggregations (token counts,
+    then per-doc sums) — no per-token probabilities materialized, and
+    both engines evaluate the identical float expression (rounded 4dp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("token_entropy"),
+    )
+
+
+#: 1-in-N documents form the "benchmark" probe set for the
+#: contamination screen (deterministic, sf-independent).
+CONTAM_PROBE_STRIDE = 250
+
+#: 3-gram shingle CTE shared with the dedup oracles.
+_SHINGLE_CTE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM toks
+    )
+"""
+
+
+@register(
+    "contamination_screen",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    probe AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_PROBE_STRIDE} = 0
+    )
+    SELECT doc_id,
+           count(DISTINCT s.sh) AS n_probe_hits
+    FROM sh s JOIN probe USING (sh)
+    WHERE doc_id % {CONTAM_PROBE_STRIDE} != 0
+    GROUP BY doc_id
+    """,
+)
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag corpus documents sharing
+    any 3-gram with a held-out probe set (every {CONTAM_PROBE_STRIDE}th
+    document stands in for an eval benchmark).
+
+    The probe shingle set is tiny relative to the corpus, so it is
+    broadcast and the corpus shingles never shuffle for the join — the
+    only shuffle is the per-flagged-doc distinct count.  This is the
+    decontamination pass every LLM data pipeline runs before training;
+    at 100 TB the probe side (real benchmarks: MMLU, GSM8K, ...) stays
+    broadcast-sized by construction.
+    """
+    from s3_manifest_spark.operators.dedup import _shingled
+
+    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+    probe = (
+        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
+        .join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_probe_hits"))
+    )
+
+
+@register(
+    "domain_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+    FROM per
+    """,
+)
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: document and token volume per
+    (source, lang) stratum with each stratum's share of total tokens —
+    the table a data-mixing policy (e.g. up/down-weighting domains)
+    reads.
+
+    One aggregation shuffles short partial rows; the global total is
+    an unpartitioned window over the already-aggregated (tiny)
+    relation, not over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKENS))).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / total, 6).alias("token_share"),
+    )

@@ -73,3 +73,84 @@ def manifest_stats_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("Size").alias("total_bytes"),
         F.max("LastModified").alias("newest_mtime"),
     )
+
+
+#: Deterministic snapshot predicates for the incremental-diff query:
+#: OLD drops keys where size % 3 = 0, NEW drops size % 5 = 0 and bumps
+#: size by 1 where size % 7 = 0 — so the universe cleanly splits into
+#: added / removed / changed / unchanged without any RNG.
+_DIFF_OLD_PRED = "size % 3 != 0"
+_DIFF_NEW_PRED = "size % 5 != 0"
+_DIFF_BUMP = "CASE WHEN size % 7 = 0 THEN size + 1 ELSE size END"
+
+
+@register(
+    "manifest_diff",
+    oracle=f"""
+    WITH listing AS ({SYNTH_LISTING_SQL}),
+    old AS (
+      SELECT key, CAST(max(size) AS BIGINT) AS sz FROM listing
+      WHERE {_DIFF_OLD_PRED} GROUP BY key
+    ),
+    new AS (
+      SELECT key, CAST(max({_DIFF_BUMP}) AS BIGINT) AS sz FROM listing
+      WHERE {_DIFF_NEW_PRED} GROUP BY key
+    ),
+    j AS (
+      SELECT coalesce(old.key, new.key) AS key, old.sz AS old_sz, new.sz AS new_sz
+      FROM old FULL OUTER JOIN new ON old.key = new.key
+    )
+    SELECT CASE WHEN old_sz IS NULL THEN 'added'
+                WHEN new_sz IS NULL THEN 'removed'
+                WHEN old_sz <> new_sz THEN 'changed'
+                ELSE 'unchanged' END                        AS change_type,
+           count(*)                                         AS n_objects,
+           CAST(sum(coalesce(new_sz, 0) - coalesce(old_sz, 0)) AS BIGINT)
+                                                            AS bytes_delta
+    FROM j
+    GROUP BY change_type
+    """,
+)
+def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental manifest diff — the operation a consumer of the
+    reference's manifests runs between two listing snapshots: which
+    objects were added, removed, or changed size, and the byte delta.
+
+    One full-outer sort-merge join keyed by object key, then a
+    map-side-combinable rollup on the 4-value change class.  At 100 TB
+    both manifests would be written bucketed by key (see
+    tests/test_bucketed_join.py) so this join co-locates without
+    shuffling either snapshot.
+    """
+    listing = synth_listing(spark, sf_dir)
+    # Snapshots aggregate per key first: S3 keys are unique within a
+    # listing, but the synthetic listing derives keys with ~9% dups —
+    # and diff semantics are only well-defined on a keyed snapshot.
+    old = (
+        listing.filter(F.expr(_DIFF_OLD_PRED))
+        .groupBy("key")
+        .agg(F.max("size").cast("long").alias("old_sz"))
+    )
+    new = (
+        listing.filter(F.expr(_DIFF_NEW_PRED))
+        .groupBy("key")
+        .agg(F.max(F.expr(_DIFF_BUMP)).cast("long").alias("new_sz"))
+    )
+    j = old.join(new, "key", "full_outer")
+    change = (
+        F.when(F.col("old_sz").isNull(), "added")
+        .when(F.col("new_sz").isNull(), "removed")
+        .when(F.col("old_sz") != F.col("new_sz"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"), "old_sz", "new_sz")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum(
+                F.coalesce(F.col("new_sz"), F.lit(0))
+                - F.coalesce(F.col("old_sz"), F.lit(0))
+            ).alias("bytes_delta"),
+        )
+    )

@@ -121,3 +121,44 @@ def test_percentile_digest_brackets_exact(spark, q):
     for _, r in pd_.iterrows():
         grp = docs[docs.lang == r.lang].n_chars
         assert grp.min() <= r.p05 <= r.p50 <= r.p95 <= grp.max()
+
+
+def test_text_entropy_bounds_and_extremes(spark, q):
+    """0 <= H <= log2(n_tokens); uniform docs hit the upper bound,
+    single-token docs hit 0."""
+    import numpy as np
+
+    e = q["text_entropy"](spark, SF).toPandas()
+    assert (e["token_entropy"] >= 0).all()
+    assert (
+        e["token_entropy"] <= np.round(np.log2(e["n_tokens"]), 4) + 1e-9
+    ).all()
+
+
+def test_contamination_screen_excludes_probes(spark, q):
+    c = q["contamination_screen"](spark, SF).toPandas()
+    from s3_manifest_spark.operators.curation import CONTAM_PROBE_STRIDE
+
+    assert (c["doc_id"] % CONTAM_PROBE_STRIDE != 0).all()
+    assert (c["n_probe_hits"] >= 1).all()
+
+
+def test_domain_mix_shares_sum_to_one(spark, q):
+    m = q["domain_mix"](spark, SF).toPandas()
+    assert abs(m["token_share"].sum() - 1.0) < 1e-3
+    assert (m["n_docs"] > 0).all()
+
+
+def test_manifest_diff_classes_partition_universe(spark, q):
+    d = q["manifest_diff"](spark, SF).toPandas()
+    got = dict(zip(d.change_type, d.n_objects))
+    assert set(got) == {"added", "removed", "changed", "unchanged"}
+    from s3_manifest_spark.sources.tables import synth_listing
+
+    listing = synth_listing(spark, SF).toPandas()
+    n_old = listing[listing["size"] % 3 != 0]["key"].nunique()
+    n_new = listing[listing["size"] % 5 != 0]["key"].nunique()
+    # old-only + both = |old|; new-only + both = |new|
+    both = got["changed"] + got["unchanged"]
+    assert got["removed"] + both == n_old
+    assert got["added"] + both == n_new
