@@ -392,3 +392,123 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
     )
     return pairs
+
+
+#: DuckDB twin of the Jaccard pair relation (same text as the
+#: dedup_ngram_jaccard oracle) — reused by dedup_clusters.
+_JACCARD_PAIRS_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM toks
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS (SELECT * FROM ({_JACCARD_PAIRS_SQL})),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION
+      SELECT doc_b, doc_a FROM p
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab) AS component_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step
+    that turns pairwise Jaccard matches into dedup GROUPS (keep one
+    doc per component, drop the rest).
+
+    Spark side is an iterative min-label propagation (the Pregel
+    pattern on DataFrames): each round joins current labels to the
+    edge list, takes the min over neighbors, and stops when a round
+    changes nothing — O(diameter) rounds, each one shuffle keyed by
+    node.  Intermediate labels are cached per round and the loop is
+    driver-controlled — this is the registry's designated example of a
+    genuinely iterative algorithm (not expressible as one SQL query;
+    the DuckDB oracle needs WITH RECURSIVE transitive closure).
+
+    At 100 TB the same loop runs unchanged: near-dup components are
+    overwhelmingly tiny (pairs, triangles), so convergence stays at
+    2-3 rounds regardless of corpus size, and each round's shuffle
+    carries |V(pair graph)| rows, not the corpus.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .persist()
+    )
+    labels.count()
+    try:
+        while True:
+            prop = (
+                edges.join(labels, edges.doc_a == labels.node)
+                .groupBy(F.col("doc_b").alias("node"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            new_labels = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+                .filter(F.col("lab") != F.col("old"))
+                .count()
+            )
+            labels.unpersist(blocking=False)
+            labels = new_labels
+            if changed == 0:
+                break
+        from pyspark.sql import Window
+
+        result = labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("component_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lab"))
+            .alias("component_size"),
+        )
+        out = result.toPandas()
+    finally:
+        edges.unpersist(blocking=False)
+        labels.unpersist(blocking=False)
+    return spark.createDataFrame(
+        out, schema="doc_id long, component_id long, component_size long"
+    )

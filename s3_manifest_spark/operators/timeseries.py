@@ -115,3 +115,207 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "ohlc_hourly",
+    oracle="""
+    -- arg_min/arg_max need ONE monotone scalar ordering key (DuckDB
+    -- restriction): encode (ts, event_id) as epoch-seconds*10000+id
+    WITH keyed AS (
+      SELECT event_type, ts, value,
+             (epoch_us(ts) // 1000000) * 10000 + event_id AS ordkey
+      FROM events
+    )
+    SELECT event_type,
+           date_trunc('hour', ts)          AS hour_start,
+           round(arg_min(value, ordkey), 2) AS open,
+           round(max(value), 2)            AS high,
+           round(min(value), 2)            AS low,
+           round(arg_max(value, ordkey), 2) AS close,
+           count(*)                        AS n_events
+    FROM keyed
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open-high-low-close) hourly candles per event type — the
+    canonical financial/telemetry downsampling operator.
+
+    open/close are ``min_by``/``max_by`` with an encoded monotone
+    (ts, event_id) key — one map-side-combinable aggregation carrying
+    four scalars per (type, hour); no window, no sort of the raw
+    stream.  (A first/last-over-window formulation would shuffle every
+    event into a per-key sort; min_by keeps it a partial agg.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    # epoch-seconds * 10000 + event_id: strictly monotone in (ts, id),
+    # fits comfortably in int64
+    ordkey = (
+        F.unix_timestamp("ts") * 10000 + F.col("event_id")
+    ).alias("ordkey")
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "value",
+            ordkey,
+        )
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.round(F.min_by("value", "ordkey"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ordkey"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, value,
+             epoch_us(next_ts) - epoch_us(ts) AS dur_us
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twavg,
+           CAST(sum(dur_us) AS BIGINT)                 AS span_us
+    FROM spans
+    GROUP BY user_id
+    HAVING sum(dur_us) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user — each reading is
+    weighted by how long it was current (until the next event), the
+    hypertable/observability semantics where irregular sampling must
+    not bias the mean.
+
+    One shuffle keys events by user for the lead() window; the
+    weighted-sum rollup reuses the same partitioning, so Spark chains
+    both into a single exchange (window and groupBy share the key).
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        events.select(
+            "user_id",
+            "value",
+            (
+                F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+            ).alias("dur_us"),
+        )
+        .filter(F.col("dur_us").isNotNull())
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twavg"),
+            F.sum("dur_us").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+             AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted distinct on each subsequent activity day offset.
+
+    The firsts relation is one aggregation keyed by user; joining it
+    back is co-partitioned with the events-by-user shuffle (AQE may
+    broadcast it — it is |users| rows).  The distinct count shuffles
+    (cohort, offset, user) triples — already heavily pre-aggregated.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        events.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_view IS NOT NULL)    AS step_view,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                                                   AS step_click,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+                                                   AS step_purchase
+    FROM per_user
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked AFTER
+    viewing, then purchased AFTER clicking (first occurrence of each
+    step, strict ordering).
+
+    Classic sessionized-product query expressed as ONE conditional
+    aggregation per user (no joins, no window): the per-step first
+    timestamps are FILTER-style min aggregates, and the ordering
+    predicate is evaluated on the single per-user row.  Scales as a
+    plain two-phase agg keyed by user.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(tp: str):
+        return F.min(F.when(F.col("event_type") == tp, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("step_view"),
+        F.count(F.when(clicked, 1)).alias("step_click"),
+        F.count(F.when(purchased, 1)).alias("step_purchase"),
+    )

@@ -49,3 +49,43 @@ def test_hll_estimate_close_to_exact_and_merge_invariant(spark):
         .collect()
     }
     assert est2 == est
+
+
+def test_ohlc_consistency(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = q["ohlc_hourly"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (o["low"] <= o["high"]).all()
+    assert ((o["open"] >= o["low"]) & (o["open"] <= o["high"])).all()
+    assert ((o["close"] >= o["low"]) & (o["close"] <= o["high"])).all()
+    # single-event candles have open == close
+    one = o[o.n_events == 1]
+    if len(one):
+        assert (one["open"] == one["close"]).all()
+
+
+def test_funnel_is_monotone(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    f = q["funnel_steps"](spark, "/root/testdata/sf0.001").toPandas().iloc[0]
+    assert f.step_view >= f.step_click >= f.step_purchase >= 0
+
+
+def test_dedup_clusters_are_consistent_with_pairs(spark):
+    """Every pair's endpoints share a component; component ids are the
+    min member; sizes match membership counts."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    pairs = q["dedup_ngram_jaccard"](spark, sf).toPandas()
+    comps = q["dedup_clusters"](spark, sf).toPandas()
+    lab = dict(zip(comps.doc_id, comps.component_id))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert lab[a] == lab[b], (a, b)
+    grp = comps.groupby("component_id")
+    for cid, g in grp:
+        assert cid == g.doc_id.min()
+        assert (g.component_size == len(g)).all()
