@@ -472,7 +472,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
+    # The loop's relations are |pair-graph| sized — orders of magnitude
+    # below the corpus — so the per-round shuffles are task-overhead
+    # bound at the session's partition count.  Scope them down for the
+    # loop; on a cluster this would be sized to the pair-graph volume.
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
     try:
+        # Convergence check: an order-insensitive label checksum — one
+        # tiny aggregation per round instead of a join + count.  The
+        # hash sum accumulates in unbounded decimal: a long sum of
+        # xxhash64 values overflows, which ANSI sessions (the driver's
+        # default) turn into a runtime error.
+        def checksum(lbl: DataFrame):
+            row = lbl.agg(
+                F.sum(F.xxhash64("node", "lab").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]
+            return row["s"]
+
+        prev_sum = checksum(labels)
         while True:
             prop = (
                 edges.join(labels, edges.doc_a == labels.node)
@@ -487,15 +506,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .persist()
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
-                .filter(F.col("lab") != F.col("old"))
-                .count()
-            )
+            new_sum = checksum(new_labels)
             labels.unpersist(blocking=False)
             labels = new_labels
-            if changed == 0:
+            # min-label propagation is monotone non-increasing per node,
+            # so an unchanged checksum == an unchanged labeling (no
+            # compensating swaps are possible).
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         from pyspark.sql import Window
 
         result = labels.select(
@@ -507,6 +526,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = result.toPandas()
     finally:
+        spark.conf.set(shuffle_key, old_parts)
         edges.unpersist(blocking=False)
         labels.unpersist(blocking=False)
     return spark.createDataFrame(
