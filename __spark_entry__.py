@@ -25,6 +25,11 @@ def _configure(spark: SparkSession) -> SparkSession:
     # and the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    # ANSI off: the reference defaults every unparseable/out-of-range
+    # value instead of erroring (main.rs:373-387) — under Spark 4's
+    # ANSI-on default, garbage timestamps/casts would throw instead of
+    # coalescing to the documented defaults.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
 
 
