@@ -125,3 +125,31 @@ def test_manifest_stats(spark):
         for r in manifest_stats(derive_manifest(_listing(spark, rows), "b")).collect()
     }
     assert stats == {"a": (2, 30), "b": (1, 5), "": (1, 1)}
+
+
+def test_empty_listing_yields_empty_manifest_with_schema(spark):
+    """Zero-object prefixes are a normal case for the reference (it
+    writes an empty parquet); the pipeline must preserve the exact
+    output schema on empty input."""
+    from pyspark.sql import types as T
+
+    from s3_manifest_spark.manifest.core import MANIFEST_SCHEMA, derive_manifest
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("size", T.LongType()),
+                T.StructField("last_modified", T.StringType()),
+            ]
+        ),
+    )
+    m = derive_manifest(empty, bucket="b", prefix="none/")
+    assert m.count() == 0
+    assert [f.name for f in m.schema.fields] == [
+        f.name for f in MANIFEST_SCHEMA.fields
+    ]
+    assert [f.dataType for f in m.schema.fields] == [
+        f.dataType for f in MANIFEST_SCHEMA.fields
+    ]

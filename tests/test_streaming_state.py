@@ -73,3 +73,64 @@ def test_stream_join_live_equals_batch_twin(spark):
         for r in q["stream_join"](spark, sf).collect()
     }
     assert live == batch and len(batch) > 0
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: drain file1 with a persistent
+    checkpoint, land file2, drain again from the SAME checkpoint — the
+    second run must process only the new file and the final counts must
+    equal batch counts over both files."""
+    import os
+    import shutil
+
+    from s3_manifest_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _tumbling_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(spool)
+
+    def land(name):
+        try:
+            os.link(f"{sf}/events.parquet", os.path.join(spool, name))
+        except OSError:
+            shutil.copy(f"{sf}/events.parquet", os.path.join(spool, name))
+
+    def drain(qname):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(spool)
+        )
+        agg = _tumbling_agg(
+            raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "2 hours")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        return spark.table(qname).toPandas(), progress
+
+    land("events-0.parquet")
+    first, p1 = drain("ckpt_restart_a")
+    land("events-1.parquet")
+    second, p2 = drain("ckpt_restart_b")
+
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    # run 2 must have ingested only the NEW file's rows
+    assert p2 is not None and p2["numInputRows"] == n_events, p2
+    # cumulative state: every window's count doubled after file2
+    a = first.set_index(["window_start", "event_type"]).n_events
+    b = second.set_index(["window_start", "event_type"]).n_events
+    assert (b == 2 * a.reindex(b.index).fillna(0)).all()
