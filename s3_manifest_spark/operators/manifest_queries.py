@@ -126,17 +126,28 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Snapshots aggregate per key first: S3 keys are unique within a
     # listing, but the synthetic listing derives keys with ~9% dups —
     # and diff semantics are only well-defined on a keyed snapshot.
-    old = (
-        listing.filter(F.expr(_DIFF_OLD_PRED))
+    #
+    # Both snapshots derive from the SAME scan here, so instead of the
+    # oracle's two aggregations + full-outer join (three shuffles on
+    # key) the diff is ONE conditional aggregation: per key, the old
+    # and new sizes are max-over-filtered-rows in the same groupBy, and
+    # a key absent from a snapshot yields NULL exactly like the outer
+    # join's missing side.  Rows in neither snapshot are filtered out
+    # up front.  (With two independent physical manifests the
+    # outer-join form applies — bucketed by key, it co-locates without
+    # shuffling either snapshot; tests/test_bucketed_join.py.)
+    j = (
+        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
         .groupBy("key")
-        .agg(F.max("size").cast("long").alias("old_sz"))
+        .agg(
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
+            .cast("long")
+            .alias("old_sz"),
+            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
+            .cast("long")
+            .alias("new_sz"),
+        )
     )
-    new = (
-        listing.filter(F.expr(_DIFF_NEW_PRED))
-        .groupBy("key")
-        .agg(F.max(F.expr(_DIFF_BUMP)).cast("long").alias("new_sz"))
-    )
-    j = old.join(new, "key", "full_outer")
     change = (
         F.when(F.col("old_sz").isNull(), "added")
         .when(F.col("new_sz").isNull(), "removed")
