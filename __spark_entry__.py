@@ -30,6 +30,13 @@ def _configure(spark: SparkSession) -> SparkSession:
     # ANSI-on default, garbage timestamps/casts would throw instead of
     # coalescing to the documented defaults.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Runtime-settable scale confs, in case the hosting session was
+    # built without them (a plain session defaults to 200 shuffle
+    # partitions — pure task overhead at fixture scale).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 
