@@ -62,9 +62,9 @@ def main() -> int:
 
     # Two passes, report the per-query minimum: the host VM has bursty
     # noisy-neighbor contention (observed 5-10x inflation on identical
-    # queries minutes apart), and min-of-2 both drops those spikes and
+    # queries minutes apart), and min-of-N both drops those spikes and
     # measures the warm path a resident engine would actually serve.
-    RUNS = 2
+    RUNS = 3
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(RUNS):

@@ -534,3 +534,76 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") * 1.0 / total, 6).alias("token_share"),
     )
+
+
+FUZZY_PROBE_K = 50  # vocabulary head used to build typo probes
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fuzzy_join",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT token, count(*) AS n_total
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n_total DESC, token
+      LIMIT {FUZZY_PROBE_K}
+    ),
+    probes AS (
+      -- deterministic "typo": swap the first two characters
+      SELECT substr(token, 2, 1) || substr(token, 1, 1) || substr(token, 3)
+               AS probe
+      FROM vocab WHERE len(token) >= 2
+    ),
+    tokens AS (SELECT DISTINCT token FROM
+               (SELECT unnest(string_split(text, ' ')) AS token FROM documents))
+    SELECT p.probe, t.token, levenshtein(p.probe, t.token) AS dist
+    FROM probes p
+    JOIN tokens t
+      ON abs(len(p.probe) - len(t.token)) <= {FUZZY_MAX_DIST}
+     AND levenshtein(p.probe, t.token) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join: match typo'd probe strings (first two
+    characters swapped — a deterministic stand-in for dirty entity
+    names) back to the vocabulary at levenshtein ≤ {FUZZY_MAX_DIST}.
+
+    The scale pattern is the BLOCKING predicate: an O(|A|·|B|) edit-
+    distance cross join is intractable, so candidates are restricted
+    first by a cheap band (length difference ≤ max distance — a valid
+    upper bound on edit distance) and only candidates pay the O(mn)
+    levenshtein.  The probe side is broadcast; at dirty-data scale the
+    block key (length, or first-char, or a q-gram bucket) becomes the
+    shuffle key and everything else is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.col("n_total").desc(), "token")
+        .limit(FUZZY_PROBE_K)
+    )
+    probes = vocab.filter(F.length("token") >= 2).select(
+        F.concat(
+            F.substring("token", 2, 1),
+            F.substring("token", 1, 1),
+            F.expr("substr(token, 3)"),
+        ).alias("probe")
+    )
+    tokens = tok.distinct()
+    return (
+        tokens.join(
+            F.broadcast(probes),
+            (
+                F.abs(F.length("probe") - F.length("token"))
+                <= FUZZY_MAX_DIST
+            )
+            & (F.levenshtein("probe", "token") <= FUZZY_MAX_DIST),
+        )
+        .select(
+            "probe", "token", F.levenshtein("probe", "token").alias("dist")
+        )
+    )

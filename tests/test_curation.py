@@ -162,3 +162,16 @@ def test_manifest_diff_classes_partition_universe(spark, q):
     both = got["changed"] + got["unchanged"]
     assert got["removed"] + both == n_old
     assert got["added"] + both == n_new
+
+
+def test_fuzzy_join_finds_planted_typos(spark, q):
+    """Every probe is a 2-edit typo of a real vocabulary token, so each
+    probe must match its source token; the length block never filters a
+    true match (|len diff| = 0 for swaps)."""
+    f = q["fuzzy_join"](spark, SF).toPandas()
+    assert len(f) > 0
+    assert (f["dist"] <= 2).all()
+    # the swapped-back token is always among each probe's matches
+    for probe, grp in f.groupby("probe"):
+        orig = probe[1] + probe[0] + probe[2:]
+        assert orig in set(grp.token), probe
