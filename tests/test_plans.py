@@ -92,3 +92,31 @@ def test_sample_stratified_filter_pushes_to_scan(spark):
     assert m, plan
     cols = m.group(1)
     assert "text" not in cols, f"text column must be pruned, got {cols}"
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+
+def test_manifest_diff_is_single_key_shuffle(spark):
+    """The one-scan diff must shuffle twice total (per-key conditional
+    agg + the 4-row change-class rollup) — never the three shuffles of
+    the aggregate/aggregate/full-outer-join formulation."""
+    assert _n_exchanges(plan_of(spark, "manifest_diff")) <= 2
+
+
+def test_tfidf_windows_share_doc_partitioning(spark):
+    """tf agg, term window, doc window = 3 exchanges; the final rank
+    window must reuse the doc_id partitioning, not add a fourth."""
+    assert _n_exchanges(plan_of(spark, "tfidf_topterms")) <= 3
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """lead() window and the weighted rollup share the user_id key."""
+    assert _n_exchanges(plan_of(spark, "time_weighted_avg")) <= 1
+
+
+def test_ohlc_is_pure_partial_agg(spark):
+    plan = plan_of(spark, "ohlc_hourly")
+    assert _n_exchanges(plan) <= 1
+    assert "Window" not in plan, "OHLC must not sort per key"
