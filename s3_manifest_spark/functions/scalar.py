@@ -210,3 +210,130 @@ def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
         F.min_by("c_name", key).alias("poorest_customer"),
     )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6)               AS price_sqrt,
+           round(ln(l_extendedprice), 6)                 AS price_ln,
+           round(pow(l_discount + 1.0, 3), 6)            AS disc_cube,
+           round(exp(l_discount), 6)                     AS disc_exp,
+           CAST(abs(l_quantity - 25) AS BIGINT)          AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_kceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
+           CAST(l_orderkey % 97 AS BIGINT)               AS key_mod,
+           CAST(sign(l_discount - 0.05) AS BIGINT)       AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey % 40 = 0
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: sqrt/ln/pow/exp/abs/ceil/floor/mod/sign in
+    one codegen'd projection.  Transcendentals round to 6dp — both
+    engines call the same libm double kernels, and the rounding absorbs
+    any last-ulp disagreement."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 40 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 3), 6).alias("disc_cube"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.abs(F.col("l_quantity") - 25).cast("long").alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kfloor"),
+        (F.col("l_orderkey") % 97).cast("long").alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+    )
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT)              AS key_and,
+           CAST(bit_or(l_linenumber) AS BIGINT)             AS line_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT)              AS key_xor,
+           CAST(sum(l_orderkey & 255) AS BIGINT)            AS low_byte_sum,
+           CAST(sum(l_orderkey >> 8) AS BIGINT)             AS high_sum,
+           CAST(sum(xor(l_orderkey, l_linenumber)) AS BIGINT) AS mix_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: AND/OR/XOR aggregates and
+    shift/mask scalars — the toolkit behind bitmap indexes, bloom
+    probes, and the packed-lane tricks used elsewhere in this repo.
+    All codegen'd; the aggregates are associative, hence map-side
+    combinable like any algebraic agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_linenumber").alias("line_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("low_byte_sum"),
+        F.sum(F.shiftright("l_orderkey", 8)).alias("high_sum"),
+        F.sum(F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber"))).alias(
+            "mix_sum"
+        ),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING')   AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_custkey,
+           coalesce(seg, '<none>')                          AS seg_filled,
+           (seg IS NOT DISTINCT FROM NULL)                  AS seg_is_null,
+           round(coalesce(bal, 0.0), 2)                     AS bal_or_zero,
+           round(ifnull(bal, -1.0), 2)                      AS bal_or_neg
+    FROM c
+    ORDER BY (bal IS NULL) DESC, bal DESC NULLS LAST, c_custkey
+    LIMIT 200
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/ifnull, null-safe
+    equality (<=>), and explicit NULLS FIRST/LAST ordering — the
+    semantics corner every engine must agree on exactly (the reference
+    itself is a wall-to-wall null-defaulting pipeline, main.rs:373-387).
+    The LIMIT rides a deterministic total order (null flag, balance,
+    key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce("seg", F.lit("<none>")).alias("seg_filled"),
+            F.col("seg").eqNullSafe(F.lit(None)).alias("seg_is_null"),
+            F.round(F.coalesce("bal", F.lit(0.0)), 2).alias("bal_or_zero"),
+            F.round(F.ifnull("bal", F.lit(-1.0)), 2).alias("bal_or_neg"),
+            F.col("bal").isNull().alias("_nullflag"),
+            "bal",
+        )
+        .orderBy(
+            F.col("_nullflag").desc(),
+            F.col("bal").desc_nulls_last(),
+            "c_custkey",
+        )
+        .limit(200)
+        .drop("_nullflag", "bal")
+    )
