@@ -139,3 +139,27 @@ def test_manifest_observed_stats_single_job(spark, tmp_path):
     back = spark.read.parquet(out)
     assert stats["objects"] == back.count()
     assert stats["total_bytes"] == sum(r.Size for r in back.collect())
+
+
+def test_cli_end_to_end_single_object(spark, tmp_path, monkeypatch, capsys):
+    """The full CLI surface (C3, main.rs:23-60) against the fake S3:
+    argument parsing, listing, manifest derivation, --single-object
+    write, and the reference's final stats line (main.rs:284-289)."""
+    import os
+
+    from s3_manifest_spark.manifest import cli
+
+    monkeypatch.setattr(
+        cli, "make_boto3_client_factory", lambda **kw: fake_client_factory
+    )
+    out = str(tmp_path / "m.parquet")
+    rc = cli.main(
+        ["s3://fake-bucket/dir2/", "-o", out, "--single-object", "--shards", "8"]
+    )
+    assert rc == 0
+    assert os.path.isfile(out), "single-object mode writes ONE file at the key"
+    back = spark.read.parquet(out)
+    expect = {k for k in ALL_KEYS if k.startswith("dir2/")}
+    assert {r.Key for r in back.collect()} == expect
+    stats_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "objects/sec" in stats_line and f"-> {out}" in stats_line
