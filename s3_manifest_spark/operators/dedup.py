@@ -461,7 +461,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-3 rounds regardless of corpus size, and each round's shuffle
     carries |V(pair graph)| rows, not the corpus.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Persist the pair relation BEFORE the symmetrizing union: both
+    # union branches share the Jaccard lineage, and without the persist
+    # Spark evaluates that (expensive) subtree once per branch.
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -527,6 +530,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = result.toPandas()
     finally:
         spark.conf.set(shuffle_key, old_parts)
+        pairs.unpersist(blocking=False)
         edges.unpersist(blocking=False)
         labels.unpersist(blocking=False)
     return spark.createDataFrame(
