@@ -175,3 +175,36 @@ def test_fuzzy_join_finds_planted_typos(spark, q):
     for probe, grp in f.groupby("probe"):
         orig = probe[1] + probe[0] + probe[2:]
         assert orig in set(grp.token), probe
+
+
+def test_chunking_edge_token_counts(spark):
+    """Crafted documents at the stride boundaries: n=1 (single short
+    chunk), n=CHUNK_STRIDE (exactly one start), n=CHUNK_STRIDE+1 (a
+    second 1-token chunk), n=CHUNK_TOKENS (one full chunk)."""
+    from s3_manifest_spark.operators import curation
+
+    rows = []
+    for i, n in enumerate([1, CHUNK_STRIDE, CHUNK_STRIDE + 1, CHUNK_TOKENS]):
+        rows.append((i, " ".join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_edge_docs")
+
+    # re-run the chunking expression over the crafted table
+    from pyspark.sql import functions as F2
+
+    toks = F2.expr("split(text, ' ', -1)")
+    out = (
+        df.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F2.posexplode(
+                F2.sequence(
+                    F2.lit(0), F2.size("toks") - 1, F2.lit(curation.CHUNK_STRIDE)
+                )
+            ).alias("chunk_idx", "start"),
+            F2.size("toks").alias("n"),
+        )
+        .toPandas()
+    )
+    counts = out.groupby("doc_id").size().to_dict()
+    assert counts == {0: 1, 1: 1, 2: 2, 3: 2}

@@ -134,3 +134,67 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     a = first.set_index(["window_start", "event_type"]).n_events
     b = second.set_index(["window_start", "event_type"]).n_events
     assert (b == 2 * a.reindex(b.index).fillna(0)).all()
+
+
+def test_foreachbatch_streaming_upsert_equals_batch_compaction(spark, tmp_path):
+    """The standard streaming-upsert sink: foreachBatch merges each
+    micro-batch into a keyed parquet table (latest event per user
+    wins).  After the availableNow drain, the table equals the batch
+    dedup_latest compaction."""
+    import __spark_entry__ as entrymod
+
+    from s3_manifest_spark.streaming.windows import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    table = str(tmp_path / "user_latest")
+
+    from pyspark.sql import Window
+
+    def upsert(batch_df, batch_id):
+        spark_ = batch_df.sparkSession
+        try:
+            existing = spark_.read.parquet(table)
+        except Exception:
+            existing = None
+        merged = batch_df.select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        if existing is not None:
+            merged = existing.unionByName(merged)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # write to a scratch dir then swap — read+overwrite of the same
+        # path in one job would clobber the input mid-scan
+        import shutil
+
+        scratch = table + ".__new__"
+        latest.write.mode("overwrite").parquet(scratch)
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.move(scratch, table)
+
+    import tempfile
+
+    stream = read_events_stream(spark, sf)
+    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = spark.read.parquet(table).toPandas().sort_values("user_id")
+    want = (
+        entrymod.queries()["dedup_latest"](spark, sf)
+        .toPandas()
+        .sort_values("user_id")
+    )
+    assert list(got.user_id) == list(want.user_id)
+    assert list(got.event_id) == list(want.event_id)
