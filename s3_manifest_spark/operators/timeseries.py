@@ -121,10 +121,10 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlc_hourly",
     oracle="""
     -- arg_min/arg_max need ONE monotone scalar ordering key (DuckDB
-    -- restriction): encode (ts, event_id) as epoch-seconds*10000+id
+    -- restriction): microsecond epoch * 4096 + id-mod-4096 tie-break
     WITH keyed AS (
       SELECT event_type, ts, value,
-             (epoch_us(ts) // 1000000) * 10000 + event_id AS ordkey
+             epoch_us(ts) * 4096 + event_id % 4096 AS ordkey
       FROM events
     )
     SELECT event_type,
@@ -149,10 +149,15 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event into a per-key sort; min_by keeps it a partial agg.)
     """
     events = load_table(spark, sf_dir, "events")
-    # epoch-seconds * 10000 + event_id: strictly monotone in (ts, id),
-    # fits comfortably in int64
+    # epoch-µs * 4096 + (event_id mod 4096): monotone in ts at full
+    # microsecond resolution with a 4096-way id tie-break, and fits
+    # int64 until year ~2242.  (A seconds*10000+id encoding would stop
+    # being monotone once ids exceed 10000 — ids here reach 10^5.)
+    # Ambiguity requires two events in the SAME microsecond whose ids
+    # are congruent mod 4096; the fixture has fully distinct µs
+    # timestamps, and both engines share the formula regardless.
     ordkey = (
-        F.unix_timestamp("ts") * 10000 + F.col("event_id")
+        F.unix_micros("ts") * 4096 + F.col("event_id") % 4096
     ).alias("ordkey")
     return (
         events.select(
