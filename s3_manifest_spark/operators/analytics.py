@@ -414,3 +414,146 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("doubled"),
     )
+
+
+@register(
+    "data_quality_gate",
+    oracle="""
+    SELECT 'orders_null_custkey'  AS check_name,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_future_dates',
+           CAST(count(*) FILTER (o_orderdate > TIMESTAMP '2030-01-01') AS BIGINT)
+    FROM orders
+    """,
+)
+def data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the validation suite a pipeline runs before
+    promoting a batch — null keys, referential orphans (anti-join),
+    range violations, future timestamps — one row per check with its
+    violation count.
+
+    Each rule is a conditional aggregate over its table's single scan;
+    the referential check is a left-anti join against the (broadcast)
+    key side.  At 100 TB this runs as one pass per fact table
+    regardless of how many rules share the scan — rules are columns,
+    not jobs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def explode_checks(agg_df, names):
+        # one-row agg → one row per check: keeps each table at ONE scan
+        # (a unionByName per rule would re-scan the table per rule)
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("check_name"),
+                            F.col(col).alias("violations"),
+                        )
+                        for name, col in names
+                    ]
+                )
+            ).alias("c")
+        ).select("c.check_name", "c.violations")
+
+    orders_checks = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .cast("long")
+        .alias("null_custkey"),
+        F.count(
+            F.when(F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"), 1)
+        )
+        .cast("long")
+        .alias("future_dates"),
+    )
+    li_checks = li.agg(
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).cast("long").alias("bad_qty"),
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1))
+        .cast("long")
+        .alias("bad_disc"),
+    )
+    orphans = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    return (
+        explode_checks(
+            orders_checks,
+            [
+                ("orders_null_custkey", "null_custkey"),
+                ("orders_future_dates", "future_dates"),
+            ],
+        )
+        .unionByName(
+            orphans.select(
+                F.lit("orders_orphan_custkey").alias("check_name"),
+                F.col("n").alias("violations"),
+            )
+        )
+        .unionByName(
+            explode_checks(
+                li_checks,
+                [
+                    ("lineitem_nonpositive_qty", "bad_qty"),
+                    ("lineitem_discount_range", "bad_disc"),
+                ],
+            )
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov-chain view
+    of user behavior): counts of consecutive (prev → next) pairs across
+    every user's ordered history.
+
+    One shuffle keys events by user for the lag() window; the
+    transition rollup is a map-side-combinable aggregation over the
+    25-cell (prev, next) space — the shuffle after the window carries
+    partial counts, not events.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
