@@ -493,3 +493,16 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
     _drain(joined, name, "append")
     return spark.table(name)
+
+
+@register("stream_sliding_live")  # rows-only: streaming execution
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming drain of the sliding-window aggregation
+    (watermark → 1h/30min windows → availableNow).  State in flight is
+    (overlap factor × groups) — the 2× overlap costs 2× aggregation
+    state, never 2× input.  Values equal stream_sliding's batch twin."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = _sliding_agg(stream)
+    name = f"sliding_{abs(hash(sf_dir)) % 10_000_000}"
+    _drain(agg, name, "complete")
+    return spark.table(name)

@@ -198,3 +198,15 @@ def test_foreachbatch_streaming_upsert_equals_batch_compaction(spark, tmp_path):
     )
     assert list(got.user_id) == list(want.user_id)
     assert list(got.event_id) == list(want.event_id)
+
+
+def test_stream_sliding_live_equals_batch_twin(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    key = ["window_start", "event_type"]
+    live = q["stream_sliding_live"](spark, sf).toPandas().sort_values(key)
+    batch = q["stream_sliding"](spark, sf).toPandas().sort_values(key)
+    assert list(live.n_events) == list(batch.n_events)
+    assert len(live) > 0
