@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="s3-manifest-spark",
         description="Generate a parquet manifest of an S3 bucket/prefix.",
     )
+    from s3_manifest_spark import __version__
+
+    # -V/--version mirrors the reference's clap(version) flag
+    # (main.rs:24).
+    p.add_argument(
+        "-V", "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     p.add_argument("s3_uri", help="source, e.g. s3://bucket/prefix")
     p.add_argument("-o", "--output", required=True, help="local path or s3://bucket/key")
     p.add_argument("-d", "--delimiter", default="/", help="FileName delimiter (literal)")
