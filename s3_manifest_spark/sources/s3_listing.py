@@ -127,41 +127,63 @@ def discover_shards(
     delimiter: str = "/",
     target_shards: int = 64,
     max_rounds: int = 3,
+    max_workers: int = 16,
 ) -> tuple[list[str], list[dict]]:
     """Split the keyspace under ``prefix`` into disjoint shard prefixes
     via delimiter listings (S3 CommonPrefixes), BFS-expanding until
     ``target_shards`` is reached or nothing expands.
+
+    Each BFS level's prefixes are listed CONCURRENTLY on a driver
+    thread pool (boto3 clients are thread-safe; the calls are pure
+    I/O waits) — a level with N prefixes costs ~1 round-trip instead
+    of N.  Results are re-assembled in frontier order so shard
+    discovery stays deterministic.
 
     Returns (shard_prefixes, direct_objects): objects that live at a
     listed level (not under any returned shard) come back as rows so
     coverage is exact — every key is in exactly one shard or in
     direct_objects.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def list_level(p: str) -> tuple[list[str], list[dict]]:
+        token = None
+        children: list[str] = []
+        objs: list[dict] = []
+        while True:
+            kw = {
+                "Bucket": bucket,
+                "Prefix": p,
+                "Delimiter": delimiter,
+                "MaxKeys": PAGE_SIZE,
+            }
+            if token:
+                kw["ContinuationToken"] = token
+            resp = _retry(lambda: client.list_objects_v2(**kw))
+            objs.extend(resp.get("Contents", []))
+            children.extend(cp["Prefix"] for cp in resp.get("CommonPrefixes", []))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return children, objs
+
     shards: list[str] = []
     direct: list[dict] = []
     frontier = [prefix]
     for _ in range(max_rounds):
         if not frontier:
             break
+        if len(frontier) == 1:
+            results = [list_level(frontier[0])]
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(frontier))
+            ) as pool:
+                # pool.map preserves frontier order → deterministic shards
+                results = list(pool.map(list_level, frontier))
         next_frontier: list[str] = []
-        for p in frontier:
-            token = None
-            children: list[str] = []
-            while True:
-                kw = {
-                    "Bucket": bucket,
-                    "Prefix": p,
-                    "Delimiter": delimiter,
-                    "MaxKeys": PAGE_SIZE,
-                }
-                if token:
-                    kw["ContinuationToken"] = token
-                resp = _retry(lambda: client.list_objects_v2(**kw))
-                direct.extend(resp.get("Contents", []))
-                children.extend(cp["Prefix"] for cp in resp.get("CommonPrefixes", []))
-                if not resp.get("IsTruncated"):
-                    break
-                token = resp.get("NextContinuationToken")
+        for children, objs in results:
+            direct.extend(objs)
             next_frontier.extend(children)
         if len(shards) + len(next_frontier) >= target_shards or not next_frontier:
             shards.extend(next_frontier)
