@@ -545,3 +545,62 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    -- hot-key remap: 3/4 of events collapse onto user 0 (deterministic)
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 4 < 3 THEN 0 ELSE user_id END AS k,
+             event_id, value
+      FROM events
+    ),
+    dim AS (
+      SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey < 150
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value
+    FROM skewed JOIN dim USING (k)
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN under an engineered hot key: 3/4 of the fact rows
+    collapse onto one key, the worst case for a shuffle join (one
+    reducer owns 75% of the data).  The salt rewrite spreads each fact
+    row over (key, salt = row_id % N) and replicates every dim row N
+    times — join on (key, salt) is value-identical to the plain join
+    (the oracle IS the plain join) but each hot-key reducer now holds
+    1/N of the hot partition.
+
+    This is the manual form of what AQE skew-join does adaptively;
+    exact-checking it against the unsalted join is the point — salting
+    is a physical rewrite, never a semantic change.  Cost: the dim side
+    is duplicated N× (fine — dims are the small side by definition).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 4 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+        "value",
+        (F.col("event_id") % N_SALTS).cast("int").alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("k"), "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        skewed.join(dim, ["k", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
