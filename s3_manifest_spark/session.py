@@ -32,12 +32,11 @@ _SEMANTIC_CONFS = {
     # ANSI off: out-of-range casts become NULL (the reference defaults
     # every unparseable value rather than erroring, main.rs:373-387).
     "spark.sql.ansi.enabled": "false",
-    # SESSION-WIDE INVARIANT: parquet TIMESTAMP(NANOS) columns (which
-    # Spark otherwise refuses to read, e.g. events.parquet) are read as
-    # raw nanosecond longs everywhere in this engine; readers convert
-    # explicitly via timestamp_micros(ts div 1000) (sources/tables.py).
-    # Declared here, not ad-hoc at read sites, so no later read is
-    # surprised by a long where it expected a rejected type.
+    # Parquet TIMESTAMP(NANOS) columns (which Spark otherwise refuses to
+    # read) load as raw nanosecond longs.  Harmless for us/ms-precision
+    # files — they still load as timestamps — so this is safe session-wide.
+    # Readers that may see a NANOS file (events) branch on the loaded
+    # dtype and convert bigint→timestamp explicitly (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

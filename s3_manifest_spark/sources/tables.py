@@ -20,21 +20,36 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to plain TIMESTAMP.
+
+    events.parquet has shipped with two on-disk schemas for ts:
+    TIMESTAMP(NANOS) (older fixtures) and timestamp[us] (current).
+    Spark rejects NANOS outright unless nanosAsLong=true (set in
+    session.py), in which case ts arrives as a raw nanosecond bigint.
+    Branch on the loaded dtype: bigint → exact integer ns→us truncation
+    (float division would wobble the last digit at int64 magnitude);
+    timestamp_ntz → cast (session tz is UTC, so NTZ micros == instant
+    micros); timestamp → pass through.  DuckDB truncates ns→us the same
+    way when casting to TIMESTAMP, so the oracle sees identical
+    instants for every fixture vintage.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects outright.  nanosAsLong is a session-wide
-        # invariant declared in session.py; re-asserted here only for
-        # externally-created sessions that bypassed get_spark.  Read
-        # nanos as long, then truncate to micros with exact integer
-        # division (float division would wobble the last digit at int64
-        # magnitude).  DuckDB does the same ns→us truncation when
-        # casting to TIMESTAMP, so the oracle sees identical instants.
+        # Re-assert nanosAsLong for externally-created sessions that
+        # bypassed get_spark (harmless for us-precision files).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

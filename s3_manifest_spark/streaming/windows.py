@@ -23,20 +23,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from s3_manifest_spark.registry import register
-from s3_manifest_spark.sources.tables import load_table
+from s3_manifest_spark.sources.tables import load_table, normalize_event_ts
 
-#: raw schema of events.parquet — ts is TIMESTAMP(NANOS), which Spark
-#: only reads as long (see sources.tables.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def events_stream_source(spark: SparkSession, spool: str) -> DataFrame:
+    """Streaming reader over an events spool directory, ts normalized.
+
+    The file-stream source requires an explicit schema, and the fixture
+    has shipped with ts as both TIMESTAMP(NANOS) (reads as bigint under
+    nanosAsLong) and timestamp[us] — so probe the on-disk schema with a
+    footer-only batch read and normalize exactly as the batch loader
+    does (sources.tables.normalize_event_ts).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(spool).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(spool)
+    return normalize_event_ts(raw)
 
 
 def _tumbling_agg(events: DataFrame) -> DataFrame:
@@ -129,8 +131,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns→µs conversion as
-    in the batch loader).
+    """File-source stream over the events parquet (ts normalized as in
+    the batch loader).
 
     The file-stream source only accepts directories, so the fixture
     file is staged (hard-linked when possible) into a per-sf spool dir
@@ -151,13 +153,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             shutil.copy(f"{sf_dir}/events.parquet", dst)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(spool)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return events_stream_source(spark, spool)
 
 
 #: State-store partition count for the fixture drains.  The number of
@@ -394,12 +390,8 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spool = _spool_events(sf_dir, copies=2, tag="-dup")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(spool)
-    )
     deduped = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream_source(spark, spool)
         .withWatermark("ts", "2 hours")
         .dropDuplicates(["event_id"])
         .groupBy("event_type")

@@ -84,8 +84,8 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     import shutil
 
     from s3_manifest_spark.streaming.windows import (
-        EVENTS_RAW_SCHEMA,
         _tumbling_agg,
+        events_stream_source,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -100,16 +100,8 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
             shutil.copy(f"{sf}/events.parquet", os.path.join(spool, name))
 
     def drain(qname):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .load(spool)
-        )
-        agg = _tumbling_agg(
-            raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .withWatermark("ts", "2 hours")
-        )
+        raw = events_stream_source(spark, spool)
+        agg = _tumbling_agg(raw.withWatermark("ts", "2 hours"))
         q = (
             agg.writeStream.format("memory")
             .queryName(qname)
