@@ -15,7 +15,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register, track_persist
+from s3_manifest_spark.registry import (
+    defer_cleanup,
+    register,
+    track_cleanup,
+    track_persist,
+)
 from s3_manifest_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.5
@@ -264,6 +269,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_DUP_THRESHOLD = 0.4
+EMBED_BLOCKS = 8  # corpus block count for the pairwise block sweep
 
 
 @register(
@@ -284,44 +290,89 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
     similarity ≥ {threshold}, scored exactly.
 
-    Physical strategy — broadcast matrix-block scoring: the unit-
-    normalized corpus matrix is broadcast once (id + 64 doubles per
-    row — MBs per million vectors), and each Arrow batch of the
-    distributed side computes a single numpy ``block @ corpusᵀ``
-    against it inside ``mapInPandas``.  BLAS does ~10⁹ dot/s per
-    core vs ~10⁵ for an interpreted per-pair expression — this
-    rewrite took the sf0.1 query from 68 s to ~2 s.  There is no
-    shuffle at all; cost is O(N²·d / cores) flops, embarrassingly
-    parallel.  At 100 TB the same logical op swaps its physical plan
-    to LSH prefiltering (random-hyperplane buckets as in
-    similarity_ann_lsh, or the MinHash banding above) followed by
-    this exact scorer over candidate blocks only — identical output
-    contract, pair volume O(docs × bands) instead of O(n²).
+    Physical strategy — DISTRIBUTED blocked all-pairs, no driver
+    collect anywhere in the plan: the corpus is hashed into
+    ``EMBED_BLOCKS`` blocks, each block aggregated into one packed row
+    (id array + flattened matrix), the B-row block summary cross-joined
+    with itself into the B(B+1)/2 upper-triangular block pairs, and
+    each pair scored with ONE numpy ``blockA @ blockBᵀ`` inside
+    ``mapInPandas`` (Arrow-batched; BLAS does ~10⁹ dot/s per core vs
+    ~10⁵ for an interpreted per-pair expression).  Each vec_id lives in
+    exactly one block, so emitting (min,max)-ordered hits from each
+    unordered block pair (diagonal pairs keep a<b internally) yields
+    every qualifying pair exactly once.
+
+    Scale accounting: total flops are the same O(N²·d) as any exact
+    all-pairs, spread over B(B+1)/2 independent tasks; shuffle volume
+    is one pass of the corpus into B packed rows plus B·(B+1) block
+    copies out of the cross join — with B sized so a block is
+    ~64-256 MB (B ≈ N·d·8 / 10⁸, far above 8 at real scale), no task
+    nor the driver ever holds more than two blocks.  The cheaper
+    inexact path at 100 TB is LSH prefiltering (similarity_ann_lsh's
+    hyperplane buckets or the MinHash banding above) feeding this same
+    scorer over candidate blocks only — identical output contract,
+    pair volume O(docs × bands) instead of O(N²).
     """
     import numpy as np
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = v.toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype="int64")
-    m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
     thr = EMBED_DUP_THRESHOLD
 
-    def score(batches):
-        all_ids, corpus = bc.value
-        for batch in batches:
-            bids = batch["vec_id"].to_numpy(dtype="int64")
-            e = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            e /= np.linalg.norm(e, axis=1, keepdims=True)
-            sims = np.round(e @ corpus.T, 6)
-            ia, ib = np.nonzero((sims >= thr) & (all_ids[None, :] > bids[:, None]))
-            yield pd.DataFrame(
-                {"vec_a": bids[ia], "vec_b": all_ids[ib], "cos_sim": sims[ia, ib]}
-            )
+    # Pack each block into one row: ids + flattened row-major matrix.
+    # sort_array on (vec_id, embedding) structs makes the packing
+    # deterministic; flatten(transform(...)) keeps it all codegen-side.
+    packed = (
+        v.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(EMBED_BLOCKS)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rs"))
+        .select(
+            "blk",
+            F.expr("transform(rs, r -> r.vec_id)").alias("ids"),
+            F.expr("flatten(transform(rs, r -> r.embedding))").alias("mat"),
+        )
+    )
+    block_pairs = (
+        packed.alias("x")
+        .crossJoin(packed.alias("y"))
+        .filter(F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.blk").alias("blk_a"),
+            F.col("x.ids").alias("ids_a"),
+            F.col("x.mat").alias("mat_a"),
+            F.col("y.blk").alias("blk_b"),
+            F.col("y.ids").alias("ids_b"),
+            F.col("y.mat").alias("mat_b"),
+        )
+    )
 
-    return v.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+    def unpack(ids, mat):
+        i = np.asarray(list(ids), dtype="int64")
+        m = np.asarray(list(mat), dtype="float64").reshape(len(i), -1)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return i, m
+
+    def score(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ia, ma = unpack(row["ids_a"], row["mat_a"])
+                ib, mb = unpack(row["ids_b"], row["mat_b"])
+                sims = np.round(ma @ mb.T, 6)
+                # a<b pair orientation: diagonal blocks keep the strict
+                # upper triangle; off-diagonal blocks keep everything,
+                # then each hit is emitted (min, max).
+                keep = sims >= thr
+                if row["blk_a"] == row["blk_b"]:
+                    keep &= ib[None, :] > ia[:, None]
+                ra, rb = np.nonzero(keep)
+                va, vb = ia[ra], ib[rb]
+                lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                yield pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cos_sim": sims[ra, rb]}
+                )
+
+    return block_pairs.mapInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
+    )
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
@@ -459,15 +510,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same loop runs unchanged: near-dup components are
     overwhelmingly tiny (pairs, triangles), so convergence stays at
     2-3 rounds regardless of corpus size, and each round's shuffle
-    carries |V(pair graph)| rows, not the corpus.
+    carries |V(pair graph)| rows, not the corpus.  The returned frame
+    is DISTRIBUTED (the loop's per-round collects are single scalars;
+    the labeling itself never funnels through the driver) — the
+    query-scoped shuffle-conf override and the persists that back the
+    lazy result are released by the registry's deferred-cleanup hook
+    at the next registry invocation.
     """
     # Persist the pair relation BEFORE the symmetrizing union: both
     # union branches share the Jaccard lineage, and without the persist
     # Spark evaluates that (expensive) subtree once per branch.
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    pairs = track_persist(dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
+    edges = track_persist(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -479,22 +537,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the corpus — so the per-round shuffles are task-overhead
     # bound at the session's partition count.  Scope them down for the
     # loop; on a cluster this would be sized to the pair-graph volume.
+    # Restored via defer_cleanup so the caller's (lazy) final window
+    # also runs at the loop's partition count.
     shuffle_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_key)
     spark.conf.set(shuffle_key, "4")
+    defer_cleanup(lambda: spark.conf.set(shuffle_key, old_parts))
     try:
-        # Convergence check: an order-insensitive label checksum — one
-        # tiny aggregation per round instead of a join + count.  The
-        # hash sum accumulates in unbounded decimal: a long sum of
-        # xxhash64 values overflows, which ANSI sessions (the driver's
-        # default) turn into a runtime error.
-        def checksum(lbl: DataFrame):
-            row = lbl.agg(
-                F.sum(F.xxhash64("node", "lab").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]
+        # Convergence check: min-label propagation is monotone — each
+        # node's label only ever decreases — so sum(lab) is strictly
+        # decreasing until the fixpoint, and an unchanged sum is an
+        # EXACT (not probabilistic) convergence certificate.  One tiny
+        # scalar aggregation per round, accumulated in unbounded
+        # decimal (a long sum would overflow, which ANSI sessions —
+        # the driver's default — turn into a runtime error).
+        def label_sum(lbl: DataFrame):
+            row = lbl.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]
             return row["s"]
 
-        prev_sum = checksum(labels)
+        prev_sum = label_sum(labels)
         while True:
             prop = (
                 edges.join(labels, edges.doc_a == labels.node)
@@ -509,30 +570,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .persist()
             )
-            new_sum = checksum(new_labels)
+            new_sum = label_sum(new_labels)
             labels.unpersist(blocking=False)
             labels = new_labels
-            # min-label propagation is monotone non-increasing per node,
-            # so an unchanged checksum == an unchanged labeling (no
-            # compensating swaps are possible).
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-        from pyspark.sql import Window
-
-        result = labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("lab").alias("component_id"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("lab"))
-            .alias("component_size"),
-        )
-        out = result.toPandas()
-    finally:
+    except BaseException:
         spark.conf.set(shuffle_key, old_parts)
-        pairs.unpersist(blocking=False)
-        edges.unpersist(blocking=False)
         labels.unpersist(blocking=False)
-    return spark.createDataFrame(
-        out, schema="doc_id long, component_id long, component_size long"
+        raise
+    track_cleanup(labels)  # already persisted + materialized
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .alias("component_size"),
     )

@@ -23,6 +23,12 @@ ORACLES: dict[str, str] = {}
 #: returns, so the owner cannot unpersist them itself).
 _TRACKED_PERSISTS: list[DataFrame] = []
 
+#: Arbitrary cleanup callbacks registered by queries whose returned
+#: (lazy) result still depends on query-scoped state — e.g. a session
+#: conf override that must stay live until the caller evaluates the
+#: frame.  Run at the NEXT registry invocation, after the persists.
+_DEFERRED_CLEANUPS: list[Callable[[], None]] = []
+
 
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for deferred cleanup.
@@ -35,6 +41,23 @@ def track_persist(df: DataFrame) -> DataFrame:
     df.persist()
     _TRACKED_PERSISTS.append(df)
     return df
+
+
+def track_cleanup(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for deferred unpersist —
+    for frames persisted with a bare ``.persist()`` inside a loop
+    (where superseded generations are unpersisted eagerly) whose final
+    generation must outlive the query function."""
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def defer_cleanup(fn: Callable[[], None]) -> None:
+    """Run ``fn`` at the next registry invocation (after persists are
+    released).  For query-scoped session state — conf overrides,
+    temp views — that the caller's lazy evaluation still needs after
+    the query function returns."""
+    _DEFERRED_CLEANUPS.append(fn)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -51,6 +74,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # touching caches created outside the registry.
             while _TRACKED_PERSISTS:
                 _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+            while _DEFERRED_CLEANUPS:
+                _DEFERRED_CLEANUPS.pop()()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
