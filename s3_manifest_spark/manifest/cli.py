@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dest-secret-key", default=None)
     p.add_argument("--shards", type=int, default=64, help="target listing parallelism")
     p.add_argument(
+        "--no-progress",
+        action="store_true",
+        help="suppress the live listing spinner (elapsed/objects/obj-sec)",
+    )
+    p.add_argument(
         "--single-object",
         action="store_true",
         help=(
@@ -89,16 +94,27 @@ def main(argv: list[str] | None = None) -> int:
 
     obs = Observation("manifest-stats")
     t0 = _time.perf_counter()
-    manifest_from_s3(
-        spark,
-        args.s3_uri,
-        output=args.output,
-        delimiter=args.delimiter,
-        client_factory=factory,
-        target_shards=args.shards,
-        observation=obs,
-        single_object=args.single_object,
-    )
+    # Live spinner (U1, main.rs:176-183) — tasks feed an accumulator,
+    # a driver thread redraws elapsed/count/rate on stderr.  Off when
+    # not a TTY (logs shouldn't fill with \r redraws) or --no-progress.
+    import contextlib
+
+    from s3_manifest_spark.manifest.progress import ListingProgress
+
+    show_progress = not args.no_progress and sys.stderr.isatty()
+    prog_ctx = ListingProgress(spark) if show_progress else contextlib.nullcontext()
+    with prog_ctx as prog:
+        manifest_from_s3(
+            spark,
+            args.s3_uri,
+            output=args.output,
+            delimiter=args.delimiter,
+            client_factory=factory,
+            target_shards=args.shards,
+            observation=obs,
+            single_object=args.single_object,
+            progress=prog,
+        )
     stats = obs.get
     elapsed = _time.perf_counter() - t0
     n, total = stats["objects"], stats["total_bytes"]

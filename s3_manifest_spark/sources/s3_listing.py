@@ -214,6 +214,7 @@ def list_objects_df(
     delimiter: str = "/",
     target_shards: int = 64,
     page_size: int = PAGE_SIZE,
+    progress=None,
 ) -> DataFrame:
     """Listing DataFrame over ``s3://bucket/prefix``, parallel by shard.
 
@@ -221,12 +222,19 @@ def list_objects_df(
     main.rs:190).  Each task holds at most one page (``page_size``
     rows) plus one Arrow batch in memory, mirroring the reference's
     bounded-buffer flush loop (main.rs:236-246) but N-wide.
+
+    ``progress`` (a :class:`~s3_manifest_spark.manifest.progress.
+    ListingProgress`) gets its accumulator incremented once per listed
+    page — the live spinner's data feed (U1, main.rs:176-183).
     """
     client_factory = client_factory or make_boto3_client_factory()
     driver_client = client_factory()
     shards, direct = discover_shards(
         driver_client, bucket, prefix, delimiter, target_shards
     )
+    # Only the accumulator crosses into the task closure (it pickles by
+    # reference); the progress object's thread/stream stay driver-side.
+    acc = progress.accumulator if progress is not None else None
 
     def list_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()  # one client per task, never pickled
@@ -240,6 +248,8 @@ def list_objects_df(
                     resp = _retry(lambda: client.list_objects_v2(**kw))
                     contents = resp.get("Contents", [])
                     if contents:
+                        if acc is not None:
+                            acc.add(len(contents))
                         yield pd.DataFrame([_obj_to_row(o) for o in contents])
                     if not resp.get("IsTruncated"):
                         break
@@ -252,6 +262,8 @@ def list_objects_df(
         ).repartition(len(shards), "shard")
         parts.append(shard_df.mapInPandas(list_shard, schema=LISTING_SCHEMA))
     if direct:
+        if acc is not None:
+            acc.add(len(direct))  # discovered driver-side, count them too
         parts.append(
             spark.createDataFrame([_obj_to_row(o) for o in direct], LISTING_SCHEMA)
         )
@@ -272,6 +284,7 @@ def manifest_from_s3(
     target_shards: int = 64,
     observation=None,
     single_object: bool = False,
+    progress=None,
 ) -> DataFrame:
     """The reference CLI's whole job (main.rs:120-292): list → derive
     manifest → optionally write parquet.  S3 output goes through the
@@ -289,7 +302,8 @@ def manifest_from_s3(
 
     bucket, prefix = parse_s3_uri(source_uri)
     listing = list_objects_df(
-        spark, bucket, prefix, client_factory, delimiter, target_shards
+        spark, bucket, prefix, client_factory, delimiter, target_shards,
+        progress=progress,
     )
     manifest = derive_manifest(listing, bucket, prefix, delimiter)
     if observation is not None:

@@ -163,3 +163,29 @@ def test_cli_end_to_end_single_object(spark, tmp_path, monkeypatch, capsys):
     assert {r.Key for r in back.collect()} == expect
     stats_line = capsys.readouterr().out.strip().splitlines()[-1]
     assert "objects/sec" in stats_line and f"-> {out}" in stats_line
+
+
+def test_listing_progress_heartbeat(spark):
+    """U1 (main.rs:176-183): the live spinner's accumulator reaches the
+    exact listed-object count and the final rendered line carries
+    elapsed/count/rate."""
+    import io
+    import re
+
+    from s3_manifest_spark.manifest.progress import ListingProgress
+
+    buf = io.StringIO()
+    with ListingProgress(spark, stream=buf, interval=0.05) as prog:
+        df = list_objects_df(
+            spark,
+            "fake-bucket",
+            client_factory=fake_client_factory,
+            page_size=100,
+            progress=prog,
+        )
+        n = df.count()
+    assert n == len(ALL_KEYS)
+    assert prog.count == n  # every page reported exactly once
+    out = buf.getvalue()
+    final = out.rsplit("\r", 1)[-1]
+    assert re.search(rf"\[ *[\d.]+s\] {n} objects \([\d,]+ objects/sec\)", final)
