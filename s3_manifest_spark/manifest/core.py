@@ -114,11 +114,15 @@ def write_manifest(
     DIRECTORY of part-files at that path.  Consumers that GET the
     single object at the manifest key should pass
     ``single_object=True``: the frame is coalesced to one task, written
-    to a scratch directory, and the lone part-file is renamed to
-    exactly ``output`` via the Hadoop FileSystem API (works for
-    ``file://``, ``s3a://``, ``hdfs://``).  Single-object mode funnels
-    the write through one task — correct compatibility mode, not the
-    100 TB path.
+    to a UNIQUE scratch directory (uuid suffix — concurrent writers to
+    the same output never share scratch), and the lone part-file is
+    moved to exactly ``output`` with an atomic overwrite rename
+    (FileContext + Rename.OVERWRITE) where the filesystem supports it
+    (``file://``, ``hdfs://``); object stores without atomic rename
+    (``s3a://``) fall back to delete-then-rename, whose visibility gap
+    is inherent to the store — same as the reference's PutObject
+    overwrite.  Single-object mode funnels the write through one task —
+    correct compatibility mode, not the 100 TB path.
     """
     if not single_object:
         (
@@ -128,16 +132,18 @@ def write_manifest(
         )
         return
 
+    import uuid
+
     spark = df.sparkSession
-    tmp = output.rstrip("/") + ".__smsp_tmp__"
+    tmp = output.rstrip("/") + f".__smsp_tmp_{uuid.uuid4().hex}__"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
 
     jvm = spark._jvm
     jsc = spark._jsc
     conf = jsc.hadoopConfiguration()
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    out_path = jvm.org.apache.hadoop.fs.Path(output)
     fs = tmp_path.getFileSystem(conf)
+    out_path = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(output))
     try:
         statuses = fs.listStatus(tmp_path)
         part = next(
@@ -145,13 +151,28 @@ def write_manifest(
             for st in statuses
             if st.getPath().getName().startswith("part-")
         )
-        if fs.exists(out_path):
-            fs.delete(out_path, True)
         parent = out_path.getParent()
         if parent is not None and not fs.exists(parent):
             fs.mkdirs(parent)
-        if not fs.rename(part, out_path):
-            raise IOError(f"rename {part} -> {output} failed")
+        try:
+            # Atomic overwrite: FileContext.rename(..., OVERWRITE) is a
+            # single metadata op on file:// and hdfs:// — no reader can
+            # observe a missing object mid-replace.
+            gw = spark.sparkContext._gateway
+            ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                out_path.toUri(), conf
+            )
+            opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            ctx.rename(part, out_path, opts)
+        except Exception:
+            # Stores without atomic rename (s3a: copy+delete) — the
+            # delete/rename gap is inherent there, matching the
+            # reference's PutObject overwrite semantics.
+            if fs.exists(out_path):
+                fs.delete(out_path, True)
+            if not fs.rename(part, out_path):
+                raise IOError(f"rename {part} -> {output} failed")
     finally:
         fs.delete(tmp_path, True)
 
