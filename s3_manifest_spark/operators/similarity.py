@@ -11,10 +11,16 @@ neighbors per query vector):
   sign-pattern, score only same-bucket pairs.  The 100 TB path: the
   shuffle carries (vector, bucket) once, not Q×N scores.
 
-All vector math is built-in higher-order functions over array columns
-(zip_with/aggregate) after casting float→double: double arithmetic in
-the same left-fold order is bit-identical across Spark and DuckDB,
-which is what lets ``similarity_topk`` carry an exact-hash oracle.
+Scoring numerics: ``similarity_topk``/``similarity_ivf`` score with
+numpy BLAS matmuls (float64), ``similarity_ann_lsh`` with built-in
+zip_with/aggregate left folds.  BLAS summation order is NOT the
+left-fold order DuckDB's ``list_dot_product`` uses, so the two sides
+can differ in the last ulp; both round to 6 decimals before the
+top-k ordering, which makes ``similarity_topk``'s exact-hash oracle
+correct unless a true cosine lands within ~1e-16 of a 6-decimal
+rounding boundary AND the k-th/k+1-th candidates straddle it —
+vanishingly unlikely, but probabilistic, not guaranteed (it has held
+for every fixture vintage so far).
 """
 
 from __future__ import annotations
@@ -185,10 +191,17 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        whose cell is probed by some query, and emits its local top-k
        per query.  A final window merges ≤ k·batches candidates.
 
-    The corpus is never shuffled and never collected; driver memory
-    holds only the training sample.  At 100 TB the sample stride grows
-    (the quantizer still trains on ~1M vectors) and the plan is
-    unchanged — recall tunes via IVF_K / IVF_NPROBE as in IVF-Flat.
+    The corpus is never shuffled and never collected.  The ONLY
+    driver-side materializations are explicitly bounded samples:
+    the training sample (N/{IVF_TRAIN_STRIDE} rows) and the query set
+    (N/{QUERY_STRIDE} rows), i.e. driver memory ≈ (N/stride)·d·8
+    bytes each.  At 100 TB you raise IVF_TRAIN_STRIDE so the sample
+    stays ~1-4M vectors (FAISS's own IVF training regime — ~2 GB
+    driver RAM at d=64) and the plan is otherwise unchanged — recall
+    tunes via IVF_K / IVF_NPROBE as in IVF-Flat.  (A fully
+    executor-side alternative is a treeAggregate Lloyd step per
+    round; the bounded driver sample is the standard and cheaper
+    choice, so it is the one implemented.)
     """
     import numpy as np
     import pandas as pd

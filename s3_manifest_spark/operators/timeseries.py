@@ -151,7 +151,8 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # epoch-µs * 4096 + (event_id mod 4096): monotone in ts at full
     # microsecond resolution with a 4096-way id tie-break, and fits
-    # int64 until year ~2242.  (A seconds*10000+id encoding would stop
+    # int64 until year ~2041 (2^63/4096 µs ≈ 2.25e9 s past epoch).
+    # (A seconds*10000+id encoding would stop
     # being monotone once ids exceed 10000 — ids here reach 10^5.)
     # Ambiguity requires two events in the SAME microsecond whose ids
     # are congruent mod 4096; the fixture has fully distinct µs
