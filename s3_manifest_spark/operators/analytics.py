@@ -98,8 +98,9 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments per partition and merges) EXCEPT ``percentile``, which
     buffers per group — at 100 TB swap it for
     ``approx_percentile(col, p, accuracy)`` (t-digest-style sketch,
-    mergeable, bounded memory); the exact form here is what gives the
-    oracle an exact hash.  Both quantiles are requested as ONE
+    mergeable, bounded memory) or, when exactness is required, the
+    sort-based bounded-memory plan in
+    :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`.  Both quantiles are requested as ONE
     array-argument percentile call: each extra ``percentile(col, p)``
     aggregate re-buffers the whole column per group, so the array form
     halves the dominant cost (measured 2× at sf0.1).

@@ -1,0 +1,163 @@
+"""Exact distributed percentiles via sort-based selection
+(SURVEY.md §2B companion to ``stats_funcs``/``outlier_filter``).
+
+Spark's built-in exact ``percentile`` aggregate BUFFERS every value of
+a group in one aggregation state — at 100 TB a single group's values
+can exceed executor memory, which is why the stats docstrings punt to
+``approx_percentile`` for scale.  This operator is the third option:
+EXACT interpolated quantiles with bounded memory everywhere, the
+classic external-selection plan:
+
+1. one global range sort of (group, value) — Spark's distributed sort:
+   range-partitioned, spilled TimSort within partitions, skewed groups
+   simply span multiple partitions;
+2. one metadata pass: per-(partition, group) row counts, collected to
+   the driver (P×G short rows — the same bookkeeping RDD.zipWithIndex
+   does; bounded by partition count × group cardinality, NOT by rows);
+3. one broadcast-guided pick pass: each partition knows which
+   partition-local ordinal positions are wanted (the floor/ceil
+   straddle rows of each target rank) and emits only those — a few
+   rows per group, never a buffered column;
+4. a tiny distributed interpolation join (lo + (hi-lo)·frac, the same
+   ``index = p·(n-1)`` rule Spark's percentile and DuckDB's
+   quantile_cont share).
+
+Cost: sort shuffle of the projected (group, value) pairs + one
+metadata aggregation — O(rows) network once, O(P×G) driver memory,
+O(1) executor state per task beyond the sort spill.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register, track_persist
+from s3_manifest_spark.sources.tables import load_table
+
+PCTS = (0.5, 0.95)
+SORT_PARTITIONS = 32  # cluster-sized in production; fixture-sized here
+
+
+@register(
+    "percentile_dist_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS price_median,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of ``l_extendedprice`` per ``l_returnflag`` with
+    NO per-group value buffering (see module docstring for the plan).
+
+    Equivalent results to the ``percentile`` path in ``stats_funcs``;
+    different physical contract: memory is bounded by the sort's spill
+    machinery, not by max-group size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    data = track_persist(
+        li.repartitionByRange(SORT_PARTITIONS, "g", "v").sortWithinPartitions(
+            "g", "v"
+        )
+    )
+
+    # ---- metadata pass: per-(partition, group) counts → target picks
+    counts = (
+        data.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "g")
+        .count()
+        .collect()
+    )
+    per_group: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in counts:
+        per_group[r["g"]].append((r["pid"], r["count"]))
+
+    # want[pid] = [(g, partition-local ordinal, p, role)], role ∈ lo/hi
+    want: dict[int, list[tuple[str, int, float, str]]] = defaultdict(list)
+    fracs: list[tuple[str, float, float]] = []  # (g, p, frac)
+    for g, lst in per_group.items():
+        lst.sort()
+        n = sum(c for _, c in lst)
+        for p in PCTS:
+            pos = p * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            fracs.append((g, p, pos - lo))
+            for role, k in (("lo", lo), ("hi", hi)):
+                off = 0
+                for pid, c in lst:
+                    if k < off + c:
+                        want[pid].append((g, k - off, p, role))
+                        break
+                    off += c
+    bwant = spark.sparkContext.broadcast(dict(want))
+
+    # ---- pick pass: emit only the straddle rows, vectorized per batch.
+    # Within a partition the sort makes each group's rows one contiguous
+    # run (possibly spanning batches); a running per-group offset maps
+    # batch positions to partition-local ordinals.
+    def pick(batches):
+        from pyspark import TaskContext
+
+        targets = list(bwant.value.get(TaskContext.get().partitionId(), []))
+        seen: dict[str, int] = {}
+        rows: list[tuple[str, float, str, float]] = []
+        for b in batches:
+            gs = b["g"].to_numpy()
+            if len(gs) == 0:
+                continue
+            vs = b["v"].to_numpy()
+            change = np.nonzero(gs[1:] != gs[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(gs)]))
+            runs = {gs[s]: (s, e - s) for s, e in zip(starts, ends)}
+            if targets:
+                left = []
+                for g, k, p, role in targets:
+                    base = seen.get(g, 0)
+                    run = runs.get(g)
+                    if run is not None and base <= k < base + run[1]:
+                        rows.append((g, p, role, float(vs[run[0] + (k - base)])))
+                    else:
+                        left.append((g, k, p, role))
+                targets = left
+            for g, (_, c) in runs.items():
+                seen[g] = seen.get(g, 0) + c
+        yield pd.DataFrame(rows, columns=["g", "p", "role", "v"]).astype(
+            {"g": "str", "p": "float64", "role": "str", "v": "float64"}
+        )
+
+    picked = data.mapInPandas(pick, schema="g string, p double, role string, v double")
+
+    # ---- interpolation: tiny relations, fully distributed
+    frac_df = spark.createDataFrame(fracs, schema="g string, p double, frac double")
+    straddle = picked.groupBy("g", "p").agg(
+        F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("hi"),
+    )
+    quant = straddle.join(frac_df, ["g", "p"]).select(
+        "g",
+        "p",
+        (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")).alias("q"),
+    )
+    return (
+        quant.groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            F.round(F.max(F.when(F.col("p") == PCTS[0], F.col("q"))), 4).alias(
+                "price_median"
+            ),
+            F.round(F.max(F.when(F.col("p") == PCTS[1], F.col("q"))), 4).alias(
+                "price_p95"
+            ),
+        )
+    )

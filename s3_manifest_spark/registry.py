@@ -101,6 +101,7 @@ def load_all() -> None:
         analytics,
         timeseries,
         curation,
+        quantiles,
     )
     from s3_manifest_spark.functions import scalar  # noqa: F401
     from s3_manifest_spark.streaming import windows  # noqa: F401
