@@ -120,3 +120,56 @@ def test_ohlc_is_pure_partial_agg(spark):
     plan = plan_of(spark, "ohlc_hourly")
     assert _n_exchanges(plan) <= 1
     assert "Window" not in plan, "OHLC must not sort per key"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["token_count", "text_quality", "lang_id", "doc_fingerprint", "pii_redact"],
+)
+def test_per_document_text_ops_are_shuffle_free(spark, name):
+    """Per-document scoring is a pure codegen'd scan: any Exchange here
+    would turn an ingest-rate op into a shuffle of the corpus."""
+    assert _n_exchanges(plan_of(spark, name)) == 0
+
+
+@pytest.mark.parametrize(
+    "name,max_ex",
+    [
+        ("dedup_exact", 1),     # one shuffle on the content hash
+        ("vocab_topk", 2),      # token agg + final top-k ordering
+        ("window_rank", 1),     # one shuffle on the window key
+        ("window_running", 1),
+        ("funnel_steps", 2),    # per-user agg + tiny global rollup; no joins
+        ("event_transitions", 2),  # lag window + rollup
+        ("text_entropy", 2),    # two combinable aggs
+    ],
+)
+def test_exchange_budget(spark, name, max_ex):
+    """Pin each operator's shuffle count — a regression here is the
+    kind that only shows up as a 100 TB bill."""
+    n = _n_exchanges(plan_of(spark, name))
+    assert n <= max_ex, f"{name}: {n} exchanges (budget {max_ex})"
+
+
+def test_funnel_has_no_join_or_window(spark):
+    plan = plan_of(spark, "funnel_steps")
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "star_join_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_contamination_probe_side_is_broadcast(spark):
+    """The corpus shingles must never shuffle for the probe join."""
+    plan = plan_of(spark, "contamination_screen")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_two_phase_aggregation_family(spark):
+    """Map-side partial aggregation before the shuffle for the
+    high-volume aggregate queries."""
+    for name in ("vocab_topk", "agg_distinct", "ohlc_hourly"):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)) >= 2, name
