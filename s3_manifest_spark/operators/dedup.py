@@ -375,6 +375,102 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_LSH_BANDS = 8          # L independent hash tables
+EMBED_LSH_PLANES = 4         # r hyperplanes (signature bits) per band
+EMBED_LSH_SEED = 0x5EED_1E5B
+
+
+@register("dedup_embedding_lsh")  # rows-only: bucket recall is hash-seeded
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH-prefiltered embedding near-dup — the cheap
+    inexact-recall path that ``dedup_embedding``'s docstring
+    designates for 100 TB, as runnable code.
+
+    Construction (L={bands} tables × r={planes} random hyperplanes):
+    one ``mapInPandas`` pass assigns each vector its r-bit sign
+    signature in every band via a single seeded-deterministic BLAS
+    matmul (``E @ planesᵀ``); one shuffle keyed by (band, signature)
+    groups candidates; each bucket is scored with one ``block @
+    blockᵀ`` upper-triangle matmul; a final (vec_a, vec_b) group
+    dedupes pairs that collided in several bands.  Every emitted pair
+    passed the exact cosine threshold, so the output is a SUBSET of
+    ``dedup_embedding``'s pairs — precision 1 by construction, recall
+    = 1-(1-p^r)^L with p = 1-θ/π per pair.
+
+    Honest scale accounting: at this query's LOW threshold (0.4,
+    θ≈66°, p≈0.63) the parameters give ~75% expected recall, and the
+    fixture is the adversarial case — uniform-random vectors with no
+    cluster structure, so candidate volume approaches all-pairs.  In
+    the real near-dup regime (sim ≥ 0.9, p ≥ 0.97) the SAME
+    construction yields >99.9% recall with exponentially sparser
+    buckets — that is the regime where this plan replaces the blocked
+    exact sweep.  Shuffle volume is O(N·L) bucket rows (carrying
+    embeddings; an id-only variant + verify-join trims the width at
+    the cost of one more shuffle).
+    """.format(bands=EMBED_LSH_BANDS, planes=EMBED_LSH_PLANES)
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    L, r, thr = EMBED_LSH_BANDS, EMBED_LSH_PLANES, EMBED_DUP_THRESHOLD
+    seed = EMBED_LSH_SEED
+
+    def assign(batches):
+        planes = None
+        powers = 1 << np.arange(r)
+        for b in batches:
+            ids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            if planes is None:  # seeded → identical on every executor
+                planes = np.random.RandomState(seed).standard_normal(
+                    (L * r, e.shape[1])
+                )
+            bits = (e @ planes.T) > 0  # (n, L*r)
+            sigs = (bits.reshape(len(ids), L, r) * powers).sum(axis=2)  # (n, L)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, L),
+                    "embedding": np.repeat(b["embedding"].to_numpy(), L),
+                    "band": np.tile(np.arange(L, dtype="int32"), len(ids)),
+                    "sig": sigs.reshape(-1).astype("int64"),
+                }
+            )
+
+    bucketed = v.mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, band int, sig long"
+    )
+    grouped = (
+        bucketed.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rs"))
+        .filter(F.size("rs") >= 2)
+        .select(
+            F.expr("transform(rs, x -> x.vec_id)").alias("ids"),
+            F.expr("flatten(transform(rs, x -> x.embedding))").alias("mat"),
+        )
+    )
+
+    def score(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ids = np.asarray(list(row["ids"]), dtype="int64")
+                m = np.asarray(list(row["mat"]), dtype="float64").reshape(len(ids), -1)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                sims = np.round(m @ m.T, 6)
+                ia, ib = np.nonzero((sims >= thr) & (ids[None, :] > ids[:, None]))
+                yield pd.DataFrame(
+                    {"vec_a": ids[ia], "vec_b": ids[ib], "cos_sim": sims[ia, ib]}
+                )
+
+    scored = grouped.mapInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
+    )
+    # a pair colliding in several bands is emitted once per band with
+    # the identical exact score — dedupe on the pair key.
+    return scored.groupBy("vec_a", "vec_b").agg(
+        F.first("cos_sim").alias("cos_sim")
+    )
+
+
 @register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 3.

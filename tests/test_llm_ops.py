@@ -165,3 +165,19 @@ def test_document_frequency_cap(spark):
     uniq = cap_document_frequency(sh, 1)
     assert uniq.count() == uniq.select("sh").distinct().count()
     assert 0 < uniq.count() < sh.count()
+
+
+def test_embedding_lsh_subset_with_recall(spark, q):
+    """Banded embedding LSH: precision 1 by construction (every pair is
+    exact-verified) and recall near the analytic 1-(1-p^r)^L ≈ 0.75 at
+    this threshold — pinned at a 0.6 floor (deterministic: seeded
+    planes over a fixed fixture)."""
+    exact = {
+        (r.vec_a, r.vec_b) for r in q["dedup_embedding"](spark, SF).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in q["dedup_embedding_lsh"](spark, SF).collect()
+    }
+    assert lsh <= exact, "LSH emitted a pair the exact sweep did not"
+    assert len(lsh & exact) / len(exact) >= 0.6
