@@ -86,3 +86,28 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         # table — star joins touch 5-6 tables) but nothing that looks
         # like a full computation burst
         assert len(after) - len(before) <= 6, name
+
+
+def test_deferred_cleanups_run_on_next_call(spark, q):
+    """defer_cleanup callbacks (e.g. dedup_clusters' shuffle-conf
+    restore) fire exactly once at the next registry invocation."""
+    fired = []
+    registry.defer_cleanup(lambda: fired.append(1))
+    assert fired == []
+    q["hash_join"](spark, SF).count()
+    assert fired == [1]
+    q["broadcast_join"](spark, SF).count()
+    assert fired == [1]  # not re-run
+
+
+def test_dedup_clusters_restores_shuffle_conf_via_deferral(spark, q):
+    """dedup_clusters scopes shuffle.partitions down for its loop and
+    must leave the override live for its lazy result, restoring it at
+    the next registry call."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    df = q["dedup_clusters"](spark, SF)
+    assert spark.conf.get(key) == "4", "override must outlive the function"
+    df.count()
+    q["hash_join"](spark, SF).count()
+    assert spark.conf.get(key) == before
