@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,34 +46,25 @@ PCTS = (0.5, 0.95)
 SORT_PARTITIONS = 8
 
 
-@register(
-    "percentile_dist_exact",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4)  AS price_median,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p95 of ``l_extendedprice`` per ``l_returnflag`` with
-    NO per-group value buffering (see module docstring for the plan).
+def group_percentiles(
+    df: DataFrame,
+    pcts: Sequence[float] = PCTS,
+    partitions: int = SORT_PARTITIONS,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``v`` per group ``g`` with NO
+    per-group value buffering (module docstring has the plan).
 
-    Equivalent results to the ``percentile`` path in ``stats_funcs``;
-    different physical contract: memory is bounded by the sort's spill
-    machinery, not by max-group size.
+    ``df`` must have a string column ``g`` and numeric column ``v``.
+    Returns one row per (g, p): ``g string, p double, q double``.
     """
     import numpy as np
     import pandas as pd
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
-    )
+    spark = df.sparkSession
     data = track_persist(
-        li.repartitionByRange(SORT_PARTITIONS, "g", "v").sortWithinPartitions(
-            "g", "v"
-        )
+        df.select("g", F.col("v").cast("double").alias("v"))
+        .repartitionByRange(partitions, "g", "v")
+        .sortWithinPartitions("g", "v")
     )
 
     # ---- metadata pass: per-(partition, group) counts → target picks
@@ -92,7 +84,7 @@ def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g, lst in per_group.items():
         lst.sort()
         n = sum(c for _, c in lst)
-        for p in PCTS:
+        for p in pcts:
             pos = p * (n - 1)
             lo, hi = math.floor(pos), math.ceil(pos)
             fracs.append((g, p, pos - lo))
@@ -148,11 +140,35 @@ def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("lo"),
         F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("hi"),
     )
-    quant = straddle.join(frac_df, ["g", "p"]).select(
+    return straddle.join(frac_df, ["g", "p"]).select(
         "g",
         "p",
         (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")).alias("q"),
     )
+
+
+@register(
+    "percentile_dist_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS price_median,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of ``l_extendedprice`` per ``l_returnflag`` with
+    NO per-group value buffering (see module docstring for the plan).
+
+    Equivalent results to the ``percentile`` path in ``stats_funcs``;
+    different physical contract: memory is bounded by the sort's spill
+    machinery, not by max-group size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    quant = group_percentiles(li, PCTS)
     return (
         quant.groupBy(F.col("g").alias("l_returnflag"))
         .agg(
