@@ -40,16 +40,22 @@ def _write_events(tmp_path, unit: str) -> str:
     return sf_dir
 
 
-@pytest.mark.parametrize("unit", ["ns", "us"])
-def test_loader_normalizes_both_fixture_vintages(spark, tmp_path, unit):
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_loader_normalizes_all_fixture_vintages(spark, tmp_path, unit):
     """ns-precision files arrive as raw longs (nanosAsLong) and must be
-    truncated to µs; us-precision files arrive as TIMESTAMP_NTZ and
-    must cast through — both to the same instants."""
+    truncated to µs; us/ms-precision files arrive as TIMESTAMP_NTZ and
+    must cast through — all to the same instants (ms files carry
+    ms-truncated values by construction)."""
     sf_dir = _write_events(str(tmp_path), unit)
     df = load_table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     got = [r["ts"] for r in df.orderBy("event_id").collect()]
-    assert got == _TS
+    expect = (
+        [t.replace(microsecond=t.microsecond // 1000 * 1000) for t in _TS]
+        if unit == "ms"
+        else _TS
+    )
+    assert got == expect
 
 
 def test_both_vintages_agree_through_an_aggregate(spark, tmp_path):
