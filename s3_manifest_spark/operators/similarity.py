@@ -277,19 +277,41 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_MULTIPROBE = 1  # probe buckets within this signature Hamming radius
+
+
 @register("similarity_ann_lsh")  # rows-only: bucket membership is hash-seeded
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets.
+    """Approximate NN via random-hyperplane LSH buckets, multi-probe.
 
-    Each vector gets a {LSH_PLANES}-bit sign signature; queries probe
-    only their own bucket.  At 100 TB: one narrow scan to bucket
-    (no shuffle — signature is a projection), one shuffle keyed by
-    bucket id, and per-bucket scoring whose cost is the bucket size,
-    not N.  Recall/cost is tuned by LSH_PLANES and multi-probe.
+    Each vector gets a {LSH_PLANES}-bit sign signature; each query
+    probes its own bucket plus every bucket within Hamming radius
+    {LSH_MULTIPROBE} of its signature (the standard multi-probe trick:
+    a near neighbor's most likely disagreement is ONE flipped
+    hyperplane, so probing the 1-bit-flip buckets buys most of a
+    second hash table's recall for zero extra corpus state).  Only the
+    tiny broadcast QUERY side fans out (1+planes rows per query); the
+    corpus is bucketed once by a pure projection.
+
+    At 100 TB: one narrow scan to bucket (no shuffle — signature is a
+    projection), one broadcast join keyed by bucket id, and per-bucket
+    scoring whose cost is probed-bucket occupancy, not N.  Recall/cost
+    tunes via LSH_PLANES (bucket granularity) and LSH_MULTIPROBE
+    (probe fan-out).
     """
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucketed = v.select(
         "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("bucket")
+    )
+    # probe set per query: own signature + the LSH_PLANES 1-bit flips
+    # (radius 1; deeper radii would chain the same expansion)
+    probe_sigs = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(LSH_PLANES)
+            if LSH_MULTIPROBE >= 1
+        ],
     )
     q = (
         bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -298,11 +320,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             F.col("bucket").alias("qbucket"),
         )
+        .select(
+            "query_id", "qe", F.explode(probe_sigs).alias("probe_bucket")
+        )
     )
     scored = (
         bucketed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
             "query_id",
