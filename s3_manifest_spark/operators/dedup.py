@@ -375,6 +375,74 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_WINDOW = 8  # tokens per duplicated-span window
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {SPAN_WINDOW} + 1)) AS i
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+{SPAN_WINDOW - 1}], ' ')) AS span_hash
+      FROM starts
+    )
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_occ,
+           min(doc_id)                            AS example_doc
+    FROM spans
+    GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection — the exact-substring
+    dedup signal ("Deduplicating Training Data Makes Language Models
+    Better"-style): every {SPAN_WINDOW}-token window shared verbatim
+    by ≥2 documents, with occurrence counts and an example document.
+
+    One pass: per-doc rolling windows are md5-hashed inside a single
+    interpreted ``transform`` (tokenised once, windows sliced from the
+    materialised array), then ONE map-side-combinable shuffle keyed by
+    the span hash — uniform 128-bit keys, no skew.  md5 is
+    bit-identical across engines, which is what makes this exact-hash
+    oracle-checkable (unlike the seeded minhash family).  At 100 TB
+    the per-window re-hash (O(tokens×W) per doc) trades to a
+    Rabin-Karp rolling hash (O(tokens)) with the same output contract;
+    the shuffle shape — the expensive part — is already the scale one.
+    """
+    W = SPAN_WINDOW
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {W} THEN "
+                f"transform(sequence(1, size(t) - {W} + 1),"
+                f" i -> md5(array_join(slice(t, i, {W}), ' ')))"
+                " ELSE array() END"
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 EMBED_LSH_BANDS = 8          # L independent hash tables
 EMBED_LSH_PLANES = 4         # r hyperplanes (signature bits) per band
 EMBED_LSH_SEED = 0x5EED_1E5B

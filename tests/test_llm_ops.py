@@ -181,3 +181,20 @@ def test_embedding_lsh_subset_with_recall(spark, q):
     }
     assert lsh <= exact, "LSH emitted a pair the exact sweep did not"
     assert len(lsh & exact) / len(exact) >= 0.6
+
+
+def test_substring_spans_flag_near_dup_docs(spark, q):
+    """Duplicated 8-token spans must exist (the fixture plants
+    near-duplicates) and every flagged span's doc set must be >= 2 with
+    occurrences >= docs."""
+    pdf = q["dedup_substring_spans"](spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_docs"] >= 2).all()
+    assert (pdf["n_occ"] >= pdf["n_docs"]).all()
+    # the span-sharing docs should substantially overlap the Jaccard
+    # near-dup pair universe: take the known near-dup doc ids
+    jac = q["dedup_ngram_jaccard"](spark, SF).toPandas()
+    near_dup_docs = set(jac["doc_a"]) | set(jac["doc_b"])
+    assert near_dup_docs & set(pdf["example_doc"]), (
+        "span dedup found none of the planted near-dup documents"
+    )
