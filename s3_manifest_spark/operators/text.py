@@ -194,3 +194,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(F.expr(_TOKENS))), " ")
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(g2) > 0
+                 THEN 1 - len(list_distinct(g2)) * 1.0 / len(g2)
+                 ELSE 0 END, 4) AS dup_2gram_ratio,
+           round(CASE WHEN len(g3) > 0
+                 THEN 1 - len(list_distinct(g3)) * 1.0 / len(g3)
+                 ELSE 0 END, 4) AS dup_3gram_ratio,
+           round(list_max(list_transform(list_distinct(t),
+                          d -> len(list_filter(t, w -> w = d)))) * 1.0
+                 / len(t), 4) AS top_token_share
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-style quality
+    rules that catch boilerplate and degenerate generations: fraction
+    of duplicated 2-grams / 3-grams and the most-frequent token's
+    share of the document.
+
+    Entirely in-task array expressions over ONE tokenization (the
+    shifted-slice n-gram construction from the dedup module) — zero
+    shuffles, so the filter runs at ingest cost like the rest of the
+    text family.  The top-token scan is O(distinct × tokens) per doc;
+    fine at document lengths, and the whole expression trades to a
+    Pandas-UDF Counter for pathological documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ngrams(n: int) -> str:
+        zips = ", ".join(
+            f"slice(t, {i + 1}, size(t) - {n - 1})" for i in range(n)
+        )
+        parts = ", ' ', ".join(f"s['{i}']" for i in range(n))
+        return (
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(arrays_zip({zips}), s -> concat({parts})) "
+            "ELSE array() END"
+        )
+
+    g = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(ngrams(2)).alias("g2"),
+        F.expr(ngrams(3)).alias("g3"),
+    )
+
+    def dup_ratio(col: str):
+        return F.round(
+            F.when(
+                F.size(F.col(col)) > 0,
+                F.lit(1)
+                - F.size(F.array_distinct(F.col(col))) / F.size(F.col(col)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    top_share = F.round(
+        F.array_max(
+            F.expr("transform(array_distinct(t), d -> size(filter(t, w -> w = d)))")
+        )
+        / F.size("t"),
+        4,
+    )
+    return g.select(
+        "doc_id",
+        dup_ratio("g2").alias("dup_2gram_ratio"),
+        dup_ratio("g3").alias("dup_3gram_ratio"),
+        top_share.alias("top_token_share"),
+    )

@@ -124,7 +124,7 @@ def test_ohlc_is_pure_partial_agg(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["token_count", "text_quality", "lang_id", "doc_fingerprint", "pii_redact"],
+    ["token_count", "text_quality", "lang_id", "doc_fingerprint", "pii_redact", "text_repetition"],
 )
 def test_per_document_text_ops_are_shuffle_free(spark, name):
     """Per-document scoring is a pure codegen'd scan: any Exchange here
