@@ -607,3 +607,67 @@ def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe", "token", F.levenshtein("probe", "token").alias("dist")
         )
     )
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT)                        AS n_tokens,
+           CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT)        AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign each document a packed
+    {PACK_BUDGET}-token bin (per source) and its token offset within
+    the stream — the standard streaming-concatenation packing that
+    turns ragged documents into fixed-budget training sequences.
+
+    Semantics: docs are concatenated per source in doc_id order;
+    ``bin_id = floor(cumulative_tokens_before / budget)`` — documents
+    that straddle a boundary belong to the bin they start in, exactly
+    the streaming packer's behavior.  ONE window shuffle partitioned
+    by source (never a global single-partition sort — at 100 TB each
+    source packs independently, and a skew-heavy source further
+    splits by an ingest shard key with identical semantics)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / PACK_BUDGET).cast("long").alias("bin_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
