@@ -671,3 +671,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / PACK_BUDGET).cast("long").alias("bin_id"),
         (F.col("cum_before") % PACK_BUDGET).cast("long").alias("bin_offset"),
     )
+
+
+WEIGHTED_SAMPLE_K = 50  # expected sample size
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents)
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) AS BIGINT) AS u32
+    FROM documents, tot
+    WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS BIGINT) * w_total
+          < {WEIGHTED_SAMPLE_K} * n_chars * 4294967296
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted Bernoulli sampling: include each
+    document with probability min(1, K·w/ΣW) where w = n_chars — the
+    Poisson-sampling standard for weight-proportional corpus subsets,
+    reproducible across engines, runs, and repartitionings.
+
+    The uniform is the first 8 md5 hex chars of doc_id as a 32-bit
+    integer, and the inclusion test is rearranged to ALL-INTEGER
+    arithmetic (u32·ΣW < K·w·2³²) so there is no float rounding for
+    engines to disagree on — the oracle hash is exact by construction,
+    not probabilistically.  Plan: one 1-row total aggregate broadcast
+    back over the scan (the same attach pattern as outlier_filter), a
+    pure filter otherwise — no shuffle of the corpus, and at 100 TB
+    the sample materializes in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("w_total"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .withColumn("u32", u32)
+        .filter(
+            F.col("u32") * F.col("w_total")
+            < F.lit(WEIGHTED_SAMPLE_K) * F.col("n_chars") * F.lit(4294967296)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            "u32",
+        )
+    )
