@@ -723,3 +723,60 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u32",
         )
     )
+
+
+#: Target token share per source for mix rebalancing — set BELOW the
+#: fixture's mean share (20 sources -> ~0.05 each) so over-represented
+#: sources get real down-sampling rates; a production policy ships its
+#: own per-source map.
+MIX_TARGET_SHARE = 0.04
+
+
+@register(
+    "mix_rebalance",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / total_tokens, 6) AS current_share,
+           round(least(1.0, {MIX_TARGET_SHARE} * total_tokens * 1.0 / n_tokens), 6)
+             AS sample_rate,
+           CAST(round(n_docs * least(1.0,
+                {MIX_TARGET_SHARE} * total_tokens * 1.0 / n_tokens), 0) AS BIGINT)
+             AS expected_docs
+    FROM per CROSS JOIN tot
+    """,
+)
+def mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing policy table: the per-source sampling rate that
+    moves the corpus toward a target token share (MIX_TARGET_SHARE
+    per source here) — rate = min(1, target·ΣT/T_source), plus the
+    expected document yield.  This is the step between ``domain_mix``
+    accounting and an actual resample (feed the rates into the
+    ``sample_weighted``/``sample_stratified`` machinery).
+
+    One aggregation of short rows per source; the total attaches as an
+    unpartitioned window over the already-tiny aggregated relation —
+    the corpus shuffles nothing but partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    rate = F.least(
+        F.lit(1.0), F.lit(MIX_TARGET_SHARE) * total * 1.0 / F.col("n_tokens")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / total, 6).alias("current_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(F.col("n_docs") * rate, 0).cast("long").alias("expected_docs"),
+    )
