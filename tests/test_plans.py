@@ -173,3 +173,36 @@ def test_two_phase_aggregation_family(spark):
     for name in ("vocab_topk", "agg_distinct", "ohlc_hourly"):
         plan = plan_of(spark, name)
         assert len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)) >= 2, name
+
+
+def test_span_dedup_single_combinable_shuffle(spark):
+    """Span hashing happens in-task; the only exchanges are the two
+    levels of the distinct-doc aggregation (count(DISTINCT) rewrites to
+    groupBy(span, doc) then groupBy(span) — both map-side combinable,
+    both keyed by the uniform span hash)."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert _n_exchanges(plan) <= 2, plan
+    assert len(re.findall(r"HashAggregate|ObjectHashAggregate", plan)) >= 2
+
+
+def test_pack_sequences_single_source_window(spark):
+    """One window shuffle partitioned by source — never a global sort."""
+    plan = plan_of(spark, "pack_sequences")
+    assert _n_exchanges(plan) <= 1, plan
+    assert "SinglePartition" not in plan, "packing must not globally serialize"
+
+
+def test_sample_weighted_no_corpus_shuffle(spark):
+    """The total attaches by broadcast; the corpus itself never
+    exchanges (the only exchange feeds the 1-row total aggregate)."""
+    plan = plan_of(spark, "sample_weighted")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # exchanges allowed: the 1-row total agg; none keyed over the corpus
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_mix_rebalance_aggregates_before_window(spark):
+    """The unpartitioned window runs over the aggregated tiny relation,
+    after a two-phase partial agg of the corpus."""
+    plan = plan_of(spark, "mix_rebalance")
+    assert len(re.findall(r"HashAggregate|ObjectHashAggregate", plan)) >= 2
