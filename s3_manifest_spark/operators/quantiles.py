@@ -80,14 +80,14 @@ def group_percentiles(
 
     # want[pid] = [(g, partition-local ordinal, p, role)], role ∈ lo/hi
     want: dict[int, list[tuple[str, int, float, str]]] = defaultdict(list)
-    fracs: list[tuple[str, float, float]] = []  # (g, p, frac)
+    fracs: dict[str, dict[float, float]] = defaultdict(dict)  # g -> p -> frac
     for g, lst in per_group.items():
         lst.sort()
         n = sum(c for _, c in lst)
         for p in pcts:
             pos = p * (n - 1)
             lo, hi = math.floor(pos), math.ceil(pos)
-            fracs.append((g, p, pos - lo))
+            fracs[g][float(p)] = pos - lo
             for role, k in (("lo", lo), ("hi", hi)):
                 off = 0
                 for pid, c in lst:
@@ -134,16 +134,32 @@ def group_percentiles(
 
     picked = data.mapInPandas(pick, schema="g string, p double, role string, v double")
 
-    # ---- interpolation: tiny relations, fully distributed
-    frac_df = spark.createDataFrame(fracs, schema="g string, p double, frac double")
+    # ---- interpolation: one tiny aggregation; fracs attach as a
+    # nested literal map (g -> p -> frac, driver-known metadata like
+    # the counts above) instead of a join — the p doubles round-trip
+    # bit-exactly through the pick pass, so map lookup by double
+    # equality is safe.
+    frac_map = F.create_map(
+        *[
+            col
+            for g, by_p in fracs.items()
+            for col in (
+                F.lit(g),
+                F.create_map(
+                    *[c for p, f in by_p.items() for c in (F.lit(p), F.lit(f))]
+                ),
+            )
+        ]
+    )
     straddle = picked.groupBy("g", "p").agg(
         F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("lo"),
         F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("hi"),
     )
-    return straddle.join(frac_df, ["g", "p"]).select(
+    frac = F.element_at(F.element_at(frac_map, F.col("g")), F.col("p"))
+    return straddle.select(
         "g",
         "p",
-        (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")).alias("q"),
+        (F.col("lo") + (F.col("hi") - F.col("lo")) * frac).alias("q"),
     )
 
 
