@@ -165,3 +165,58 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bytes_delta"),
         )
     )
+
+
+@register(
+    "manifest_apply_changes",
+    oracle=f"""
+    WITH listing AS ({SYNTH_LISTING_SQL})
+    SELECT key, CAST(max({_DIFF_BUMP}) AS BIGINT) AS size
+    FROM listing WHERE {_DIFF_NEW_PRED} GROUP BY key
+    """,
+)
+def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — ``manifest_diff``'s counterpart: reconstruct the NEW
+    snapshot by merging the OLD snapshot with a change feed (upserts +
+    deletes only; unchanged keys are absent from the feed, as in a real
+    CDC stream).  The oracle is the DIRECTLY-computed new snapshot, so
+    the hash check proves apply(old, diff(old, new)) == new — the
+    round-trip contract an incremental manifest consumer relies on.
+
+    Plan: the DIY MERGE shape Spark DataFrames lack natively — old
+    full-outer-joined with the change feed on key; a feed row with a
+    NULL new size is a delete, a feed row with a size is an upsert,
+    no feed row keeps the old size.  Both sides are keyed by object
+    key; at 100 TB both would be bucketed by key (see
+    tests/test_bucketed_join.py) and the merge co-locates without
+    shuffling either snapshot.
+    """
+    listing = synth_listing(spark, sf_dir)
+    old = (
+        listing.filter(F.expr(_DIFF_OLD_PRED))
+        .groupBy("key")
+        .agg(F.max("size").cast("long").alias("old_sz"))
+    )
+    # change feed: per-key (old, new) sizes where they differ —
+    # added (old null), removed (new null), changed (both, unequal)
+    feed = (
+        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
+            .cast("long")
+            .alias("feed_old"),
+            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
+            .cast("long")
+            .alias("feed_new"),
+        )
+        .filter(~F.col("feed_old").eqNullSafe(F.col("feed_new")))
+        .select("key", F.lit(True).alias("chg"), "feed_new")
+    )
+    merged = old.join(feed, "key", "full_outer")
+    size = F.when(F.col("chg").isNotNull(), F.col("feed_new")).otherwise(
+        F.col("old_sz")
+    )
+    return merged.select("key", size.cast("long").alias("size")).filter(
+        F.col("size").isNotNull()
+    )
