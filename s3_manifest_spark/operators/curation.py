@@ -676,6 +676,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_K = 50  # expected sample size
 
 
+def weighted_inclusion(u32, w_total, weight, k: int = WEIGHTED_SAMPLE_K):
+    """The all-integer Bernoulli inclusion test u32·ΣW < K·w·2³² as a
+    Column, evaluated in decimal(38,0) so neither product can wrap
+    int64 (u32 < 2³², so the LHS overflows a long once ΣW > 2³¹ —
+    ~2 GiB of corpus text; the RHS wraps for a single ~43 MB doc).
+    ANSI-off sessions would wrap silently and corrupt the sample."""
+    dec = "decimal(19,0)"  # lossless long container; products widen to (38,0)
+    return (
+        u32.cast(dec) * w_total.cast(dec)
+        < F.lit(k).cast(dec) * weight.cast(dec) * F.lit(4294967296).cast(dec)
+    )
+
+
 @register(
     "sample_weighted",
     oracle=f"""
@@ -685,9 +698,11 @@ WEIGHTED_SAMPLE_K = 50  # expected sample size
            CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS UBIGINT) AS BIGINT) AS u32
     FROM documents, tot
+    -- HUGEINT operands: u32 (< 2^32) times a 100 TB-scale ΣW overflows
+    -- BIGINT, mirroring the Spark side's decimal(38,0) arithmetic.
     WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-               AS UBIGINT) AS BIGINT) * w_total
-          < {WEIGHTED_SAMPLE_K} * n_chars * 4294967296
+               AS UBIGINT) AS HUGEINT) * CAST(w_total AS HUGEINT)
+          < {WEIGHTED_SAMPLE_K} * CAST(n_chars AS HUGEINT) * 4294967296
     """,
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,10 +715,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, and the inclusion test is rearranged to ALL-INTEGER
     arithmetic (u32·ΣW < K·w·2³²) so there is no float rounding for
     engines to disagree on — the oracle hash is exact by construction,
-    not probabilistically.  Plan: one 1-row total aggregate broadcast
-    back over the scan (the same attach pattern as outlier_filter), a
-    pure filter otherwise — no shuffle of the corpus, and at 100 TB
-    the sample materializes in one pass."""
+    not probabilistically.  Both comparison sides run in decimal(38,0)
+    (HUGEINT in the oracle): u32 is up to 2³², so the int64 product
+    would silently wrap once the corpus passes 2³¹ total chars (~2 GiB
+    of text) — exactly the 100 TB regime this plan targets.  Plan: one
+    1-row total aggregate broadcast back over the scan (the same
+    attach pattern as outlier_filter), a pure filter otherwise — no
+    shuffle of the corpus, and at 100 TB the sample materializes in
+    one pass."""
     docs = load_table(spark, sf_dir, "documents")
     tot = docs.agg(F.sum("n_chars").cast("long").alias("w_total"))
     u32 = F.conv(
@@ -713,8 +732,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(tot))
         .withColumn("u32", u32)
         .filter(
-            F.col("u32") * F.col("w_total")
-            < F.lit(WEIGHTED_SAMPLE_K) * F.col("n_chars") * F.lit(4294967296)
+            weighted_inclusion(F.col("u32"), F.col("w_total"), F.col("n_chars"))
         )
         .select(
             "doc_id",

@@ -208,3 +208,26 @@ def test_chunking_edge_token_counts(spark):
     )
     counts = out.groupby("doc_id").size().to_dict()
     assert counts == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
+def test_weighted_inclusion_no_int64_wrap(spark):
+    """The inclusion test must hold in decimal(38,0): with ΣW > 2^31
+    the int64 product u32·ΣW wraps (ANSI off → silent corruption).
+    A doc with weight = ΣW must ALWAYS be included (P = min(1, K·1));
+    the wrapped product would exclude docs essentially at random."""
+    from pyspark.sql import functions as F2
+
+    from s3_manifest_spark.operators.curation import weighted_inclusion
+
+    w_total = 1 << 40  # ~1 TiB of corpus chars: far past the wrap point
+    df = spark.createDataFrame(
+        [(3_000_000_000, w_total, w_total),  # whole-corpus doc, huge u32
+         (4_294_967_295, w_total, 1)],       # max u32, 1-char doc
+        "u32 long, w_total long, weight long",
+    )
+    got = df.select(
+        weighted_inclusion(F2.col("u32"), F2.col("w_total"), F2.col("weight"))
+        .alias("inc")
+    ).collect()
+    assert got[0]["inc"] is True   # K·w·2^32 = K·ΣW·2^32 > u32·ΣW always
+    assert got[1]["inc"] is False  # tiny weight, near-max uniform
