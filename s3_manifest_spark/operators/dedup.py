@@ -47,8 +47,12 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda is O(tokens²) per doc and — worse — gets duplicated into
     every consumer by Catalyst's project-collapse.  Carrying ``n``
     here lets Jaccard run join-free downstream.
+
+    The scan is widened (``widen=True``): the interpreted shingle HOF
+    is the most expensive per-row expression in the repo, and the
+    single-row-group fixture would otherwise evaluate it one task wide.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     shingles = toks.select(
         "doc_id",
@@ -418,7 +422,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle shape — the expensive part — is already the scale one.
     """
     W = SPAN_WINDOW
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     spans = docs.select(
         "doc_id", F.split("text", " ", -1).alias("t")
     ).select(

@@ -235,9 +235,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, so the filter runs at ingest cost like the rest of the
     text family.  The top-token scan is O(distinct × tokens) per doc;
     fine at document lengths, and the whole expression trades to a
-    Pandas-UDF Counter for pathological documents.
+    Pandas-UDF Counter for pathological documents.  Widened scan: the
+    n-gram HOFs dominate, and the single-row-group fixture would run
+    them one task wide (widen_scan is a no-op at real layouts).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
 
     def ngrams(n: int) -> str:
         zips = ", ".join(

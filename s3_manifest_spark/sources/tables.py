@@ -42,15 +42,67 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Parquet footer metadata cache: path -> num_row_groups.  Read once
+#: per process via pyarrow (a footer read, not a Spark job).
+_ROW_GROUPS: dict[str, int] = {}
+
+
+def parquet_row_groups(path: str) -> int:
+    if path not in _ROW_GROUPS:
+        import pyarrow.parquet as pq
+
+        _ROW_GROUPS[path] = pq.ParquetFile(path).metadata.num_row_groups
+    return _ROW_GROUPS[path]
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from the parquet footer — a metadata read, no
+    Spark job.  For guards like 'is the corpus bigger than X' this
+    replaces a full ``df.count()`` scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def widen_scan(df: DataFrame, path: str) -> DataFrame:
+    """Round-robin-repartition ``df`` to the session's parallelism IF
+    the backing parquet file physically under-splits the scan.
+
+    A parquet scan parallelizes at row-group granularity, so a file
+    with fewer row groups than the box has cores runs the whole
+    downstream narrow chain (projection, tokenization HOFs, Arrow
+    encode for collect) at row-group width — the sf fixtures are
+    single-row-group files, i.e. ONE task does all the work on a
+    32-core host (measured: 3.4x on the manifest projection).  The
+    gate is the physical split count, so at production scale — row
+    groups >> cores — this is a no-op and no exchange is ever added;
+    it widens exactly the degenerate-layout case, the same remedy a
+    cluster applies to a few giant gzip files.
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if parquet_row_groups(path) < cores:
+        return df.repartition(cores)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
+    """Read a fixture table.  ``widen=True`` applies :func:`widen_scan`
+    — opt-in for consumers whose per-row work dominates (text/dedup
+    HOF chains, big collects); tiny-dim and floor-cost readers skip it
+    so no extra exchange lands in their plans."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # Re-assert nanosAsLong for externally-created sessions that
         # bypassed get_spark (harmless for us-precision files).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_event_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    return widen_scan(df, path) if widen else df
 
 
 def synth_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,10 +113,13 @@ def synth_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_modified= RFC3339 string of l_shipdate
 
     Purely column-level expressions over one scan — Catalyst prunes the
-    read down to the four source columns.
+    read down to the four source columns.  The derived listing is
+    :func:`widen_scan`-gated (AFTER the projection, so the shuffle
+    ships the three derived columns, not lineitem): the fixture is a
+    single-row-group file whose scan otherwise runs one task wide.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    out = li.select(
         F.concat(
             F.lit("data/"),
             F.col("l_returnflag"),
@@ -79,6 +134,7 @@ def synth_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_modified"
         ),
     )
+    return widen_scan(out, f"{sf_dir}/lineitem.parquet")
 
 
 #: DuckDB twin of :func:`synth_listing` (referenced as a CTE by the

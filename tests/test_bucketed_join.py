@@ -80,3 +80,80 @@ def test_bucketed_join_has_no_exchange(bucketed):
         .count()
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, base.collect()))
+
+
+@pytest.fixture(scope="module")
+def bucketed_merge(spark, tmp_path_factory):
+    """old snapshot + change feed as independent bucketed-by-key tables
+    — the physical layout merge_change_feed is designed for."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        _DIFF_BUMP,
+        _DIFF_NEW_PRED,
+        _DIFF_OLD_PRED,
+    )
+    from s3_manifest_spark.sources.tables import synth_listing
+
+    wh = str(tmp_path_factory.mktemp("merge_wh"))
+    listing = synth_listing(spark, SF)
+    old = (
+        listing.filter(F.expr(_DIFF_OLD_PRED))
+        .groupBy("key")
+        .agg(F.max("size").cast("long").alias("old_sz"))
+    )
+    feed = (
+        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
+            .cast("long").alias("feed_old"),
+            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
+            .cast("long").alias("feed_new"),
+        )
+        .filter(~F.col("feed_old").eqNullSafe(F.col("feed_new")))
+        .select("key", F.lit(True).alias("chg"), "feed_new")
+    )
+    for name, df in (("old_snap_b", old), ("chg_feed_b", feed)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "key").sortBy("key")
+            .option("path", f"{wh}/{name}").saveAsTable(name)
+        )
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS old_snap_b")
+    spark.sql("DROP TABLE IF EXISTS chg_feed_b")
+
+
+def test_bucketed_merge_apply(bucketed_merge):
+    """merge_change_feed over bucketed old/feed: ZERO Exchange on the
+    full-outer MERGE join, and the result equals the directly-computed
+    new snapshot (the manifest_apply_changes contract)."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        _DIFF_BUMP,
+        _DIFF_NEW_PRED,
+        merge_change_feed,
+    )
+    from s3_manifest_spark.sources.tables import synth_listing
+
+    spark = bucketed_merge
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge_change_feed(
+            spark.table("old_snap_b"), spark.table("chg_feed_b")
+        )
+        plan = _plan(merged)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, (
+            "bucketed MERGE should not shuffle either side:\n" + plan
+        )
+        expected = (
+            synth_listing(spark, SF)
+            .filter(F.expr(_DIFF_NEW_PRED))
+            .groupBy("key")
+            .agg(F.max(F.expr(_DIFF_BUMP)).cast("long").alias("size"))
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
