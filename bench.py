@@ -60,11 +60,13 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).count()
 
-    # Two passes, report the per-query minimum: the host VM has bursty
-    # noisy-neighbor contention (observed 5-10x inflation on identical
-    # queries minutes apart), and min-of-N both drops those spikes and
-    # measures the warm path a resident engine would actually serve.
-    RUNS = 3
+    # Several passes, report the per-query minimum: the host VM has
+    # bursty noisy-neighbor contention (observed 5-10x inflation on
+    # identical queries minutes apart — round-5 profiling saw the SAME
+    # query span 0.4s..3.4s within one session), and min-of-N both
+    # drops those spikes and measures the warm path a resident engine
+    # would actually serve.  The oracle gets the same min-of-N.
+    RUNS = 5
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(RUNS):
@@ -106,22 +108,50 @@ def main() -> int:
     except Exception:
         pass  # oracle timings are informative, never fail the bench
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "rows": rows,
-                "cpus": int(cpus),
-                "runs_per_query": RUNS,
-                "oracle_sec": oracle_secs,
-                "oracle_total_sec": round(sum(oracle_secs.values()), 4),
-            }
-        )
+    # Full per-query detail goes to a sidecar file; the stdout line is
+    # kept under ~1900 chars because the driver records only a
+    # 2000-char tail of stdout (BENCH_r04.json came back rc 0 but
+    # parsed: null when this line was ~6 KB).  The inline "queries"
+    # dict therefore carries the slowest queries — the ones graded
+    # against the 2x-of-oracle bar — and points at the sidecar for
+    # the rest.
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": rows,
+        "cpus": int(cpus),
+        "runs_per_query": RUNS,
+        "oracle_sec": oracle_secs,
+        "oracle_total_sec": round(sum(oracle_secs.values()), 4),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
     )
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "oracle_total_sec": full["oracle_total_sec"],
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    budget = 1850
+    for name, secs in slowest.items():
+        compact["queries"][name] = round(secs, 2)
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            compact["queries_omitted"] = len(timings) - len(compact["queries"])
+            break
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

@@ -6,8 +6,17 @@ Spark-native translation: the listing tasks add each page's row count
 to a Spark accumulator (task-side increments surface on the driver as
 tasks complete — the same freshness indicatif gets from its atomic
 counter), and a driver daemon thread redraws one console line in place
-every ``interval`` seconds.  The final line (authoritative totals) is
-rendered on exit, after the job's last task has reported.
+every ``interval`` seconds.
+
+Accuracy caveat: the accumulator is incremented inside a
+transformation (``mapInPandas``), so task retries and speculative
+execution DOUBLE-COUNT their pages — fine for a spinner, wrong for a
+report.  The final line rendered on ``__exit__`` is therefore the
+task-reported count, not an authoritative total; callers that need
+exact totals (the CLI's "Done. Processed N objects" line,
+cli.py:118-125) read them from a ``pyspark.sql.Observation`` attached
+to the same job, which Spark computes exactly once per row regardless
+of retries.
 
 Usage::
 
@@ -83,7 +92,10 @@ class ListingProgress:
         self._stop.set()
         if self._thread is not None:
             self._thread.join()
-        self._render("*")  # final redraw: totals after the last task
+        # Final redraw after the last task reported.  Task-reported
+        # count (can over-count on retries) — authoritative totals come
+        # from the job's Observation (see module docstring).
+        self._render("*")
         self._stream.write("\n")
         self._stream.flush()
         return False

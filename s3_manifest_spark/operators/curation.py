@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3_manifest_spark.registry import register
-from s3_manifest_spark.sources.tables import load_table
+from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 
 CHUNK_TOKENS = 30
 CHUNK_STRIDE = 20  # 10-token overlap between consecutive chunks
@@ -183,9 +183,9 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    # N is a parquet-metadata count (one cheap driver job), replacing a
-    # broadcast crossJoin of a 1-row aggregate.
-    nd = docs.count()
+    # N is a parquet-footer metadata read (no Spark job at all),
+    # replacing a broadcast crossJoin of a 1-row aggregate.
+    nd = parquet_row_count(f"{sf_dir}/documents.parquet")
     # dfreq/dlen as windows over the tf relation instead of two
     # aggregate+join round-trips: 3 shuffles total (term, doc, doc-rank)
     # and zero joins — measured ~25% faster at sf0.1.  The doc-length
@@ -477,10 +477,19 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass every LLM data pipeline runs before training;
     at 100 TB the probe side (real benchmarks: MMLU, GSM8K, ...) stays
     broadcast-sized by construction.
+
+    The shingle relation is persisted: the probe subplan and the corpus
+    side both consume it, and without the cache Catalyst
+    project-collapses the interpreted shingle HOF — the most expensive
+    expression in the repo — into BOTH branches, tokenizing the corpus
+    twice (measured 3.3× vs the oracle before; the probe side derives
+    from real benchmark files at 100 TB, where this double-scan shape
+    can't arise).
     """
     from s3_manifest_spark.operators.dedup import _shingled
+    from s3_manifest_spark.registry import track_persist
 
-    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+    sh = track_persist(_shingled(spark, sf_dir).select("doc_id", "sh"))
     probe = (
         sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
         .select("sh")

@@ -65,7 +65,9 @@ def manifest_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def manifest_stats_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 stats widened to a per-prefix rollup (depth 2)."""
-    m = derive_manifest(synth_listing(spark, sf_dir), bucket=BUCKET)
+    # widen=False: the stats groupBy below is itself a keyed Exchange,
+    # so the widening round-robin would just shuffle the rows twice.
+    m = derive_manifest(synth_listing(spark, sf_dir, widen=False), bucket=BUCKET)
     return m.groupBy(
         F.substring_index(F.col("Key"), "/", 2).alias("prefix2")
     ).agg(
@@ -122,7 +124,8 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketed_join.py) so this join co-locates without
     shuffling either snapshot.
     """
-    listing = synth_listing(spark, sf_dir)
+    # widen=False: the per-key aggregation below re-shuffles anyway.
+    listing = synth_listing(spark, sf_dir, widen=False)
     # Snapshots aggregate per key first: S3 keys are unique within a
     # listing, but the synthetic listing derives keys with ~9% dups —
     # and diff semantics are only well-defined on a keyed snapshot.
@@ -222,7 +225,8 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the two-sided full-outer MERGE, co-located shuffle-free over
     bucketed manifests (tests/test_bucketed_join.py).
     """
-    listing = synth_listing(spark, sf_dir)
+    # widen=False: the per-key aggregation below re-shuffles anyway.
+    listing = synth_listing(spark, sf_dir, widen=False)
     per_key = (
         listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
         .groupBy("key")

@@ -50,22 +50,37 @@ def group_percentiles(
     df: DataFrame,
     pcts: Sequence[float] = PCTS,
     partitions: int = SORT_PARTITIONS,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``v`` per group ``g`` with NO
     per-group value buffering (module docstring has the plan).
 
     ``df`` must have a string column ``g`` and numeric column ``v``.
     Returns one row per (g, p): ``g string, p double, q double``.
+
+    The sorted frame MUST stay persisted until the pick pass runs: the
+    metadata pass keyed the ``want`` map by partition id, and a
+    recomputed ``repartitionByRange`` may re-sample different range
+    boundaries, silently misaligning the picks.  Registry queries defer
+    the unpersist to the next registry call (``track_persist``);
+    library callers (who never trigger registry cleanup) should pass
+    ``eager_cleanup=True`` — the straddle rows (≤ 2·|pcts| per group)
+    are then materialized immediately and the cache is released before
+    returning.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    data = track_persist(
+    data = (
         df.select("g", F.col("v").cast("double").alias("v"))
         .repartitionByRange(partitions, "g", "v")
         .sortWithinPartitions("g", "v")
     )
+    if eager_cleanup:
+        data = data.persist()
+    else:
+        data = track_persist(data)
 
     # ---- metadata pass: per-(partition, group) counts → target picks
     counts = (
@@ -132,7 +147,15 @@ def group_percentiles(
             {"g": "str", "p": "float64", "role": "str", "v": "float64"}
         )
 
-    picked = data.mapInPandas(pick, schema="g string, p double, role string, v double")
+    pick_schema = "g string, p double, role string, v double"
+    picked = data.mapInPandas(pick, schema=pick_schema)
+    if eager_cleanup:
+        # Materialize the tiny straddle relation now so the sorted
+        # cache can be released before returning (no registry cleanup
+        # will ever run for a library caller).
+        picked_pdf = picked.toPandas()
+        data.unpersist(blocking=False)
+        picked = spark.createDataFrame(picked_pdf, schema=pick_schema)
 
     # ---- interpolation: one tiny aggregation; fracs attach as a
     # nested literal map (g -> p -> frac, driver-known metadata like

@@ -198,3 +198,20 @@ def test_substring_spans_flag_near_dup_docs(spark, q):
     assert near_dup_docs & set(pdf["example_doc"]), (
         "span dedup found none of the planted near-dup documents"
     )
+
+
+def test_substring_rolling_matches_md5_histogram(spark, q):
+    """The O(tokens) Rabin-Karp variant must find EXACTLY the same
+    duplicated spans as the md5 variant: same number of flagged spans,
+    identical (n_docs, n_occ, example_doc) histogram.  With 64-bit
+    fingerprints over the fixture's ~10^5 windows, a collision that
+    merges two distinct spans has probability ~2^-45 — so histogram
+    equality is an exact-match certificate for the rolling arithmetic
+    (prefix sums, inverse-power normalization, wraparound)."""
+    md5 = q["dedup_substring_spans"](spark, SF).toPandas()
+    roll = q["dedup_substring_rolling"](spark, SF).toPandas()
+    assert len(md5) == len(roll)
+    key = ["n_docs", "n_occ", "example_doc"]
+    h_md5 = sorted(map(tuple, md5[key].to_numpy().tolist()))
+    h_roll = sorted(map(tuple, roll[key].to_numpy().tolist()))
+    assert h_md5 == h_roll

@@ -39,7 +39,9 @@ def test_matches_numpy_linear_interpolation(spark, rows):
     # small partition count on purpose: groups must straddle partitions
     got = {
         (r["g"], r["p"]): r["q"]
-        for r in group_percentiles(df, PCTS, partitions=3).collect()
+        for r in group_percentiles(
+            df, PCTS, partitions=3, eager_cleanup=True
+        ).collect()
     }
     by_g: dict[str, list[float]] = {}
     for g, v in rows:
@@ -60,7 +62,10 @@ def test_duplicate_values_and_singletons(spark):
     got = {
         (r["g"], r["p"]): r["q"]
         for r in group_percentiles(
-            spark.createDataFrame(rows, "g string, v double"), (0.5,), partitions=2
+            spark.createDataFrame(rows, "g string, v double"),
+            (0.5,),
+            partitions=2,
+            eager_cleanup=True,
         ).collect()
     }
     assert got[("a", 0.5)] == 5.0
