@@ -562,39 +562,18 @@ EMBED_LSH_PLANES = 4         # r hyperplanes (signature bits) per band
 EMBED_LSH_SEED = 0x5EED_1E5B
 
 
-@register("dedup_embedding_lsh")  # rows-only: bucket recall is hash-seeded
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH-prefiltered embedding near-dup — the cheap
-    inexact-recall path that ``dedup_embedding``'s docstring
-    designates for 100 TB, as runnable code.
-
-    Construction (L={bands} tables × r={planes} random hyperplanes):
-    one ``mapInPandas`` pass assigns each vector its r-bit sign
-    signature in every band via a single seeded-deterministic BLAS
-    matmul (``E @ planesᵀ``); one shuffle keyed by (band, signature)
-    groups candidates; each bucket is scored with one ``block @
-    blockᵀ`` upper-triangle matmul; a final (vec_a, vec_b) group
-    dedupes pairs that collided in several bands.  Every emitted pair
-    passed the exact cosine threshold, so the output is a SUBSET of
-    ``dedup_embedding``'s pairs — precision 1 by construction, recall
-    = 1-(1-p^r)^L with p = 1-θ/π per pair.
-
-    Honest scale accounting: at this query's LOW threshold (0.4,
-    θ≈66°, p≈0.63) the parameters give ~75% expected recall, and the
-    fixture is the adversarial case — uniform-random vectors with no
-    cluster structure, so candidate volume approaches all-pairs.  In
-    the real near-dup regime (sim ≥ 0.9, p ≥ 0.97) the SAME
-    construction yields >99.9% recall with exponentially sparser
-    buckets — that is the regime where this plan replaces the blocked
-    exact sweep.  Shuffle volume is O(N·L) bucket rows (carrying
-    embeddings; an id-only variant + verify-join trims the width at
-    the cost of one more shuffle).
-    """.format(bands=EMBED_LSH_BANDS, planes=EMBED_LSH_PLANES)
+def _embedding_lsh_pairs(v: DataFrame, thr: float) -> DataFrame:
+    """Shared banded-LSH construction for the embedding near-dup
+    queries (see :func:`dedup_embedding_lsh` for the full plan
+    docstring); ``v`` is a ``(vec_id long, embedding array<float>)``
+    relation and ``thr`` the exact-cosine emit threshold.  Taking the
+    relation (not the fixture dir) keeps the construction testable on
+    synthetic planted-duplicate sets — the fixture's vectors are
+    uniform-random with no pair above cosine 0.52."""
     import numpy as np
     import pandas as pd
 
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    L, r, thr = EMBED_LSH_BANDS, EMBED_LSH_PLANES, EMBED_DUP_THRESHOLD
+    L, r = EMBED_LSH_BANDS, EMBED_LSH_PLANES
     seed = EMBED_LSH_SEED
 
     def assign(batches):
@@ -651,6 +630,71 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("vec_a", "vec_b").agg(
         F.first("cos_sim").alias("cos_sim")
     )
+
+
+@register("dedup_embedding_lsh")  # rows-only: bucket recall is hash-seeded
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH-prefiltered embedding near-dup — the cheap
+    inexact-recall path that ``dedup_embedding``'s docstring
+    designates for 100 TB, as runnable code.
+
+    Construction (L={bands} tables × r={planes} random hyperplanes):
+    one ``mapInPandas`` pass assigns each vector its r-bit sign
+    signature in every band via a single seeded-deterministic BLAS
+    matmul (``E @ planesᵀ``); one shuffle keyed by (band, signature)
+    groups candidates; each bucket is scored with one ``block @
+    blockᵀ`` upper-triangle matmul; a final (vec_a, vec_b) group
+    dedupes pairs that collided in several bands.  Every emitted pair
+    passed the exact cosine threshold, so the output is a SUBSET of
+    ``dedup_embedding``'s pairs — precision 1 by construction, recall
+    = 1-(1-p^r)^L with p = 1-θ/π per pair.
+
+    Honest scale accounting: at this query's LOW threshold (0.4,
+    θ≈66°, p≈0.63) the parameters give ~75% expected recall, and the
+    fixture is the adversarial case — uniform-random vectors with no
+    cluster structure, so candidate volume approaches all-pairs.  In
+    the real near-dup regime (sim ≥ 0.9, p ≥ 0.97) the SAME
+    construction yields >99.9% recall with exponentially sparser
+    buckets — :func:`dedup_embedding_lsh_hi` below runs it there, with
+    the recall pinned by tests/test_llm_ops.py.  Shuffle volume is
+    O(N·L) bucket rows (carrying embeddings; an id-only variant +
+    verify-join trims the width at the cost of one more shuffle).
+    """.format(bands=EMBED_LSH_BANDS, planes=EMBED_LSH_PLANES)
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _embedding_lsh_pairs(v, EMBED_DUP_THRESHOLD)
+
+
+#: Production near-dup threshold: two embeddings of genuinely
+#: duplicated content land at cosine ≥ 0.9 (θ ≤ 25.8°, per-band
+#: collision p = 1-θ/π ≥ 0.856).
+EMBED_DUP_THRESHOLD_HI = 0.9
+
+
+@register("dedup_embedding_lsh_hi")  # rows-only: bucket recall is hash-seeded
+def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_embedding_lsh` at the PRODUCTION near-dup threshold
+    (cosine ≥ {thr}) — the regime its docstring's recall math argues
+    for, demonstrated rather than asserted.
+
+    With p = 1-θ/π ≥ 0.856 per band row, the L={bands}×r={planes}
+    construction misses a qualifying pair with probability
+    (1-p^r)^L ≤ (1-0.856^4)^8 ≈ 2·10^-3 at the 0.9 boundary, falling
+    below 10^-4 by sim ≈ 0.95.  The fixture's embeddings are
+    uniform-random (no pair above cosine 0.52), so this entry returns
+    an empty relation there — tests/test_llm_ops.py therefore pins the
+    recall claim on a PLANTED duplicate set: 100 near-dup pairs at
+    sim 0.93-0.999 against the brute-force exact answer, full recall.
+    Buckets at this threshold are exponentially sparser than the
+    0.4-threshold query's: candidate volume is driven by genuine
+    duplicates, not the random background, which is exactly why this
+    is the 100 TB configuration.
+    """.format(
+        thr=EMBED_DUP_THRESHOLD_HI,
+        bands=EMBED_LSH_BANDS,
+        planes=EMBED_LSH_PLANES,
+    )
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _embedding_lsh_pairs(v, EMBED_DUP_THRESHOLD_HI)
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 is engine-specific

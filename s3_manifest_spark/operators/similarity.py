@@ -180,48 +180,78 @@ IVF_LLOYD_STEPS = 2
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k, FAISS-style split:
 
-    1. TRAIN (driver): the coarse quantizer is k-means-trained on a
+    1. TRAIN (distributed): {IVF_LLOYD_STEPS} Lloyd rounds over a
        deterministic 1-in-{IVF_TRAIN_STRIDE} sample — exactly how
        FAISS trains IVF on a corpus sample, because the quantizer only
-       needs the density shape, not every row.  Seed assignment is
-       vec_id % K, then {IVF_LLOYD_STEPS} Lloyd steps in numpy.
+       needs the density shape, not every row.  Each round is the
+       treeAggregate shape: every Arrow batch assigns its vectors to
+       cells (seed round: vec_id % K; later rounds: one BLAS matmul
+       against the broadcast centroids) and emits ONE partial row per
+       cell — (cell, member count, component sum) — so the driver
+       combines at most K·partitions short rows per round and never
+       sees a sample vector.  Driver memory is O(K·d), independent of
+       sample and corpus size.
     2. SEARCH (one distributed pass): centroids + query matrix +
        per-query probe cells are broadcast; each Arrow batch assigns
        its vectors to cells (one BLAS matmul), scores only the rows
        whose cell is probed by some query, and emits its local top-k
        per query.  A final window merges ≤ k·batches candidates.
 
-    The corpus is never shuffled and never collected.  The ONLY
-    driver-side materializations are explicitly bounded samples:
-    the training sample (N/{IVF_TRAIN_STRIDE} rows) and the query set
-    (N/{QUERY_STRIDE} rows), i.e. driver memory ≈ (N/stride)·d·8
-    bytes each.  At 100 TB you raise IVF_TRAIN_STRIDE so the sample
-    stays ~1-4M vectors (FAISS's own IVF training regime — ~2 GB
-    driver RAM at d=64) and the plan is otherwise unchanged — recall
-    tunes via IVF_K / IVF_NPROBE as in IVF-Flat.  (A fully
-    executor-side alternative is a treeAggregate Lloyd step per
-    round; the bounded driver sample is the standard and cheaper
-    choice, so it is the one implemented.)
+    The corpus is never shuffled and never collected.  The only
+    driver-side row materializations are the per-round Lloyd partials
+    (≤ K·partitions) and the query set (N/{QUERY_STRIDE} rows,
+    bounded and documented).  Recall tunes via IVF_K / IVF_NPROBE as
+    in IVF-Flat.
     """
     import numpy as np
     import pandas as pd
 
+    from s3_manifest_spark.registry import track_persist
+
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # -- train: deterministic sample -> seeded Lloyd on the driver
-    tr = v.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0).toPandas()
-    tids = tr["vec_id"].to_numpy(dtype="int64")
-    X = np.stack(tr["embedding"].to_numpy()).astype("float64")
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    assign = (tids % IVF_K).astype("int64")
-    cent = np.zeros((IVF_K, X.shape[1]))
+    # -- train: distributed Lloyd, one partial-aggregation job per round
+    tr = track_persist(v.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0))
+    cent: np.ndarray | None = None  # None -> seed round (vec_id % K)
+
+    def lloyd_partials(cents):
+        def gen(batches):
+            for b in batches:
+                ids = b["vec_id"].to_numpy(dtype="int64")
+                e = np.stack(b["embedding"].to_numpy()).astype("float64")
+                en = e / np.linalg.norm(e, axis=1, keepdims=True)
+                if cents is None:
+                    cells = (ids % IVF_K).astype("int64")
+                else:
+                    cn = cents / np.maximum(
+                        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+                    )
+                    cells = np.argmax(en @ cn.T, axis=1)  # ties -> lowest
+                uniq = np.unique(cells)
+                yield pd.DataFrame(
+                    {
+                        "cell": uniq.astype("int32"),
+                        "n": [int((cells == c).sum()) for c in uniq],
+                        "s": [en[cells == c].sum(axis=0).tolist() for c in uniq],
+                    }
+                )
+
+        return gen
+
     for _ in range(IVF_LLOYD_STEPS):
-        for c in range(IVF_K):
-            members = Xn[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(Xn @ centn.T, axis=1)  # ties -> lowest cell id
+        partials = tr.mapInPandas(
+            lloyd_partials(cent), schema="cell int, n long, s array<double>"
+        ).collect()  # <= K * partitions short rows
+        dim = len(partials[0]["s"])
+        sums = np.zeros((IVF_K, dim))
+        counts = np.zeros(IVF_K)
+        for r in partials:
+            sums[r["cell"]] += np.asarray(r["s"])
+            counts[r["cell"]] += r["n"]
+        new_cent = np.zeros((IVF_K, dim)) if cent is None else cent.copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]  # empty cells keep previous
+        cent = new_cent
     centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     # -- query probe lists (queries are corpus rows; tiny, driver-side)

@@ -183,6 +183,54 @@ def test_embedding_lsh_subset_with_recall(spark, q):
     assert len(lsh & exact) / len(exact) >= 0.6
 
 
+def test_embedding_lsh_hi_full_recall_at_production_threshold(spark, q):
+    """The fixture embeddings are uniform-random (max pair cosine
+    ~0.51), so the production-threshold query must be empty there; the
+    recall claim is pinned on a planted set: 100 base vectors each
+    duplicated with a small perturbation (cosine 0.93-0.999), mixed
+    into 300 random decoys.  The banded construction's per-pair miss
+    probability at sim >= 0.93 is <= 6e-4, and the plane seed is
+    fixed, so full recall is a deterministic outcome here — and every
+    emitted pair passed the exact threshold, so precision is 1 by
+    construction."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.dedup import _embedding_lsh_pairs
+
+    assert q["dedup_embedding_lsh_hi"](spark, SF).count() == 0
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.standard_normal((100, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # perturb toward a random direction: scale chosen so cosine lands
+    # in ~[0.93, 0.999]
+    eps = rng.uniform(0.05, 0.35, size=(100, 1))
+    dup = base + eps * rng.standard_normal((100, dim)) / np.sqrt(dim)
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    decoys = rng.standard_normal((300, dim))
+    decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+    vecs = np.vstack([base, dup, decoys])
+
+    exact = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if float(np.round(vecs[a] @ vecs[b], 6)) >= 0.9
+    }
+    assert len(exact) >= 80, "planting failed to produce >=0.9 pairs"
+
+    v = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _embedding_lsh_pairs(v, 0.9).collect()
+    }
+    assert got == exact
+
+
 def test_substring_spans_flag_near_dup_docs(spark, q):
     """Duplicated 8-token spans must exist (the fixture plants
     near-duplicates) and every flagged span's doc set must be >= 2 with
