@@ -503,6 +503,117 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom sizing: bits per distinct probe shingle and hash count.
+#: 10 bits/item with k=7 double-hashed probes ≈ 0.8% false positives.
+CONTAM_BLOOM_BITS_PER_ITEM = 10
+CONTAM_BLOOM_K = 7
+#: second siphash key for double hashing (pd.util.hash_array wants
+#: exactly 16 characters)
+_BLOOM_KEY2 = "bloom-2nd-seed!!"
+
+
+@register("contamination_bloom")  # rows-only: bloom FPR is probabilistic
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — :func:`contamination_screen`'s
+    100 TB form for when even the DISTINCT probe shingle set is too
+    big to broadcast as an exact hash set (a full eval-benchmark union
+    can reach billions of shingles; an exact set costs ~50 B/entry, a
+    Bloom filter {bits} BITS).
+
+    Plan (pyspark exposes no user-facing ``bloom_filter_agg``, so the
+    filter is built explicitly — which also makes the memory story
+    auditable):
+
+    1. BUILD, distributed: each Arrow batch of the probe side sets
+       k={k} double-hashed bit positions (vectorized siphash via
+       ``pd.util.hash_array``, ``np.bitwise_or.at`` into a local
+       bitset) and emits ONE partition-local bitset row; the driver
+       ORs ≤ partitions bitsets — the same partial-merge shape as a
+       native bloom aggregate, driver memory = bitset size, not probe
+       size.
+    2. SCREEN, no join: the merged bitset broadcasts; each corpus
+       batch tests membership vectorized and emits only candidate
+       (doc, shingle) hits, which aggregate to per-doc counts.  The
+       corpus never shuffles for the screen.
+
+    Bloom semantics: no false negatives, ~1% false positives — the
+    flagged set is a SUPERSET of the exact screen's with per-doc
+    counts ≥ the exact counts (pinned in tests/test_curation.py);
+    run the exact broadcast join on the survivors when exact hit
+    counts are needed.
+    """.format(bits=CONTAM_BLOOM_BITS_PER_ITEM, k=CONTAM_BLOOM_K)
+    import numpy as np
+    import pandas as pd
+
+    from s3_manifest_spark.operators.dedup import _shingled
+    from s3_manifest_spark.registry import track_persist
+
+    sh = track_persist(_shingled(spark, sf_dir).select("doc_id", "sh"))
+    probe = (
+        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
+        .select("sh")
+        .distinct()
+    )
+    # Size from the parquet footer (never a Spark job): docs × a
+    # generous distinct-shingle bound — oversizing wastes bits, never
+    # correctness.
+    n_items = max(
+        1024, parquet_row_count(f"{sf_dir}/documents.parquet") * 100
+    )
+    m_bits = n_items * CONTAM_BLOOM_BITS_PER_ITEM
+    n_words = (m_bits + 63) // 64
+    k = CONTAM_BLOOM_K
+
+    def positions(vals):
+        # double hashing: pos_j = (h1 + j·h2) mod m, all uint64
+        h1 = pd.util.hash_array(vals)
+        h2 = pd.util.hash_array(vals, hash_key=_BLOOM_KEY2)
+        j = np.arange(k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)
+
+    def build(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            vals = pdf["sh"].to_numpy()
+            if len(vals) == 0:
+                continue
+            pos = positions(vals).reshape(-1)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = probe.mapInPandas(build, schema="bits binary").collect()
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for r in partials:  # <= probe partitions rows, each |bitset| bytes
+        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(bloom)
+
+    def screen(batches):
+        bits = bc.value
+        for pdf in batches:
+            vals = pdf["sh"].to_numpy()
+            if len(vals) == 0:
+                continue
+            pos = positions(vals)  # (k, n)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit = ((word >> (pos & np.uint64(63))) & np.uint64(1)).all(
+                axis=0
+            )
+            if hit.any():
+                yield pdf[hit]
+
+    candidates = sh.filter(
+        F.col("doc_id") % CONTAM_PROBE_STRIDE != 0
+    ).mapInPandas(screen, schema="doc_id long, sh string")
+    return candidates.groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_candidate_hits")
+    )
+
+
 @register(
     "domain_mix",
     oracle="""

@@ -85,6 +85,15 @@ def widen_scan(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+#: Reader-DataFrame memo: (session id, sf_dir, table, widen) -> frame.
+#: DataFrames are immutable lazy plans, so reuse is semantically free;
+#: what it saves is the per-call py4j construction + parquet footer
+#: schema read (~50-100 ms), which the floor-class profile showed was
+#: up to HALF of a trivial query's wall clock.  Keyed by id(spark) so
+#: a fresh session (new JVM state) never sees a stale plan.
+_READER_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool = False
 ) -> DataFrame:
@@ -94,6 +103,10 @@ def load_table(
     so no extra exchange lands in their plans."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name, widen)
+    cached = _READER_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # Re-assert nanosAsLong for externally-created sessions that
@@ -102,7 +115,9 @@ def load_table(
         df = normalize_event_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
-    return widen_scan(df, path) if widen else df
+    df = widen_scan(df, path) if widen else df
+    _READER_CACHE[key] = df
+    return df
 
 
 def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
@@ -127,6 +142,10 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
     prefix filter) where the widening shuffle is the only exchange and
     buys 32-wide projection + Arrow encode.
     """
+    key = (id(spark), sf_dir, "__synth_listing__", widen)
+    cached = _READER_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem")
     out = li.select(
         F.concat(
@@ -143,7 +162,9 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
             "last_modified"
         ),
     )
-    return widen_scan(out, f"{sf_dir}/lineitem.parquet") if widen else out
+    out = widen_scan(out, f"{sf_dir}/lineitem.parquet") if widen else out
+    _READER_CACHE[key] = out
+    return out
 
 
 #: DuckDB twin of :func:`synth_listing` (referenced as a CTE by the

@@ -143,6 +143,22 @@ def test_contamination_screen_excludes_probes(spark, q):
     assert (c["n_probe_hits"] >= 1).all()
 
 
+def test_contamination_bloom_supersets_exact_screen(spark, q):
+    """Bloom filters have no false negatives: every doc the exact
+    screen flags must be flagged by the bloom screen with at least as
+    many candidate hits, and the bloom overshoot (false positives at
+    ~1% FPR) must stay small relative to the exact answer."""
+    exact = q["contamination_screen"](spark, SF).toPandas()
+    bloom = q["contamination_bloom"](spark, SF).toPandas()
+    e = dict(zip(exact["doc_id"], exact["n_probe_hits"]))
+    b = dict(zip(bloom["doc_id"], bloom["n_candidate_hits"]))
+    assert set(e) <= set(b), "bloom screen missed an exactly-flagged doc"
+    for doc_id, hits in e.items():
+        assert b[doc_id] >= hits, (doc_id, b[doc_id], hits)
+    # overshoot bound: total candidate hits within 10% of exact hits
+    assert sum(b.values()) <= 1.10 * sum(e.values()) + 10
+
+
 def test_domain_mix_shares_sum_to_one(spark, q):
     m = q["domain_mix"](spark, SF).toPandas()
     assert abs(m["token_share"].sum() - 1.0) < 1e-3
