@@ -170,6 +170,39 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_per_key(listing: DataFrame) -> DataFrame:
+    """The single-scan CDC aggregation shared by the batch
+    ``manifest_apply_changes`` and the streaming maintainer
+    (``streaming/cdc.py``): per key, old-snapshot size and feed size as
+    max-over-filtered-rows in ONE groupBy.  ``F.max(F.when(...))`` is
+    a plain aggregate, so the expression works identically as a batch
+    aggregation and as a streaming stateful aggregation (2 longs of
+    state per key)."""
+    return (
+        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
+            .cast("long")
+            .alias("old_sz"),
+            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
+            .cast("long")
+            .alias("feed_new"),
+        )
+    )
+
+
+def cdc_merge(per_key: DataFrame) -> DataFrame:
+    """MERGE cases over the aggregated (key, old_sz, feed_new) row: a
+    changed key (old <> feed, null-safe) takes feed_new — NULL feed is
+    a delete, dropped by the filter; an unchanged key keeps old_sz."""
+    chg = ~F.col("old_sz").eqNullSafe(F.col("feed_new"))
+    size = F.when(chg, F.col("feed_new")).otherwise(F.col("old_sz"))
+    return per_key.select("key", size.cast("long").alias("size")).filter(
+        F.col("size").isNotNull()
+    )
+
+
 def merge_change_feed(old: DataFrame, feed: DataFrame) -> DataFrame:
     """The DIY MERGE shape Spark DataFrames lack natively: ``old``
     (``key, old_sz``) full-outer-joined with a change feed
@@ -227,24 +260,4 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # widen=False: the per-key aggregation below re-shuffles anyway.
     listing = synth_listing(spark, sf_dir, widen=False)
-    per_key = (
-        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .groupBy("key")
-        .agg(
-            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
-            .cast("long")
-            .alias("old_sz"),
-            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
-            .cast("long")
-            .alias("feed_new"),
-        )
-    )
-    # MERGE cases over the single aggregated row: a key in the feed
-    # (old <> new, null-safe) takes feed_new — NULL feed_new is a
-    # delete, dropped by the final filter; a key not in the feed keeps
-    # old_sz.
-    chg = ~F.col("old_sz").eqNullSafe(F.col("feed_new"))
-    size = F.when(chg, F.col("feed_new")).otherwise(F.col("old_sz"))
-    return per_key.select("key", size.cast("long").alias("size")).filter(
-        F.col("size").isNotNull()
-    )
+    return cdc_merge(cdc_per_key(listing))

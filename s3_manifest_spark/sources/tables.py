@@ -147,7 +147,18 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
     if cached is not None:
         return cached
     li = load_table(spark, sf_dir, "lineitem")
-    out = li.select(
+    out = listing_projection(li)
+    out = widen_scan(out, f"{sf_dir}/lineitem.parquet") if widen else out
+    _READER_CACHE[key] = out
+    return out
+
+
+def listing_projection(li: DataFrame) -> DataFrame:
+    """The lineitem → listing column derivation shared by
+    :func:`synth_listing` (batch) and the streaming listing source
+    (``streaming/cdc.py``) — pure column expressions, so it applies
+    identically to a batch scan and a readStream relation."""
+    return li.select(
         F.concat(
             F.lit("data/"),
             F.col("l_returnflag"),
@@ -162,9 +173,6 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
             "last_modified"
         ),
     )
-    out = widen_scan(out, f"{sf_dir}/lineitem.parquet") if widen else out
-    _READER_CACHE[key] = out
-    return out
 
 
 #: DuckDB twin of :func:`synth_listing` (referenced as a CTE by the

@@ -202,3 +202,19 @@ def test_stream_sliding_live_equals_batch_twin(spark):
     batch = q["stream_sliding"](spark, sf).toPandas().sort_values(key)
     assert list(live.n_events) == list(batch.n_events)
     assert len(live) > 0
+
+
+def test_stream_cdc_apply_live_equals_batch_apply(spark):
+    """The streaming manifest maintainer's drained snapshot must equal
+    the batch CDC apply row-for-row: same keys, same sizes."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    live = q["stream_cdc_apply_live"](spark, sf).toPandas().sort_values("key")
+    batch = (
+        q["manifest_apply_changes"](spark, sf).toPandas().sort_values("key")
+    )
+    assert len(live) > 0
+    assert list(live.key) == list(batch.key)
+    assert list(live["size"]) == list(batch["size"])
