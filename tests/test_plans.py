@@ -226,6 +226,31 @@ def test_mix_rebalance_aggregates_before_window(spark):
     assert len(re.findall(r"HashAggregate|ObjectHashAggregate", plan)) >= 2
 
 
+def test_apply_changes_single_key_shuffle(spark):
+    """The single-scan CDC apply is ONE conditional aggregation: one
+    keyed exchange, never the three of the two-aggregation + full-outer
+    MERGE form (that form lives in merge_change_feed for genuinely
+    independent snapshots, shuffle-free over bucketed tables)."""
+    assert _n_exchanges(plan_of(spark, "manifest_apply_changes")) <= 1
+
+
+def test_substring_rolling_single_combinable_shuffle(spark):
+    """Same shuffle budget as the md5 variant: fingerprinting happens
+    in-task (mapInPandas), the only exchanges are the two levels of the
+    distinct-doc aggregation keyed by the uniform fingerprint."""
+    plan = plan_of(spark, "dedup_substring_rolling")
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_contamination_bloom_no_join(spark):
+    """The bloom screen must contain NO join operator at all — the
+    bitset travels as a broadcast variable inside the mapInPandas
+    closure; the only keyed exchange is the per-doc hit aggregation."""
+    plan = plan_of(spark, "contamination_bloom")
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) <= 2, plan
+
+
 def test_widen_gate_disables_at_scale(spark, tmp_path):
     """widen_scan repartitions ONLY degenerate layouts: a file with at
     least as many row groups as cores gets no exchange at all (the
