@@ -918,3 +918,111 @@ def mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.round(F.col("n_docs") * rate, 0).cast("long").alias("expected_docs"),
     )
+
+
+EPOCH_SEED = "epoch1"
+#: Range-sort width for the ordinal assignment (see SORT note in
+#: operators/quantiles.py — production sizes this to data volume).
+SHUFFLE_PARTITIONS = 8
+
+
+def global_ordinal(
+    df: DataFrame, sort_cols: list, eager_cleanup: bool = False
+) -> DataFrame:
+    """Dense 0-based global ordinal under ``sort_cols`` order — the
+    DataFrame form of ``zipWithIndex``, built scale-correctly:
+
+    1. one range sort on ``sort_cols`` (distributed, spill-backed);
+    2. one metadata pass: per-partition row counts → cumulative
+       offsets, collected to the driver (P short rows, bounded by
+       partition count, never by data);
+    3. one Arrow-batched pass adding ``position = offset + local
+       index`` — no window over a single partition anywhere, which is
+       what ``row_number() OVER (ORDER BY ...)`` would degenerate to.
+
+    Library callers (outside the registry) pass ``eager_cleanup=True``
+    — same contract as ``quantiles.group_percentiles``: the sorted
+    frame must stay cached between the metadata and ordinal passes
+    (partition ids must match), so either the registry releases it at
+    the next query or the result is materialized before returning.
+    """
+    import pandas as pd
+
+    from s3_manifest_spark.registry import track_persist
+
+    spark = df.sparkSession
+    data = df.repartitionByRange(
+        SHUFFLE_PARTITIONS, *sort_cols
+    ).sortWithinPartitions(*sort_cols)
+    data = data.persist() if eager_cleanup else track_persist(data)
+
+    counts = (
+        data.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in data.schema.fields
+    ) + ", position long"
+
+    def add_ordinal(batches):
+        from pyspark import TaskContext
+
+        base = b_off.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["position"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    result = data.mapInPandas(add_ordinal, schema=out_schema)
+    if eager_cleanup:
+        pdf = result.toPandas()
+        data.unpersist(blocking=False)
+        result = spark.createDataFrame(pdf, schema=out_schema)
+    return result
+
+
+@register(
+    "shuffle_epoch",
+    oracle=f"""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{EPOCH_SEED}') AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{EPOCH_SEED}'), doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the training-order primitive: each
+    epoch's document order is a seeded hash permutation (md5 of
+    doc_id + epoch seed), with every document's global POSITION
+    materialized.  Reshuffling between epochs = change the seed;
+    resuming mid-epoch = filter position >= checkpoint — both need the
+    ordinal to be stable and exactly reproducible, which is why this
+    is hash-oracle-checked.
+
+    The position comes from :func:`global_ordinal` (range sort +
+    partition-offset metadata + in-task enumeration).  A naive
+    ``row_number() OVER (ORDER BY key)`` collapses the corpus into ONE
+    window partition at any scale; this plan's only corpus-wide
+    movement is the range sort every epoch write needs anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{EPOCH_SEED}"))
+        ).alias("shuffle_key"),
+    )
+    return global_ordinal(keyed, ["shuffle_key", "doc_id"])

@@ -247,3 +247,17 @@ def test_weighted_inclusion_no_int64_wrap(spark):
     ).collect()
     assert got[0]["inc"] is True   # K·w·2^32 = K·ΣW·2^32 > u32·ΣW always
     assert got[1]["inc"] is False  # tiny weight, near-max uniform
+
+
+def test_global_ordinal_dense_and_order_correct(spark):
+    """Positions must be a dense 0..n-1 permutation matching the sort
+    order, including duplicate sort keys and partitions left empty by
+    the range split."""
+    from s3_manifest_spark.operators.curation import global_ordinal
+
+    rows = [(i % 7, i) for i in range(123)]  # duplicate keys on k
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = global_ordinal(df, ["k", "v"], eager_cleanup=True).toPandas()
+    assert sorted(got["position"]) == list(range(123))
+    ordered = got.sort_values("position")
+    assert list(ordered[["k", "v"]].itertuples(index=False, name=None)) == sorted(rows)
