@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="suppress the live listing spinner (elapsed/objects/obj-sec)",
     )
     p.add_argument(
+        "--start-after",
+        default="",
+        metavar="KEY",
+        help=(
+            "incremental listing: only keys strictly greater than KEY "
+            "(S3 StartAfter, pushed to the API; shards wholly at or "
+            "below it are never requested).  Feed the previous "
+            "manifest's max(Key) to list only the new tail."
+        ),
+    )
+    p.add_argument(
         "--single-object",
         action="store_true",
         help=(
@@ -114,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
             observation=obs,
             single_object=args.single_object,
             progress=prog,
+            start_after=args.start_after,
         )
     stats = obs.get
     elapsed = _time.perf_counter() - t0

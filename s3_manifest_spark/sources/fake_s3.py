@@ -28,10 +28,16 @@ class FakeS3Client:
         delimiter = kw.get("Delimiter")
         max_keys = kw.get("MaxKeys", 1000)
         token = kw.get("ContinuationToken", "")
+        # Real-S3 semantics: StartAfter begins the listing STRICTLY
+        # after the given key and is ignored once a ContinuationToken
+        # is present (the token already encodes the position).
+        start_after = "" if token else kw.get("StartAfter", "")
 
         objs = self._buckets[bucket]
         keys = list(objs.keys())
         lo = bisect_left(keys, max(prefix, token))
+        if start_after:
+            lo = max(lo, bisect_right(keys, start_after))
         hi = bisect_right(keys, prefix + "￿") if prefix else len(keys)
 
         contents, common, seen_prefixes = [], [], set()

@@ -215,6 +215,7 @@ def list_objects_df(
     target_shards: int = 64,
     page_size: int = PAGE_SIZE,
     progress=None,
+    start_after: str = "",
 ) -> DataFrame:
     """Listing DataFrame over ``s3://bucket/prefix``, parallel by shard.
 
@@ -226,12 +227,34 @@ def list_objects_df(
     ``progress`` (a :class:`~s3_manifest_spark.manifest.progress.
     ListingProgress`) gets its accumulator incremented once per listed
     page — the live spinner's data feed (U1, main.rs:176-183).
+
+    ``start_after`` makes the listing INCREMENTAL: only keys strictly
+    greater than the marker are returned (S3 ``StartAfter``, pushed
+    into the API like the prefix).  Feed it the previous manifest's
+    ``max(Key)`` and only the tail of the keyspace is ever listed —
+    shards whose entire key range sorts at or below the marker are
+    skipped without a single API call, so a mostly-unchanged bucket
+    costs O(new keys / page) round-trips, not O(bucket).  Composes
+    with the CDC apply (``operators/manifest_queries.py``) for
+    incremental manifest maintenance.  Note: S3 keys are append-sorted
+    only by name — this captures keys ABOVE the marker, the common
+    log/date-partitioned layout; arbitrary inserts need the full
+    listing + ``manifest_diff``.
     """
     client_factory = client_factory or make_boto3_client_factory()
     driver_client = client_factory()
     shards, direct = discover_shards(
         driver_client, bucket, prefix, delimiter, target_shards
     )
+    if start_after:
+        # A shard's keys all share its prefix, so they sort within
+        # [p, p + U+FFFF...).  If that whole interval <= marker, skip
+        # the shard outright (no API call); otherwise the API-side
+        # StartAfter trims within the shard.
+        shards = [p for p in shards if f"{p}￿" > start_after]
+        direct = [
+            o for o in direct if (o.get("Key") or "") > start_after
+        ]
     # Only the accumulator crosses into the task closure (it pickles by
     # reference); the progress object's thread/stream stay driver-side.
     acc = progress.accumulator if progress is not None else None
@@ -243,6 +266,8 @@ def list_objects_df(
                 token = None
                 while True:
                     kw = {"Bucket": bucket, "Prefix": shard, "MaxKeys": page_size}
+                    if start_after and not token:
+                        kw["StartAfter"] = start_after
                     if token:
                         kw["ContinuationToken"] = token
                     resp = _retry(lambda: client.list_objects_v2(**kw))
@@ -285,6 +310,7 @@ def manifest_from_s3(
     observation=None,
     single_object: bool = False,
     progress=None,
+    start_after: str = "",
 ) -> DataFrame:
     """The reference CLI's whole job (main.rs:120-292): list → derive
     manifest → optionally write parquet.  S3 output goes through the
@@ -303,7 +329,7 @@ def manifest_from_s3(
     bucket, prefix = parse_s3_uri(source_uri)
     listing = list_objects_df(
         spark, bucket, prefix, client_factory, delimiter, target_shards,
-        progress=progress,
+        progress=progress, start_after=start_after,
     )
     manifest = derive_manifest(listing, bucket, prefix, delimiter)
     if observation is not None:

@@ -189,3 +189,56 @@ def test_listing_progress_heartbeat(spark):
     out = buf.getvalue()
     final = out.rsplit("\r", 1)[-1]
     assert re.search(rf"\[ *[\d.]+s\] {n} objects \([\d,]+ objects/sec\)", final)
+
+
+def test_fake_start_after_semantics():
+    """StartAfter begins strictly after the marker and is ignored when
+    a ContinuationToken is present (real-S3 rules)."""
+    from s3_manifest_spark.sources.fake_s3 import fake_client_factory
+
+    c = fake_client_factory()
+    marker = sorted(ALL_KEYS)[100]
+    resp = c.list_objects_v2(
+        Bucket="fake-bucket", StartAfter=marker, MaxKeys=50
+    )
+    got = [o["Key"] for o in resp["Contents"]]
+    assert got == sorted(k for k in ALL_KEYS if k > marker)[:50]
+    assert marker not in got
+    # token overrides StartAfter
+    tok = resp["NextContinuationToken"]
+    resp2 = c.list_objects_v2(
+        Bucket="fake-bucket",
+        StartAfter="zzzz-way-past-everything",
+        ContinuationToken=tok,
+        MaxKeys=10,
+    )
+    assert [o["Key"] for o in resp2["Contents"]] == sorted(
+        k for k in ALL_KEYS if k >= tok
+    )[:10]
+
+
+def test_incremental_listing_equals_tail(spark):
+    """start_after must return exactly the keys above the marker —
+    pagination, sharding, and the shard-skip fast path included — so
+    previous ∪ incremental == full listing with no overlap."""
+    marker = sorted(ALL_KEYS)[len(ALL_KEYS) // 2]
+    inc = list_objects_df(
+        spark,
+        "fake-bucket",
+        client_factory=fake_client_factory,
+        page_size=100,
+        start_after=marker,
+    )
+    got = sorted(r.key for r in inc.collect())
+    assert got == sorted(k for k in ALL_KEYS if k > marker)
+
+
+def test_incremental_listing_empty_when_marker_at_end(spark):
+    last = max(ALL_KEYS)
+    inc = list_objects_df(
+        spark,
+        "fake-bucket",
+        client_factory=fake_client_factory,
+        start_after=last,
+    )
+    assert inc.count() == 0
