@@ -586,9 +586,13 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = probe.mapInPandas(build, schema="bits binary").collect()
+    # toLocalIterator: the driver holds ONE partial bitset at a time
+    # while OR-folding (collect() would hold partitions × |bitset| at
+    # once — at 1M docs × 200 partitions that is tens of GB; streamed,
+    # it is |bitset| + one in flight, honoring the "driver memory =
+    # bitset size" contract).
     bloom = np.zeros(n_words, dtype=np.uint64)
-    for r in partials:  # <= probe partitions rows, each |bitset| bytes
+    for r in probe.mapInPandas(build, schema="bits binary").toLocalIterator():
         bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
     bc = spark.sparkContext.broadcast(bloom)
 
@@ -940,21 +944,22 @@ def global_ordinal(
        index`` — no window over a single partition anywhere, which is
        what ``row_number() OVER (ORDER BY ...)`` would degenerate to.
 
-    Library callers (outside the registry) pass ``eager_cleanup=True``
-    — same contract as ``quantiles.group_percentiles``: the sorted
-    frame must stay cached between the metadata and ordinal passes
-    (partition ids must match), so either the registry releases it at
-    the next query or the result is materialized before returning.
+    The partition layout must stay frozen between the metadata and
+    ordinal passes (offsets are keyed by partition id) — handled by
+    ``registry.pin_partitions``, same contract as
+    ``quantiles.group_percentiles``: registry queries persist with
+    deferred cleanup; library callers pass ``eager_cleanup=True`` for
+    a localCheckpoint (lineage truncated, nothing routed through the
+    driver, blocks freed on GC).
     """
-    import pandas as pd
-
-    from s3_manifest_spark.registry import track_persist
+    from s3_manifest_spark.registry import pin_partitions
 
     spark = df.sparkSession
-    data = df.repartitionByRange(
-        SHUFFLE_PARTITIONS, *sort_cols
-    ).sortWithinPartitions(*sort_cols)
-    data = data.persist() if eager_cleanup else track_persist(data)
+    data = pin_partitions(
+        df.repartitionByRange(SHUFFLE_PARTITIONS, *sort_cols)
+        .sortWithinPartitions(*sort_cols),
+        eager_cleanup,
+    )
 
     counts = (
         data.withColumn("pid", F.spark_partition_id())
@@ -984,12 +989,7 @@ def global_ordinal(
             seen += len(pdf)
             yield pdf
 
-    result = data.mapInPandas(add_ordinal, schema=out_schema)
-    if eager_cleanup:
-        pdf = result.toPandas()
-        data.unpersist(blocking=False)
-        result = spark.createDataFrame(pdf, schema=out_schema)
-    return result
+    return data.mapInPandas(add_ordinal, schema=out_schema)
 
 
 @register(

@@ -436,6 +436,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids: list = []
             hs: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text -> no spans (as the
+                    continue      # Catalyst split() would produce)
                 t = text.split(" ")  # same semantics as split(text,' ',-1)
                 m = len(t) - W + 1
                 if m <= 0:
@@ -516,6 +518,8 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids: list = []
                 fps: list = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    if text is None:  # NULL text -> no spans
+                        continue
                     t = text.split(" ")
                     n = len(t)
                     m = n - W + 1

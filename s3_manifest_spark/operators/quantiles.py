@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register, track_persist
+from s3_manifest_spark.registry import pin_partitions, register
 from s3_manifest_spark.sources.tables import load_table
 
 PCTS = (0.5, 0.95)
@@ -58,29 +58,25 @@ def group_percentiles(
     ``df`` must have a string column ``g`` and numeric column ``v``.
     Returns one row per (g, p): ``g string, p double, q double``.
 
-    The sorted frame MUST stay persisted until the pick pass runs: the
-    metadata pass keyed the ``want`` map by partition id, and a
-    recomputed ``repartitionByRange`` may re-sample different range
-    boundaries, silently misaligning the picks.  Registry queries defer
-    the unpersist to the next registry call (``track_persist``);
-    library callers (who never trigger registry cleanup) should pass
-    ``eager_cleanup=True`` — the straddle rows (≤ 2·|pcts| per group)
-    are then materialized immediately and the cache is released before
-    returning.
+    The sorted frame's partition layout MUST stay frozen until the
+    pick pass runs: the metadata pass keyed the ``want`` map by
+    partition id, and a recomputed ``repartitionByRange`` may
+    re-sample different range boundaries, silently misaligning the
+    picks.  :func:`~s3_manifest_spark.registry.pin_partitions` handles
+    both lifetimes — registry queries (deferred unpersist) and library
+    callers (``eager_cleanup=True`` → localCheckpoint, no registry
+    dependency, nothing routed through the driver).
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    data = (
+    data = pin_partitions(
         df.select("g", F.col("v").cast("double").alias("v"))
         .repartitionByRange(partitions, "g", "v")
-        .sortWithinPartitions("g", "v")
+        .sortWithinPartitions("g", "v"),
+        eager_cleanup,
     )
-    if eager_cleanup:
-        data = data.persist()
-    else:
-        data = track_persist(data)
 
     # ---- metadata pass: per-(partition, group) counts → target picks
     counts = (
@@ -149,13 +145,6 @@ def group_percentiles(
 
     pick_schema = "g string, p double, role string, v double"
     picked = data.mapInPandas(pick, schema=pick_schema)
-    if eager_cleanup:
-        # Materialize the tiny straddle relation now so the sorted
-        # cache can be released before returning (no registry cleanup
-        # will ever run for a library caller).
-        picked_pdf = picked.toPandas()
-        data.unpersist(blocking=False)
-        picked = spark.createDataFrame(picked_pdf, schema=pick_schema)
 
     # ---- interpolation: one tiny aggregation; fracs attach as a
     # nested literal map (g -> p -> frac, driver-known metadata like

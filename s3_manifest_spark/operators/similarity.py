@@ -227,12 +227,18 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
                     )
                     cells = np.argmax(en @ cn.T, axis=1)  # ties -> lowest
-                uniq = np.unique(cells)
+                # one pass over the block: bincount for sizes,
+                # add.at for per-cell component sums (vs a masked
+                # rescan per occupied cell — K passes)
+                counts = np.bincount(cells, minlength=IVF_K)
+                sums = np.zeros((IVF_K, en.shape[1]))
+                np.add.at(sums, cells, en)
+                uniq = np.nonzero(counts)[0]
                 yield pd.DataFrame(
                     {
                         "cell": uniq.astype("int32"),
-                        "n": [int((cells == c).sum()) for c in uniq],
-                        "s": [en[cells == c].sum(axis=0).tolist() for c in uniq],
+                        "n": counts[uniq].astype("int64"),
+                        "s": [sums[c].tolist() for c in uniq],
                     }
                 )
 

@@ -52,6 +52,28 @@ def track_cleanup(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_partitions(df: DataFrame, eager_cleanup: bool) -> DataFrame:
+    """Freeze a frame's partition layout for plans whose later passes
+    key off ``spark_partition_id()`` (the sort-based percentile and
+    global-ordinal operators): a recomputation could re-sample
+    ``repartitionByRange`` boundaries and silently misalign the
+    metadata the driver already collected.
+
+    Registry queries (``eager_cleanup=False``) persist via
+    :func:`track_persist` — released at the next registry call.
+    Library callers (``eager_cleanup=True``) get ``localCheckpoint``:
+    partitions materialize in executor storage with lineage truncated,
+    so the layout can never be recomputed differently, nothing routes
+    through the driver, and the blocks free when the frame is
+    garbage-collected — no registry cleanup needed.  (localCheckpoint
+    is not executor-loss-tolerant; at production scale prefer the
+    registry/persist path or a reliable checkpoint dir.)
+    """
+    if eager_cleanup:
+        return df.localCheckpoint(eager=True)
+    return track_persist(df)
+
+
 def defer_cleanup(fn: Callable[[], None]) -> None:
     """Run ``fn`` at the next registry invocation (after persists are
     released).  For query-scoped session state — conf overrides,

@@ -103,6 +103,12 @@ def fake_client_factory():
     return FakeS3Client(synth_bucket())
 
 
+def custom_client_factory(buckets):
+    """Picklable factory over an arbitrary bucket dict (tests with
+    adversarial keys — e.g. astral-plane code points)."""
+    return functools.partial(FakeS3Client, buckets)
+
+
 class LatentFakeS3Client(FakeS3Client):
     """Fake client with a simulated per-request round trip — for
     benchmarking listing strategies against realistic S3 RTTs."""

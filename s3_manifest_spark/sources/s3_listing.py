@@ -247,11 +247,19 @@ def list_objects_df(
         driver_client, bucket, prefix, delimiter, target_shards
     )
     if start_after:
-        # A shard's keys all share its prefix, so they sort within
-        # [p, p + U+FFFF...).  If that whole interval <= marker, skip
-        # the shard outright (no API call); otherwise the API-side
-        # StartAfter trims within the shard.
-        shards = [p for p in shards if f"{p}￿" > start_after]
+        # Every key in a shard starts with the shard prefix p.  ALL of
+        # them sort at or below the marker — i.e. the shard is safe to
+        # skip with zero API calls — exactly when p < marker AND p is
+        # not itself a prefix of the marker (if it were, keys like
+        # p + <high codepoint> could still exceed the marker).  This
+        # rule is exact for arbitrary Unicode keys; an upper-bound
+        # sentinel like p+"￿" would wrongly skip shards holding
+        # astral-plane (> U+FFFF) keys.
+        shards = [
+            p
+            for p in shards
+            if not (p < start_after and not start_after.startswith(p))
+        ]
         direct = [
             o for o in direct if (o.get("Key") or "") > start_after
         ]

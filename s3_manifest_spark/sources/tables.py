@@ -85,13 +85,22 @@ def widen_scan(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
-#: Reader-DataFrame memo: (session id, sf_dir, table, widen) -> frame.
-#: DataFrames are immutable lazy plans, so reuse is semantically free;
-#: what it saves is the per-call py4j construction + parquet footer
-#: schema read (~50-100 ms), which the floor-class profile showed was
-#: up to HALF of a trivial query's wall clock.  Keyed by id(spark) so
-#: a fresh session (new JVM state) never sees a stale plan.
-_READER_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+def _reader_cache(spark: SparkSession) -> dict:
+    """Per-SESSION reader-DataFrame memo, stored on the session object
+    itself: (sf_dir, table, widen) -> frame.  DataFrames are immutable
+    lazy plans, so reuse is semantically free; what it saves is the
+    per-call py4j construction + parquet footer schema read
+    (~50-100 ms), which the floor-class profile showed was up to HALF
+    of a trivial query's wall clock.  Living on the session (not in a
+    module global) means entries die with the session wrapper — a
+    process that creates and stops many sessions never accumulates
+    plans that pin stopped sessions' JVM state, and an id() collision
+    on a recycled address can never serve a stale plan."""
+    cache = getattr(spark, "_smsp_reader_cache", None)
+    if cache is None:
+        cache = {}
+        spark._smsp_reader_cache = cache
+    return cache
 
 
 def load_table(
@@ -103,8 +112,9 @@ def load_table(
     so no extra exchange lands in their plans."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name, widen)
-    cached = _READER_CACHE.get(key)
+    cache = _reader_cache(spark)
+    key = (sf_dir, name, widen)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     path = f"{sf_dir}/{name}.parquet"
@@ -116,7 +126,7 @@ def load_table(
     else:
         df = spark.read.parquet(path)
     df = widen_scan(df, path) if widen else df
-    _READER_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -142,14 +152,15 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
     prefix filter) where the widening shuffle is the only exchange and
     buys 32-wide projection + Arrow encode.
     """
-    key = (id(spark), sf_dir, "__synth_listing__", widen)
-    cached = _READER_CACHE.get(key)
+    cache = _reader_cache(spark)
+    key = (sf_dir, "__synth_listing__", widen)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     li = load_table(spark, sf_dir, "lineitem")
     out = listing_projection(li)
     out = widen_scan(out, f"{sf_dir}/lineitem.parquet") if widen else out
-    _READER_CACHE[key] = out
+    cache[key] = out
     return out
 
 

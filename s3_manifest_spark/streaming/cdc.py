@@ -28,6 +28,7 @@ Design (scale notes):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -45,16 +46,25 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory that listing-chunk files land in), derived from the
     staged lineitem fixture with the SAME projection the batch
     ``synth_listing`` uses."""
+    src = f"{sf_dir}/lineitem.parquet"
+    st = os.stat(src)
+    # Spool identity covers the full source path AND its (mtime, size):
+    # a regenerated fixture or a same-basename directory from another
+    # root gets a fresh spool instead of silently streaming stale data.
+    # os.getuid() keeps /tmp spools from colliding across users.
+    tag = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
     spool = os.path.join(
-        tempfile.gettempdir(), f"smsp-listing-{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(), f"smsp-listing-{os.getuid()}-{tag}"
     )
     os.makedirs(spool, exist_ok=True)
     dst = os.path.join(spool, "lineitem.parquet")
     if not os.path.exists(dst):
         try:
-            os.link(f"{sf_dir}/lineitem.parquet", dst)
+            os.link(src, dst)
         except OSError:
-            shutil.copy(f"{sf_dir}/lineitem.parquet", dst)
+            shutil.copy(src, dst)
     schema = spark.read.parquet(dst).schema
     raw = spark.readStream.schema(schema).format("parquet").load(spool)
     return listing_projection(raw)
@@ -77,10 +87,18 @@ def run_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
     try:
         with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+            # COMPLETE mode: the memory sink REPLACES its contents with
+            # the full aggregation state each micro-batch, so the final
+            # table is exactly one (latest) row per key no matter how
+            # many micro-batches the drain took (update mode would
+            # append one row per key per batch that touched it — a
+            # duplicate-key snapshot as soon as the spool holds more
+            # than one file).  A production maintainer instead writes
+            # the merged snapshot per trigger in foreachBatch.
             q = (
                 per_key.writeStream.format("memory")
                 .queryName(name)
-                .outputMode("update")
+                .outputMode("complete")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -88,9 +106,7 @@ def run_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set(key, old_parts)
-    # Stateless MERGE over the drained state table.  The availableNow
-    # drain over one spool file is a single micro-batch, so the memory
-    # sink holds exactly one (final) update per key.
+    # Stateless MERGE over the drained (complete) state table.
     return cdc_merge(spark.table(name))
 
 

@@ -242,3 +242,32 @@ def test_incremental_listing_empty_when_marker_at_end(spark):
         start_after=last,
     )
     assert inc.count() == 0
+
+
+def test_incremental_listing_keeps_astral_key_shards(spark):
+    """The shard-skip rule must be exact for arbitrary Unicode: a shard
+    whose prefix is a prefix OF the marker can still hold keys above
+    it (e.g. astral-plane code points > U+FFFF, where a p+'\\uffff'
+    upper-bound sentinel would wrongly skip), while shards entirely
+    below the marker are dropped."""
+    import datetime as dt
+
+    from s3_manifest_spark.sources.fake_s3 import custom_client_factory
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    keys = [
+        "adir/low-key.txt",
+        "data/aaa.txt",
+        "data/\U00010000a.txt",   # astral-plane keys sort above ￿
+        "data/\U00010000b.txt",
+        "zdir/tail.txt",
+    ]
+    bucket = {"b": {k: (1, t) for k in keys}}
+    factory = custom_client_factory(bucket)
+    marker = "data/\U00010000a.txt"
+    inc = list_objects_df(
+        spark, "b", client_factory=factory, start_after=marker
+    )
+    got = sorted(r.key for r in inc.collect())
+    assert got == sorted(k for k in keys if k > marker)
+    assert "data/\U00010000b.txt" in got

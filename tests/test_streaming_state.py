@@ -218,3 +218,57 @@ def test_stream_cdc_apply_live_equals_batch_apply(spark):
     assert len(live) > 0
     assert list(live.key) == list(batch.key)
     assert list(live["size"]) == list(batch["size"])
+
+
+def test_stream_cdc_apply_multi_batch_drain(spark, tmp_path):
+    """The drain must stay duplicate-free when the spool holds SEVERAL
+    files processed as separate micro-batches (maxFilesPerTrigger=1):
+    complete-mode output replaces the memory sink contents each batch,
+    so the final table is one latest row per key."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        cdc_merge,
+        cdc_per_key,
+    )
+    from s3_manifest_spark.sources.tables import listing_projection, load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    half1 = li.filter("l_orderkey % 2 = 0")
+    half2 = li.filter("l_orderkey % 2 = 1")
+    spool = str(tmp_path / "spool")
+    half1.coalesce(1).write.parquet(spool)
+    half2.coalesce(1).write.mode("append").parquet(spool)
+
+    schema = spark.read.parquet(spool).schema
+    stream = listing_projection(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(spool)
+    )
+    import tempfile
+
+    name = "cdc_multibatch_test"
+    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+        q = (
+            cdc_per_key(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1, "expected >= 2 micro-batches"
+    live = cdc_merge(spark.table(name)).toPandas().sort_values("key")
+    assert live.key.is_unique
+    import __spark_entry__ as entrymod
+
+    batch = (
+        entrymod.queries()["manifest_apply_changes"](spark, sf)
+        .toPandas()
+        .sort_values("key")
+    )
+    assert list(live.key) == list(batch.key)
+    assert list(live["size"]) == list(batch["size"])
