@@ -20,6 +20,11 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def _configure(spark: SparkSession) -> SparkSession:
+    # Idempotent per session: each conf.set/get is a py4j round trip,
+    # and the bench harness calls every query 5x — pay them once.
+    if getattr(spark, "_smsp_configured", False):
+        return spark
+    spark._smsp_configured = True
     # Semantics the whole engine assumes (see s3_manifest_spark.session):
     # tz-naive-UTC ms timestamps to match the reference (main.rs:140-144)
     # and the DuckDB oracle.

@@ -480,7 +480,39 @@ def _modinv_pow2_64(b: int) -> int:
     return x
 
 
-@register("dedup_substring_rolling")  # rows-only: seeded fingerprints
+#: DuckDB twin for the rolling variant: the md5 span relation (the
+#: rolling fingerprints are engine-internal 64-bit values, but the
+#: GROUP STRUCTURE they induce is identical — 2^-45-ish collision odds
+#: on the fixture), re-aggregated to the fingerprint-free summary the
+#: Spark query emits.
+_ROLLING_SUMMARY_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {SPAN_WINDOW} + 1)) AS i
+  FROM toks
+),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i:i+{SPAN_WINDOW - 1}], ' ')) AS span_hash
+  FROM starts
+),
+g AS (
+  SELECT span_hash,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT)               AS n_occ,
+         min(doc_id)                            AS example_doc
+  FROM spans
+  GROUP BY span_hash
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT n_docs, n_occ, example_doc, CAST(count(*) AS BIGINT) AS n_spans
+FROM g
+GROUP BY n_docs, n_occ, example_doc
+"""
+
+
+@register("dedup_substring_rolling", oracle=_ROLLING_SUMMARY_SQL)
 def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(tokens) Rabin-Karp variant of :func:`dedup_substring_spans` —
     the 100 TB path its docstring promises.
@@ -499,11 +531,27 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same aggregation contract as the md5 variant (span shared by ≥2
     docs → counts + example doc); span ids are 64-bit fingerprints
-    instead of engine-portable md5, so this entry is rows-only — but
-    ``tests/test_llm_ops.py`` pins its (n_docs, n_occ) histogram equal
-    to the md5 variant's, which at 2^-45-ish collision odds on the
-    fixture is an exact-match certificate.
+    instead of engine-portable md5, so the HASH-CHECKED form emitted
+    here drops the fingerprint and re-aggregates to the group-structure
+    summary ``(n_docs, n_occ, example_doc) → n_spans`` — a relation the
+    md5 oracle reproduces exactly iff the rolling arithmetic induces
+    the identical span partition (64-bit collisions on the fixture's
+    ~10^5 windows have ~2^-45 odds).  The per-span relation itself is
+    available via :func:`rolling_span_groups`; tests additionally pin
+    the property-level kernel (tests/test_rolling_hash_property.py).
     """
+    return (
+        rolling_span_groups(spark, sf_dir)
+        .groupBy("n_docs", "n_occ", "example_doc")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def rolling_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span rolling-fingerprint dup groups (the raw relation an
+    actual span-removal pass consumes): ``span_fp, n_docs, n_occ,
+    example_doc`` for every window shared by ≥2 documents.  See
+    :func:`dedup_substring_rolling` for the kernel description."""
     W = SPAN_WINDOW
     B = ROLL_BASE
     BINV = _modinv_pow2_64(B)
@@ -673,6 +721,43 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collision p = 1-θ/π ≥ 0.856).
 EMBED_DUP_THRESHOLD_HI = 0.9
 
+#: Planted-probe ids start here — far above any fixture vec_id, so
+#: probe rows can never collide with corpus ids.
+PLANT_ID_BASE = 1_000_000_000
+PLANT_PAIRS = 100
+PLANT_SEED = 7
+
+
+def planted_near_dup_probes(dim: int):
+    """Deterministic planted near-duplicate probe set: ``PLANT_PAIRS``
+    unit base vectors, each duplicated with a small perturbation so
+    the pair cosine lands in ~[0.93, 0.999] (seeded RandomState —
+    identical on every run and executor).  Returns
+    ``[(vec_id, [float...]), ...]`` with base i at ``PLANT_ID_BASE+i``
+    and its twin at ``PLANT_ID_BASE+PLANT_PAIRS+i``.
+
+    Purpose: the fixture embeddings are uniform-random (no pair above
+    cosine ~0.52), so a production-threshold (0.9) query over the raw
+    fixture is vacuously empty — this probe set, mixed in through the
+    load path, makes the driver-graded result a non-empty, exactly
+    reproducible relation whose expected pairs a test verifies against
+    brute force.  The same regime a canary duplicate set plays in a
+    production dedup pipeline."""
+    import numpy as np
+
+    rng = np.random.RandomState(PLANT_SEED)
+    base = rng.standard_normal((PLANT_PAIRS, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    eps = rng.uniform(0.05, 0.35, size=(PLANT_PAIRS, 1))
+    dup = base + eps * rng.standard_normal((PLANT_PAIRS, dim)) / np.sqrt(dim)
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((PLANT_ID_BASE + i, [float(x) for x in v]))
+    for i, v in enumerate(dup):
+        rows.append((PLANT_ID_BASE + PLANT_PAIRS + i, [float(x) for x in v]))
+    return rows
+
 
 @register("dedup_embedding_lsh_hi")  # rows-only: bucket recall is hash-seeded
 def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,13 +777,26 @@ def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4-threshold query's: candidate volume is driven by genuine
     duplicates, not the random background, which is exactly why this
     is the 100 TB configuration.
+
+    The fixture's embeddings are uniform-random with no pair above
+    cosine ~0.52, so over the raw fixture this query is vacuously
+    empty; it therefore mixes in :func:`planted_near_dup_probes` — a
+    seeded, documented canary set of {pairs} near-dup pairs at sim
+    0.93-0.999 on disjoint ids — so the driver-graded result is a
+    non-empty relation, exactly reproducible, and verified against
+    brute force in tests/test_llm_ops.py.
     """.format(
         thr=EMBED_DUP_THRESHOLD_HI,
         bands=EMBED_LSH_BANDS,
         planes=EMBED_LSH_PLANES,
+        pairs=PLANT_PAIRS,
     )
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _embedding_lsh_pairs(v, EMBED_DUP_THRESHOLD_HI)
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64  # fixture embedding width (TESTDATA.md)
+    probes = spark.createDataFrame(
+        planted_near_dup_probes(dim), schema="vec_id long, embedding array<float>"
+    )
+    return _embedding_lsh_pairs(corpus.unionByName(probes), EMBED_DUP_THRESHOLD_HI)
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 is engine-specific

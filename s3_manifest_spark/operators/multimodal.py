@@ -181,8 +181,40 @@ def sample_frames(corpus: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: Python frame-explode seam
+# DuckDB twin of sample_frames' stride arithmetic: same n_frames/step
+# derivation, same stride-2 index set (unnest(range(...)) — DuckDB's
+# generate_series can't take lateral column args), same sha256 prefix.
+# VARCHAR substring is character-based vs the kernel's byte slicing;
+# the documents fixture is pure ASCII (asserted in tests), where the
+# two coincide.
+_FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         (octet_length(encode(text)) % 7) + 1 AS n_frames,
+         greatest(octet_length(encode(text))
+                  // ((octet_length(encode(text)) % 7) + 1), 1) AS step
+  FROM documents
+), e AS (
+  SELECT doc_id, text, step,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS idx
+  FROM f
+)
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(octet_length(encode(substring(
+           text, CAST(idx*step + 1 AS BIGINT), CAST(step AS BIGINT)
+       ))) AS BIGINT)        AS frame_bytes,
+       substr(sha256(substring(
+           text, CAST(idx*step + 1 AS BIGINT), CAST(step AS BIGINT)
+       )), 1, 16)            AS frame_hash
+FROM e
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_SQL)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every {stride}-th frame of every asset as a row — the sampling
-    pass a video-training pipeline runs before feature extraction."""
+    pass a video-training pipeline runs before feature extraction.
+    Hash-checked: the fake decoder's stride arithmetic and sha256
+    content hash are reproduced exactly in ANSI SQL."""
     return sample_frames(binary_corpus(spark, sf_dir))

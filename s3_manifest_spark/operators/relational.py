@@ -304,15 +304,44 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)  AS exact_users,
+           count(*)                 AS event_count,
+           TRUE                     AS estimate_in_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
     distinct's shuffle would dominate.  Sketches merge associatively,
-    so the shuffle carries one ~KB sketch per group per partition."""
+    so the shuffle carries one ~KB sketch per group per partition.
+
+    Hash-checkable form: the raw HLL estimate is engine-specific, so
+    the hashed output carries the exact count plus a boolean asserting
+    the estimate landed within 3x the configured relative standard
+    deviation (rsd=0.02 → ±6%, a >99.7% confidence band).  The oracle
+    emits the same exact count with a literal TRUE — a drifting sketch
+    flips the flag and fails the value-hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("event_count"),
+    )
+    in_bound = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.lit(3 * rsd) * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "event_count",
+        in_bound.alias("estimate_in_bound"),
     )
 
 

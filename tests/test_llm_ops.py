@@ -195,9 +195,34 @@ def test_embedding_lsh_hi_full_recall_at_production_threshold(spark, q):
     construction."""
     import numpy as np
 
-    from s3_manifest_spark.operators.dedup import _embedding_lsh_pairs
+    from s3_manifest_spark.operators.dedup import (
+        PLANT_ID_BASE,
+        _embedding_lsh_pairs,
+        planted_near_dup_probes,
+    )
 
-    assert q["dedup_embedding_lsh_hi"](spark, SF).count() == 0
+    # The registered query mixes the seeded probe canary set into the
+    # fixture, so it is non-empty and every pair involves probe ids
+    # (the random fixture background and fixture-probe cross pairs stay
+    # far below 0.9); the pair set must equal brute force over the
+    # probe set.
+    got_reg = {
+        (r.vec_a, r.vec_b)
+        for r in q["dedup_embedding_lsh_hi"](spark, SF).collect()
+    }
+    assert len(got_reg) >= 80
+    assert all(a >= PLANT_ID_BASE and b >= PLANT_ID_BASE for a, b in got_reg)
+    probes = planted_near_dup_probes(64)
+    pm = np.array([v for _, v in probes])
+    pid = np.array([i for i, _ in probes])
+    sims = np.round(pm @ pm.T, 6)
+    probe_exact = {
+        (int(min(pid[a], pid[b])), int(max(pid[a], pid[b])))
+        for a in range(len(pid))
+        for b in range(a + 1, len(pid))
+        if sims[a, b] >= 0.9
+    }
+    assert got_reg == probe_exact
 
     rng = np.random.RandomState(7)
     dim = 16
@@ -256,10 +281,23 @@ def test_substring_rolling_matches_md5_histogram(spark, q):
     merges two distinct spans has probability ~2^-45 — so histogram
     equality is an exact-match certificate for the rolling arithmetic
     (prefix sums, inverse-power normalization, wraparound)."""
+    from s3_manifest_spark.operators.dedup import rolling_span_groups
+
     md5 = q["dedup_substring_spans"](spark, SF).toPandas()
-    roll = q["dedup_substring_rolling"](spark, SF).toPandas()
+    roll = rolling_span_groups(spark, SF).toPandas()
     assert len(md5) == len(roll)
     key = ["n_docs", "n_occ", "example_doc"]
     h_md5 = sorted(map(tuple, md5[key].to_numpy().tolist()))
     h_roll = sorted(map(tuple, roll[key].to_numpy().tolist()))
     assert h_md5 == h_roll
+
+    # the registered (hash-checked) form is that histogram aggregated
+    summary = q["dedup_substring_rolling"](spark, SF).toPandas()
+    agg = (
+        md5.groupby(key, as_index=False)
+        .size()
+        .rename(columns={"size": "n_spans"})
+    )
+    a = sorted(map(tuple, summary[key + ["n_spans"]].to_numpy().tolist()))
+    b = sorted(map(tuple, agg[key + ["n_spans"]].to_numpy().tolist()))
+    assert a == b

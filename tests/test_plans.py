@@ -237,9 +237,11 @@ def test_apply_changes_single_key_shuffle(spark):
 def test_substring_rolling_single_combinable_shuffle(spark):
     """Same shuffle budget as the md5 variant: fingerprinting happens
     in-task (mapInPandas), the only exchanges are the two levels of the
-    distinct-doc aggregation keyed by the uniform fingerprint."""
+    distinct-doc aggregation keyed by the uniform fingerprint, plus one
+    exchange for the tiny hash-checkable summary rollup (input = only
+    the flagged spans)."""
     plan = plan_of(spark, "dedup_substring_rolling")
-    assert _n_exchanges(plan) <= 2, plan
+    assert _n_exchanges(plan) <= 3, plan
 
 
 def test_contamination_bloom_no_join(spark):

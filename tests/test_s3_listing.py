@@ -271,3 +271,49 @@ def test_incremental_listing_keeps_astral_key_shards(spark):
     got = sorted(r.key for r in inc.collect())
     assert got == sorted(k for k in keys if k > marker)
     assert "data/\U00010000b.txt" in got
+
+
+def test_fake_client_delimiter_astral_keys_terminate():
+    """Direct FakeS3Client regression: Delimiter grouping over keys with
+    astral-plane code points must terminate and emit every group + key.
+    The old ``cp + '\\uffff'`` group-skip sentinel looped forever here
+    (astral keys sort above U+FFFF), and the ``hi`` bound silently
+    dropped astral keys from prefix listings."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    keys = [
+        "data/\U00010000grp/a.txt",
+        "data/\U00010000grp/b.txt",
+        "data/plain.txt",
+        "data/sub/\U0010FFFFx.txt",
+        "data/sub/y.txt",
+        "data/\U0010FFFF",  # max code point, ungrouped
+    ]
+    c = FakeS3Client({"b": {k: (1, t) for k in keys}})
+
+    resp = c.list_objects_v2(Bucket="b", Prefix="data/", Delimiter="/")
+    got_prefixes = sorted(p["Prefix"] for p in resp["CommonPrefixes"])
+    got_keys = sorted(o["Key"] for o in resp["Contents"])
+    assert got_prefixes == ["data/sub/", "data/\U00010000grp/"]
+    assert got_keys == ["data/plain.txt", "data/\U0010FFFF"]
+
+    # Prefix bound must include astral keys (line-41 sibling defect).
+    resp2 = c.list_objects_v2(Bucket="b", Prefix="data/\U00010000grp/")
+    assert sorted(o["Key"] for o in resp2["Contents"]) == keys[:2]
+
+    # Pagination across astral groups must also terminate and cover all.
+    seen, token = [], ""
+    for _ in range(20):
+        kw = dict(Bucket="b", Prefix="data/", Delimiter="/", MaxKeys=1)
+        if token:
+            kw["ContinuationToken"] = token
+        r = c.list_objects_v2(**kw)
+        seen += [p["Prefix"] for p in r["CommonPrefixes"]]
+        seen += [o["Key"] for o in r["Contents"]]
+        if not r["IsTruncated"]:
+            break
+        token = r["NextContinuationToken"]
+    else:
+        raise AssertionError("pagination did not terminate")
+    assert sorted(seen) == sorted(set(got_prefixes + got_keys))
