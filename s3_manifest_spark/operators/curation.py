@@ -478,28 +478,32 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the probe side (real benchmarks: MMLU, GSM8K, ...) stays
     broadcast-sized by construction.
 
-    The shingle relation is persisted: the probe subplan and the corpus
-    side both consume it, and without the cache Catalyst
-    project-collapses the interpreted shingle HOF — the most expensive
-    expression in the repo — into BOTH branches, tokenizing the corpus
-    twice (measured 3.3× vs the oracle before; the probe side derives
-    from real benchmark files at 100 TB, where this double-scan shape
-    can't arise).
+    Shingles travel as 64-bit FINGERPRINTS, not strings
+    (:func:`~s3_manifest_spark.operators.dedup.shingle_fingerprints`):
+    the screen only tests shingle equality, so the ~20-byte shingle
+    text never needs to exist — the kernel is one batch-vectorized
+    hash pass and the broadcast probe set + join keys are longs (8
+    bytes vs strings), shrinking the broadcast and the per-doc
+    aggregation shuffle alike.  The fingerprint relation is persisted:
+    the probe subplan and the corpus side both consume it, and per-doc
+    distinctness from the kernel makes the final count a plain
+    ``count``, not ``countDistinct``.
     """
-    from s3_manifest_spark.operators.dedup import _shingled
+    from s3_manifest_spark.operators.dedup import shingle_fingerprints
     from s3_manifest_spark.registry import track_persist
 
-    sh = track_persist(_shingled(spark, sf_dir).select("doc_id", "sh"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    sh = track_persist(shingle_fingerprints(docs))
     probe = (
         sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
-        .select("sh")
+        .select("fp")
         .distinct()
     )
     return (
         sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
-        .join(F.broadcast(probe), "sh")
+        .join(F.broadcast(probe), "fp")
         .groupBy("doc_id")
-        .agg(F.countDistinct("sh").alias("n_probe_hits"))
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
     )
 
 

@@ -98,6 +98,81 @@ def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+#: Shingle width shared by the string (_shingled) and fingerprint
+#: (shingle_fingerprints) shingle relations.
+SHINGLE_W = 3
+
+
+def shingle_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, fp)``: per-document DISTINCT 3-gram shingles as
+    64-bit fingerprints — the cheap twin of :func:`_shingled` for
+    consumers that only compare shingles for equality (decontamination
+    screens) and never need the shingle text back.
+
+    One Arrow batch pass, fully batch-vectorized: every token in the
+    batch is hashed in a SINGLE ``pd.util.hash_array`` call (the
+    per-document call pattern costs ~0.1 ms/doc of setup — 0.5 s of
+    pure overhead at 5k docs), windows combine three consecutive token
+    hashes with a fixed-width polynomial in wrapping uint64, windows
+    crossing document boundaries are masked out, and per-doc
+    deduplication is a lexsort + neighbor-mask.  Shuffle rows carry a
+    long instead of a ~20-byte string, so every downstream exchange
+    and broadcast is proportionally smaller.  Collisions: 64-bit fps
+    over ~10^6 corpus shingles collide with probability ~5e-8 — and
+    deterministically (fixed siphash key), so a passing parity check
+    stays passing."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B1 = np.uint64(ROLL_BASE)
+        with np.errstate(over="ignore"):
+            B2 = B1 * B1
+            empty = pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "fp": np.empty(0, dtype=np.int64),
+                }
+            )
+            for pdf in batches:
+                toks = [
+                    t.split(" ") if t is not None else []
+                    for t in pdf["text"]
+                ]
+                lens = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                n_tok = int(lens.sum())
+                if n_tok < SHINGLE_W:
+                    yield empty
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if t]
+                )
+                th = pd.util.hash_array(flat)
+                fp_all = th[:-2] * B2 + th[1:-1] * B1 + th[2:]
+                di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+                ok = di[:-2] == di[2:]  # window fully inside one doc
+                wdoc, fps = di[:-2][ok], fp_all[ok]
+                order = np.lexsort((fps, wdoc))
+                wdoc, fps = wdoc[order], fps[order]
+                keep = np.ones(len(fps), dtype=bool)
+                keep[1:] = (wdoc[1:] != wdoc[:-1]) | (fps[1:] != fps[:-1])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"]
+                        .to_numpy()[wdoc[keep]]
+                        .astype("int64"),
+                        "fp": fps[keep].view(np.int64),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, fp long"
+    )
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -950,6 +1025,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
     )
+    labels, _rounds = min_label_components(spark, edges)
+    track_cleanup(labels)  # already persisted + materialized
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .alias("component_size"),
+    )
+
+
+def min_label_components(spark: SparkSession, edges: DataFrame):
+    """Min-label propagation WITH PATH-HALVING over a symmetric edge
+    relation ``(doc_a, doc_b)``; returns ``(labels, rounds)`` where
+    ``labels`` is a persisted, materialized ``(node, lab)`` frame.
+
+    Each round does (1) the neighbor-min propagation and (2) a
+    pointer jump — ``lab ← lab's lab`` — on the round's own mapping,
+    so label information travels along paths at doubling hops:
+    rounds scale with **log(diameter)**, not diameter (the classic
+    hash-to-min / path-halving bound; pinned on a planted long-chain
+    graph in tests/test_llm_ops.py).  On real near-dup graphs
+    components are tiny and either form converges in 2-3 rounds —
+    the halving is insurance against adversarial chain topologies,
+    where the linear form's round count (and its per-round shuffle
+    bill) would grow with the longest chain."""
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -967,6 +1070,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_parts = spark.conf.get(shuffle_key)
     spark.conf.set(shuffle_key, "4")
     defer_cleanup(lambda: spark.conf.set(shuffle_key, old_parts))
+    rounds = 0
     try:
         # Convergence check: min-label propagation is monotone — each
         # node's label only ever decreases — so sum(lab) is strictly
@@ -981,12 +1085,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         prev_sum = label_sum(labels)
         while True:
+            rounds += 1
             prop = (
                 edges.join(labels, edges.doc_a == labels.node)
                 .groupBy(F.col("doc_b").alias("node"))
                 .agg(F.min("lab").alias("nlab"))
             )
-            new_labels = (
+            merged = (
                 labels.join(prop, "node", "left")
                 .select(
                     "node",
@@ -994,7 +1099,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .persist()
             )
+            # Path-halving: every label value is itself a node id, so
+            # resolve each node's label through the SAME round's
+            # mapping (lab ← merged[lab]) — one extra small-join per
+            # round buys the log(diameter) bound.
+            jump = merged.select(
+                F.col("node").alias("jn"), F.col("lab").alias("jlab")
+            )
+            halved = merged.join(jump, merged.lab == jump.jn, "left").select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("jlab", F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            # localCheckpoint truncates the logical plan each round:
+            # the self-join above references the round's mapping twice,
+            # so an UNtruncated lineage would DOUBLE per round and blow
+            # up the analyzer (observed as a driver OOM on a 64-chain).
+            # Eager → materialized now, in executor storage; on a real
+            # cluster prefer reliable checkpoint() + a checkpoint dir
+            # if executor loss during the loop must be survivable.
+            new_labels = halved.localCheckpoint(eager=True)
             new_sum = label_sum(new_labels)
+            merged.unpersist(blocking=False)
             labels.unpersist(blocking=False)
             labels = new_labels
             if new_sum == prev_sum:
@@ -1004,13 +1131,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(shuffle_key, old_parts)
         labels.unpersist(blocking=False)
         raise
-    track_cleanup(labels)  # already persisted + materialized
-    from pyspark.sql import Window
-
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lab").alias("component_id"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("lab"))
-        .alias("component_size"),
-    )
+    return labels, rounds

@@ -301,3 +301,21 @@ def test_substring_rolling_matches_md5_histogram(spark, q):
     a = sorted(map(tuple, summary[key + ["n_spans"]].to_numpy().tolist()))
     b = sorted(map(tuple, agg[key + ["n_spans"]].to_numpy().tolist()))
     assert a == b
+
+
+def test_min_label_components_log_rounds_on_chain(spark):
+    """Path-halving bound: on a planted 64-node chain (diameter 63 —
+    the adversarial topology for plain min-label propagation, which
+    needs ~63 rounds there), the pointer-jumping loop must converge in
+    O(log n) rounds and still label every node with the chain min."""
+    from s3_manifest_spark.operators.dedup import min_label_components
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    sym = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(sym, schema="doc_a long, doc_b long")
+    labels, rounds = min_label_components(spark, edges)
+    got = {r.node: r.lab for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, f"path-halving should need ~log2(64) rounds, took {rounds}"
