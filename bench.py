@@ -60,30 +60,10 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).count()
 
-    # Several passes, report the per-query minimum: the host VM has
-    # bursty noisy-neighbor contention (observed 5-10x inflation on
-    # identical queries minutes apart — round-5 profiling saw the SAME
-    # query span 0.4s..3.4s within one session), and min-of-N both
-    # drops those spikes and measures the warm path a resident engine
-    # would actually serve.  The oracle gets the same min-of-N.
-    RUNS = 5
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for _ in range(RUNS):
-        for name in sorted(qs):
-            t0 = time.perf_counter()
-            pdf = qs[name](spark, sf_dir).toPandas()
-            elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-            rows[name] = len(pdf)
-
-    total = round(sum(timings.values()), 4)
-
-    # DuckDB oracle wall-clock on the same parquet at the same sf — the
-    # operative baseline (BASELINE.md: "within 2x of the DuckDB oracle
-    # per query").  Measured here, min-of-RUNS, so every bench report
-    # carries its own denominator.
-    oracle_secs: dict[str, float] = {}
+    # DuckDB oracle on the same parquet — the operative baseline
+    # (BASELINE.md: "within 2x of the DuckDB oracle per query").
+    oracles = {}
+    con = None
     try:
         import duckdb
 
@@ -97,16 +77,59 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name, sql in entrymod.oracle_sql().items():
-            best = None
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                con.execute(sql).fetch_df()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            oracle_secs[name] = round(best, 4)
+        oracles = entrymod.oracle_sql()
     except Exception:
-        pass  # oracle timings are informative, never fail the bench
+        con = None  # oracle timings are informative, never fail the bench
+
+    # Several passes, report the per-query minimum: the host VM has
+    # bursty noisy-neighbor contention (observed 5-10x inflation on
+    # identical queries minutes apart — round-5 profiling saw the SAME
+    # query span 0.4s..3.4s within one session), and min-of-N both
+    # drops those spikes and measures the warm path a resident engine
+    # would actually serve.  Spark and its oracle run back-to-back
+    # INSIDE each pass (interleaved A/B) so every (spark, oracle)
+    # sample pair shares one noise environment — single-sided ratios
+    # on this host were ±8x; the full sample arrays ship in
+    # BENCH_FULL.json so ratios are re-derivable pairwise.
+    RUNS = 5
+    spark_samples: dict[str, list] = {name: [] for name in qs}
+    oracle_samples: dict[str, list] = {name: [] for name in qs if name in oracles}
+    rows: dict[str, int] = {}
+    for _ in range(RUNS):
+        for name in sorted(qs):
+            t0 = time.perf_counter()
+            pdf = qs[name](spark, sf_dir).toPandas()
+            spark_samples[name].append(round(time.perf_counter() - t0, 4))
+            rows[name] = len(pdf)
+            if con is not None and name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetch_df()
+                oracle_samples[name].append(round(time.perf_counter() - t0, 4))
+
+    timings = {n: min(s) for n, s in spark_samples.items()}
+    total = round(sum(timings.values()), 4)
+    oracle_secs = {n: min(s) for n, s in oracle_samples.items() if s}
+
+    # Machine-readable scan-parallelism ceiling: a parquet scan splits
+    # at row-group granularity, so on single-row-group fixture files
+    # the non-shuffle pipeline width is row_groups, not cores.  The
+    # manifest family reads the lineitem-derived listing; text/dedup
+    # families read documents.  Recorded per affected query so a >2x
+    # ratio can be judged against the physical ceiling it ran under.
+    from s3_manifest_spark.sources.tables import parquet_row_groups
+
+    ceilings = {
+        t: parquet_row_groups(f"{sf_dir}/{t}.parquet")
+        for t in ("lineitem", "documents", "events", "embeddings")
+    }
+    manifest_family = [
+        q for q in timings
+        if q.startswith("manifest_") or q.startswith("stream_cdc")
+    ]
+    queries_meta = {
+        q: {"scan_ceiling_row_groups": ceilings["lineitem"]}
+        for q in manifest_family
+    }
 
     # Full per-query detail goes to a sidecar file; the stdout line is
     # kept under ~1900 chars because the driver records only a
@@ -126,6 +149,11 @@ def main() -> int:
         "runs_per_query": RUNS,
         "oracle_sec": oracle_secs,
         "oracle_total_sec": round(sum(oracle_secs.values()), 4),
+        "interleaved_ab": True,
+        "spark_samples": spark_samples,
+        "oracle_samples": oracle_samples,
+        "scan_row_groups": ceilings,
+        "queries_meta": queries_meta,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:

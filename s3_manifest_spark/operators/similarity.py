@@ -34,7 +34,25 @@ from s3_manifest_spark.sources.tables import load_table
 TOP_K = 5
 #: every 100th vector is a query point — deterministic, sf-independent
 QUERY_STRIDE = 100
+#: hard cap on the driver-collected query set: the stride alone grows
+#: as N/100 of the corpus, which is unbounded driver/broadcast memory
+#: at 100 TB.  Lowest vec_ids win (sort + limit BEFORE the collect),
+#: so selection is deterministic at every scale and the bound is
+#: MAX_QUERIES x dim float64 (~2 MB at dim 64).  A larger query load
+#: should arrive as its own DataFrame and run in MAX_QUERIES batches.
+MAX_QUERIES = 4096
 LSH_PLANES = 6
+
+
+def _query_pdf(v):
+    """Driver-side query set with the documented hard bound: every
+    QUERY_STRIDE-th corpus vector, capped at MAX_QUERIES rows."""
+    return (
+        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES)
+        .toPandas()
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -54,7 +72,8 @@ def cosine(a: Column, b: Column) -> Column:
     "similarity_topk",
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {QUERY_STRIDE} = 0),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {MAX_QUERIES}),
     scored AS (
       SELECT query_id, vec_id AS neighbor_id,
              round(list_dot_product(qe, e)
@@ -89,7 +108,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qpdf = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).toPandas()
+    qpdf = _query_pdf(v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -261,7 +280,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     # -- query probe lists (queries are corpus rows; tiny, driver-side)
-    qpdf = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).toPandas()
+    qpdf = _query_pdf(v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

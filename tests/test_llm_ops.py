@@ -319,3 +319,24 @@ def test_min_label_components_log_rounds_on_chain(spark):
     labels.unpersist()
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10, f"path-halving should need ~log2(64) rounds, took {rounds}"
+
+
+def test_similarity_query_set_is_hard_capped(spark):
+    """The driver-collected query set must respect MAX_QUERIES with
+    deterministic lowest-id selection — the documented driver/broadcast
+    memory bound for corpora where N/QUERY_STRIDE alone would grow
+    without limit."""
+    import s3_manifest_spark.operators.similarity as sim
+    from s3_manifest_spark.sources.tables import load_table
+
+    v = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    old = sim.MAX_QUERIES
+    try:
+        sim.MAX_QUERIES = 3
+        pdf = sim._query_pdf(v)
+        assert list(pdf["vec_id"]) == [0, 100, 200]
+    finally:
+        sim.MAX_QUERIES = old
+    full = sim._query_pdf(v)
+    assert len(full) <= sim.MAX_QUERIES
+    assert (full["vec_id"] % sim.QUERY_STRIDE == 0).all()
