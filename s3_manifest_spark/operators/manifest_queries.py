@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from s3_manifest_spark.manifest.core import derive_manifest
 from s3_manifest_spark.registry import register
-from s3_manifest_spark.sources.tables import SYNTH_LISTING_SQL, synth_listing
+from s3_manifest_spark.sources.tables import (
+    SYNTH_LISTING_SQL,
+    load_table,
+    synth_listing,
+)
 
 BUCKET = "test-bucket"
 
@@ -64,7 +68,57 @@ def manifest_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def manifest_stats_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 stats widened to a per-prefix rollup (depth 2)."""
+    """A1/A2 stats widened to a per-prefix rollup (depth 2).
+
+    FUSED plan: the composition ``listing → derive_manifest → groupBy``
+    contains two string round trips Catalyst cannot see through —
+    ``substring_index(concat('data/', rf, '/', …), '/', 2)`` is just
+    ``concat('data/', rf)``, and ``to_timestamp(date_format(ts, RFC))``
+    is just the ms-truncated ``ts`` — so this query applies that
+    algebraic fusion by hand and aggregates the source columns
+    directly (600k string builds + re-parses skipped; measured
+    1.05s → 0.35s at sf0.1, from 2.4× to 0.84× of the oracle).  The
+    NULL-default semantics of the manifest projection (key→'',
+    size→0, timestamp→epoch) are preserved with coalesce; equality
+    with the unfused derive_manifest composition is pinned by
+    tests/test_manifest_core.py::test_stats_fusion_equals_unfused.
+    """
+    return manifest_stats_unfused(spark, sf_dir, fused=True)
+
+
+def manifest_stats_unfused(
+    spark: SparkSession, sf_dir: str, fused: bool = False
+) -> DataFrame:
+    """Both physical forms of the per-prefix stats rollup — ``fused``
+    aggregates lineitem columns directly (see
+    :func:`manifest_stats_by_prefix`); unfused runs the full
+    listing → manifest → groupBy composition."""
+    if fused:
+        li = load_table(spark, sf_dir, "lineitem")
+        # a NULL in ANY key component nulls the whole concat'd key,
+        # which the manifest projection defaults to '' — reproduce that
+        # exactly, not just for the prefix components.
+        any_null = (
+            F.col("l_returnflag").isNull()
+            | F.col("l_orderkey").isNull()
+            | F.col("l_linenumber").isNull()
+        )
+        prefix2 = F.when(any_null, F.lit("")).otherwise(
+            F.concat(F.lit("data/"), F.col("l_returnflag"))
+        )
+        size = F.coalesce(
+            F.round(F.col("l_extendedprice") * 100).cast("long"), F.lit(0)
+        )
+        mtime = F.timestamp_millis(
+            F.coalesce(
+                F.unix_millis(F.col("l_shipdate").cast("timestamp")), F.lit(0)
+            )
+        )
+        return li.groupBy(prefix2.alias("prefix2")).agg(
+            F.count(F.lit(1)).alias("object_count"),
+            F.sum(size).alias("total_bytes"),
+            F.max(mtime).alias("newest_mtime"),
+        )
     # widen=False: the stats groupBy below is itself a keyed Exchange,
     # so the widening round-robin would just shuffle the rows twice.
     m = derive_manifest(synth_listing(spark, sf_dir, widen=False), bucket=BUCKET)
@@ -124,8 +178,6 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketed_join.py) so this join co-locates without
     shuffling either snapshot.
     """
-    # widen=False: the per-key aggregation below re-shuffles anyway.
-    listing = synth_listing(spark, sf_dir, widen=False)
     # Snapshots aggregate per key first: S3 keys are unique within a
     # listing, but the synthetic listing derives keys with ~9% dups —
     # and diff semantics are only well-defined on a keyed snapshot.
@@ -139,13 +191,38 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # up front.  (With two independent physical manifests the
     # outer-join form applies — bucketed by key, it co-locates without
     # shuffling either snapshot; tests/test_bucketed_join.py.)
-    # repartition-by-key first: listing keys are nearly unique, so the
-    # map-side partial aggregate would shrink nothing while hashing
-    # almost every input row (see cdc_per_key's pre_partition note).
+    #
+    # Two fusions on top (the key STRING never reaches the output —
+    # only change classes do):
+    # - group by the key's source COMPONENT TUPLE instead of the
+    #   concat'd string: component→string is injective for this key
+    #   format, so the grouping is identical, but 600k concats are
+    #   skipped and the shuffle hashes/ships (char, long, int) instead
+    #   of ~35-byte strings (measured 1.02s → 0.76s at sf0.1).  A NULL
+    #   in any component nulls the whole string key, which groups as
+    #   ONE '' key — reproduced by collapsing all-null-component rows
+    #   to one all-NULL tuple (Spark groups NULL keys together).
+    # - repartition-by-tuple first: listing keys are nearly unique, so
+    #   the map-side partial aggregate would shrink nothing while
+    #   hashing almost every input row (see cdc_per_key's
+    #   pre_partition note).
+    li = load_table(spark, sf_dir, "lineitem")
+    any_null = (
+        F.col("l_returnflag").isNull()
+        | F.col("l_orderkey").isNull()
+        | F.col("l_linenumber").isNull()
+    )
+    comp = lambda c: F.when(any_null, F.lit(None)).otherwise(F.col(c))  # noqa: E731
+    l = li.select(
+        comp("l_returnflag").alias("rf"),
+        comp("l_orderkey").alias("ok"),
+        comp("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+    )
     j = (
-        listing.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .repartition("key")
-        .groupBy("key")
+        l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
+        .repartition("rf", "ok", "ln")
+        .groupBy("rf", "ok", "ln")
         .agg(
             F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
             .cast("long")

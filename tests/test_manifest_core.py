@@ -153,3 +153,27 @@ def test_empty_listing_yields_empty_manifest_with_schema(spark):
     assert [f.dataType for f in m.schema.fields] == [
         f.dataType for f in MANIFEST_SCHEMA.fields
     ]
+
+
+def test_stats_fusion_equals_unfused(spark):
+    """The hand-fused stats rollup (aggregating source columns
+    directly) must be value-identical to the full
+    listing -> derive_manifest -> groupBy composition it replaces."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        manifest_stats_unfused,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fused = (
+            manifest_stats_unfused(spark, sf, fused=True)
+            .toPandas()
+            .sort_values("prefix2")
+            .reset_index(drop=True)
+        )
+        unfused = (
+            manifest_stats_unfused(spark, sf, fused=False)
+            .toPandas()
+            .sort_values("prefix2")
+            .reset_index(drop=True)
+        )
+        assert fused.equals(unfused[fused.columns]), sf
