@@ -356,6 +356,50 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the two-sided full-outer MERGE, co-located shuffle-free over
     bucketed manifests (tests/test_bucketed_join.py).
     """
-    # widen=False: the per-key aggregation below re-shuffles anyway.
-    listing = synth_listing(spark, sf_dir, widen=False)
-    return cdc_merge(cdc_per_key(listing, pre_partition=True))
+    # Same component-tuple fusion as manifest_diff (its inline comment
+    # has the argument): the per-key aggregation groups the key's
+    # SOURCE COMPONENTS — injective for this key format, so identical
+    # groups — and the output key string is built once per RESULT row
+    # after the aggregation (445k concats post-agg vs 600k pre-shuffle,
+    # and the repartition ships (char, long, int) tuples, not ~35-byte
+    # strings).  Null components collapse to one all-NULL tuple whose
+    # post-agg concat coalesces to '' — the projection's default.
+    li = load_table(spark, sf_dir, "lineitem")
+    any_null = (
+        F.col("l_returnflag").isNull()
+        | F.col("l_orderkey").isNull()
+        | F.col("l_linenumber").isNull()
+    )
+    comp = lambda c: F.when(any_null, F.lit(None)).otherwise(F.col(c))  # noqa: E731
+    l = li.select(
+        comp("l_returnflag").alias("rf"),
+        comp("l_orderkey").alias("ok"),
+        comp("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+    )
+    per = (
+        l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
+        .repartition("rf", "ok", "ln")
+        .groupBy("rf", "ok", "ln")
+        .agg(
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
+            .cast("long")
+            .alias("old_sz"),
+            F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
+            .cast("long")
+            .alias("feed_new"),
+        )
+    )
+    key = F.coalesce(
+        F.concat(
+            F.lit("data/"),
+            F.col("rf"),
+            F.lit("/"),
+            F.col("ok").cast("string"),
+            F.lit("/part-"),
+            F.col("ln").cast("string"),
+            F.lit(".parquet"),
+        ),
+        F.lit(""),
+    )
+    return cdc_merge(per.select(key.alias("key"), "old_sz", "feed_new"))
