@@ -10,7 +10,6 @@ functions" are Spark's codegen'd xxhash64/murmur3, not Python.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -874,37 +873,86 @@ def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_lsh_pairs(corpus.unionByName(probes), EMBED_DUP_THRESHOLD_HI)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, simhash)``: 64-bit SimHash per document, computed in
+    one batch-vectorized Arrow pass.
+
+    Per batch: tokenize, hash EVERY token in one ``pd.util.hash_array``
+    call (occurrence-weighted — repeated tokens vote repeatedly, the
+    classic SimHash weighting), expand to a (tokens × 64) ±1 vote
+    matrix with one broadcast shift-and-mask, then sum votes per doc
+    with ``np.add.reduceat`` over the doc-boundary offsets (tokens are
+    emitted doc-contiguous).  Majority bits pack back into an int64.
+    Documents with no tokens (NULL text) produce no row."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "simhash": np.empty(0, dtype=np.int64),
+            }
+        )
+        for pdf in batches:
+            toks = [
+                t.split(" ") if t is not None else [] for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            keep = lens > 0
+            if not keep.any():
+                yield empty
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
+            th = pd.util.hash_array(flat)
+            votes = (
+                ((th[:, None] >> shifts) & np.uint64(1))
+                .astype(np.int8)
+                .astype(np.int32)
+            )
+            votes = votes * 2 - 1  # bit set → +1, clear → -1
+            offsets = np.concatenate(
+                ([0], np.cumsum(lens[keep])[:-1])
+            )
+            sums = np.add.reduceat(votes, offsets, axis=0)  # (docs, 64)
+            bits = (sums > 0).astype(np.uint64)
+            sim = (bits << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep].astype("int64"),
+                    "simhash": sim.view(np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, simhash long"
+    )
+
+
+@register("dedup_simhash")  # rows-only: token hashes are engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 3.
 
-    The per-bit vote is expressed as 64 codegen'd conditional sums in
-    ONE aggregation (no row explosion: a posexplode over bits would
-    multiply the corpus 64×).  Pair search uses the pigeonhole trick —
-    split the fingerprint into 4 16-bit chunks; Hamming ≤ 3 pairs must
-    agree on ≥1 chunk — so the join key is a chunk value, not a cross
-    product.
+    Fingerprints come from one Arrow-batched kernel
+    (:func:`simhash_fingerprints`): all tokens in a batch are hashed in
+    a single vectorized call, the 64 per-bit ±1 votes are one numpy
+    broadcast, and per-doc vote sums are one ``add.reduceat`` over doc
+    boundaries — no token-row explosion ever hits the engine (an
+    earlier form ran 64 conditional sums in one Catalyst aggregation
+    over exploded tokens: correct, but 270k exploded rows × 64
+    aggregation buffers measured ~4× slower).  Pair search uses the
+    pigeonhole trick — split the fingerprint into 4 16-bit chunks;
+    Hamming ≤ 3 pairs must agree on ≥1 chunk — so the join key is a
+    chunk value, not a cross product.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.expr("split(text, ' ', -1)")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    simhash = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0),
-        range(64),
-        F.lit(0).cast("long"),
-    )
-    fp = votes.select("doc_id", simhash.alias("simhash"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    fp = simhash_fingerprints(docs)
 
     chunks = fp.select(
         "doc_id",
