@@ -77,7 +77,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
+def cap_document_frequency(sh: DataFrame, max_df: int, col: str = "sh") -> DataFrame:
     """Drop shingles appearing in more than ``max_df`` documents — the
     standard MinHash-corpus guard against stop-shingles, whose buckets
     would otherwise collect huge doc lists and skew both the
@@ -89,7 +89,7 @@ def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
     denominators still reflect the full document."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("sh")
+    w = Window.partitionBy(col)
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= max_df)
@@ -102,11 +102,15 @@ def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
 SHINGLE_W = 3
 
 
-def shingle_fingerprints(docs: DataFrame) -> DataFrame:
+def shingle_fingerprints(docs: DataFrame, with_count: bool = False) -> DataFrame:
     """``(doc_id, fp)``: per-document DISTINCT 3-gram shingles as
     64-bit fingerprints — the cheap twin of :func:`_shingled` for
     consumers that only compare shingles for equality (decontamination
-    screens) and never need the shingle text back.
+    screens, Jaccard intersection counting, MinHash) and never need
+    the shingle text back.  ``with_count=True`` additionally carries
+    ``n`` — the per-doc distinct-shingle count — on every row (one
+    ``np.repeat`` in the kernel; the Jaccard denominator without a
+    window or join downstream).
 
     One Arrow batch pass, fully batch-vectorized: every token in the
     batch is hashed in a SINGLE ``pd.util.hash_array`` call (the
@@ -128,12 +132,13 @@ def shingle_fingerprints(docs: DataFrame) -> DataFrame:
         B1 = np.uint64(ROLL_BASE)
         with np.errstate(over="ignore"):
             B2 = B1 * B1
-            empty = pd.DataFrame(
-                {
-                    "doc_id": np.empty(0, dtype=np.int64),
-                    "fp": np.empty(0, dtype=np.int64),
-                }
-            )
+            cols = {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "fp": np.empty(0, dtype=np.int64),
+            }
+            if with_count:
+                cols["n"] = np.empty(0, dtype=np.int64)
+            empty = pd.DataFrame(cols)
             for pdf in batches:
                 toks = [
                     t.split(" ") if t is not None else []
@@ -158,18 +163,20 @@ def shingle_fingerprints(docs: DataFrame) -> DataFrame:
                 wdoc, fps = wdoc[order], fps[order]
                 keep = np.ones(len(fps), dtype=bool)
                 keep[1:] = (wdoc[1:] != wdoc[:-1]) | (fps[1:] != fps[:-1])
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"]
-                        .to_numpy()[wdoc[keep]]
-                        .astype("int64"),
-                        "fp": fps[keep].view(np.int64),
-                    }
-                )
+                wdoc, fps = wdoc[keep], fps[keep]
+                out = {
+                    "doc_id": pdf["doc_id"].to_numpy()[wdoc].astype("int64"),
+                    "fp": fps.view(np.int64),
+                }
+                if with_count:
+                    # rows are doc-contiguous: per-doc distinct counts
+                    # repeat onto their own rows
+                    _, counts = np.unique(wdoc, return_counts=True)
+                    out["n"] = np.repeat(counts, counts).astype("int64")
+                yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, fp long"
-    )
+    schema = "doc_id long, fp long" + (", n long" if with_count else "")
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
 @register(
@@ -237,10 +244,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply :func:`cap_document_frequency` before the expansion there
     (dedup_minhash_lsh, the designed scale path, already does).  This
     oracle-checked query keeps the uncapped exact semantics.
+
+    Shingles travel as 64-bit fingerprints
+    (:func:`shingle_fingerprints` — equality-only use, so the shingle
+    text never needs to exist engine-side); intersection counts and
+    Jaccard values are identical to the string form unless two
+    distinct shingles collide in 64 bits (~5e-8 across the fixture,
+    deterministic), and the string oracle hash-check pins exactly
+    that.
     """
-    sh = _shingled(spark, sf_dir)
+    sh = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents", widen=True), with_count=True
+    )
     grp = (
-        sh.groupBy("sh")
+        sh.groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
@@ -279,23 +296,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup of dedup_ngram_jaccard.  Hash fns are Spark built-ins
     (xxhash64 seeded by column), so the whole thing is codegen'd.
     """
-    # Persisted: referenced by the signature build AND both sides of the
-    # verification join — without persist, Catalyst project-collapses the
-    # interpreted shingle HOF into every reference and recomputes it.
-    # The document-frequency cap runs first so stop-shingles never reach
-    # the bucket state or the pair expansion — but document frequency
-    # can never exceed the corpus document count, so when max_df covers
-    # the whole corpus the cap is provably inert and its shuffle is
-    # skipped outright (the parquet row count is a metadata read).
-    raw_sh = _shingled(spark, sf_dir)
+    # Shingles travel as 64-bit fingerprints (shingle_fingerprints):
+    # min-hashing and intersection counting only need equality, and
+    # hashing/shuffling longs beats ~20-byte strings throughout.
+    # Persisted: referenced by the signature build AND both sides of
+    # the verification join.  The document-frequency cap runs first so
+    # stop-shingles never reach the bucket state or the pair expansion
+    # — but document frequency can never exceed the corpus document
+    # count, so when max_df covers the whole corpus the cap is provably
+    # inert and its shuffle is skipped outright (the parquet row count
+    # is a metadata read).
+    raw_sh = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents", widen=True), with_count=True
+    )
     n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
     if MINHASH_MAX_DF < n_docs:
-        raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF)
+        raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
     sh = track_persist(raw_sh)
     sig = sh.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("fp"))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ],
     )
@@ -330,12 +351,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact verification on the (small) candidate set only: broadcast the
-    # candidates against the persisted shingles, count shared shingles.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # candidates against the persisted shingle fingerprints, count
+    # shared fingerprints.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "fp")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "fp")
     inter = (
         sa.join(F.broadcast(candidates), "doc_a")
-        .join(sb, ["doc_b", "sh"])
+        .join(sb, ["doc_b", "fp"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
