@@ -511,9 +511,11 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10 bits/item with k=7 double-hashed probes ≈ 0.8% false positives.
 CONTAM_BLOOM_BITS_PER_ITEM = 10
 CONTAM_BLOOM_K = 7
-#: second siphash key for double hashing (pd.util.hash_array wants
-#: exactly 16 characters)
-_BLOOM_KEY2 = "bloom-2nd-seed!!"
+#: odd mixer deriving the second hash from the first
+#: (Kirsch-Mitzenmacher double hashing over shingle fingerprints —
+#: numeric hash_array ignores hash_key, so a second siphash pass
+#: would just repeat the first)
+_BLOOM_MIX = 0x9E3779B97F4A7C15
 
 
 @register("contamination_bloom")  # rows-only: bloom FPR is probabilistic
@@ -549,13 +551,18 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from s3_manifest_spark.operators.dedup import _shingled
+    from s3_manifest_spark.operators.dedup import shingle_fingerprints
     from s3_manifest_spark.registry import track_persist
 
-    sh = track_persist(_shingled(spark, sf_dir).select("doc_id", "sh"))
+    # Same 64-bit fingerprint relation as contamination_screen (one
+    # batch-vectorized kernel, per-doc distinct, long rows) — the
+    # bloom only needs shingle equality, never the text.
+    sh = track_persist(
+        shingle_fingerprints(load_table(spark, sf_dir, "documents", widen=True))
+    )
     probe = (
         sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
-        .select("sh")
+        .select("fp")
         .distinct()
     )
     # Size from the parquet footer (never a Spark job): docs × a
@@ -569,17 +576,19 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = CONTAM_BLOOM_K
 
     def positions(vals):
-        # double hashing: pos_j = (h1 + j·h2) mod m, all uint64
-        h1 = pd.util.hash_array(vals)
-        h2 = pd.util.hash_array(vals, hash_key=_BLOOM_KEY2)
+        # double hashing: pos_j = (h1 + j·h2) mod m, all uint64;
+        # h2 derived from h1 by an odd-multiplier mix (|1 keeps it
+        # nonzero/odd) — the Kirsch-Mitzenmacher construction
+        h1 = pd.util.hash_array(np.ascontiguousarray(vals))
         j = np.arange(k, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
+            h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
             return (h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)
 
     def build(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
         for pdf in batches:
-            vals = pdf["sh"].to_numpy()
+            vals = pdf["fp"].to_numpy()
             if len(vals) == 0:
                 continue
             pos = positions(vals).reshape(-1)
@@ -603,7 +612,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     def screen(batches):
         bits = bc.value
         for pdf in batches:
-            vals = pdf["sh"].to_numpy()
+            vals = pdf["fp"].to_numpy()
             if len(vals) == 0:
                 continue
             pos = positions(vals)  # (k, n)
@@ -616,9 +625,10 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     candidates = sh.filter(
         F.col("doc_id") % CONTAM_PROBE_STRIDE != 0
-    ).mapInPandas(screen, schema="doc_id long, sh string")
+    ).mapInPandas(screen, schema="doc_id long, fp long")
+    # rows are per-doc distinct already (kernel contract) — plain count
     return candidates.groupBy("doc_id").agg(
-        F.countDistinct("sh").alias("n_candidate_hits")
+        F.count(F.lit(1)).alias("n_candidate_hits")
     )
 
 
