@@ -647,7 +647,17 @@ def rolling_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-span rolling-fingerprint dup groups (the raw relation an
     actual span-removal pass consumes): ``span_fp, n_docs, n_occ,
     example_doc`` for every window shared by ≥2 documents.  See
-    :func:`dedup_substring_rolling` for the kernel description."""
+    :func:`dedup_substring_rolling` for the kernel description.
+
+    The kernel is batch-global, not per-document: every token in the
+    Arrow batch is hashed in ONE ``pd.util.hash_array`` call and the
+    prefix sums run over the concatenated token stream (the per-doc
+    call pattern costs ~0.1 ms of hash_array setup per document).
+    Correctness of globalizing: the normalized fingerprint
+    ``fp[i] = S[i]·B^{-(i+1)} = Σ_j th[i+j]·B^j`` is independent of
+    where the window sits in the stream, so global positional weights
+    produce bit-identical fingerprints to the per-doc form; windows
+    crossing a document boundary are masked out by doc index."""
     W = SPAN_WINDOW
     B = ROLL_BASE
     BINV = _modinv_pow2_64(B)
@@ -657,48 +667,77 @@ def rolling_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "span_fp": np.empty(0, dtype=np.int64),
+                "c": np.empty(0, dtype=np.int64),
+            }
+        )
         with np.errstate(over="ignore"):
             for pdf in batches:
-                ids: list = []
-                fps: list = []
-                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    if text is None:  # NULL text -> no spans
-                        continue
-                    t = text.split(" ")
-                    n = len(t)
-                    m = n - W + 1
-                    if m <= 0:
-                        continue
-                    th = pd.util.hash_array(np.array(t, dtype=object))
-                    bpow = np.multiply.accumulate(
-                        np.full(n, B, dtype=np.uint64)
-                    )
-                    P = np.cumsum(th * bpow)  # stays uint64, wraps
-                    S = P[W - 1 :] - np.concatenate(
-                        (np.zeros(1, dtype=np.uint64), P[: m - 1])
-                    )
-                    binvpow = np.multiply.accumulate(
-                        np.full(m, BINV, dtype=np.uint64)
-                    )
-                    ids.extend([doc_id] * m)
-                    fps.append((S * binvpow).view(np.int64))
-                out = (
-                    np.concatenate(fps)
-                    if fps
-                    else np.empty(0, dtype=np.int64)
+                toks = [
+                    t.split(" ") if t is not None else []
+                    for t in pdf["text"]
+                ]
+                lens = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=len(toks)
                 )
+                n_tok = int(lens.sum())
+                if n_tok < W:
+                    yield empty
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if t]
+                )
+                th = pd.util.hash_array(flat)
+                m = n_tok - W + 1
+                bpow = np.multiply.accumulate(
+                    np.full(n_tok, B, dtype=np.uint64)
+                )
+                P = np.cumsum(th * bpow)  # stays uint64, wraps
+                S = P[W - 1 :] - np.concatenate(
+                    (np.zeros(1, dtype=np.uint64), P[: m - 1])
+                )
+                binvpow = np.multiply.accumulate(
+                    np.full(m, BINV, dtype=np.uint64)
+                )
+                fp_all = S * binvpow
+                di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+                ok = di[: m] == di[W - 1 :]  # window inside one doc
+                wdoc, fps = di[:m][ok], fp_all[ok]
+                # Per-(doc, span) pre-aggregation: a document sits
+                # wholly inside one Arrow batch (one row per doc), so
+                # its span multiset is complete here — emitting one
+                # (doc, span, count) row per DISTINCT span lets the
+                # downstream groupBy count docs with a plain
+                # count(1)/sum(c) instead of a countDistinct expand.
+                order = np.lexsort((fps, wdoc))
+                wdoc, fps = wdoc[order], fps[order]
+                first = np.ones(len(fps), dtype=bool)
+                first[1:] = (wdoc[1:] != wdoc[:-1]) | (fps[1:] != fps[:-1])
+                idx = np.flatnonzero(first)
+                counts = np.diff(np.append(idx, len(fps)))
                 yield pd.DataFrame(
-                    {"doc_id": pd.array(ids, dtype="int64"), "span_fp": out}
+                    {
+                        "doc_id": pdf["doc_id"]
+                        .to_numpy()[wdoc[idx]]
+                        .astype("int64"),
+                        "span_fp": fps[idx].view(np.int64),
+                        "c": counts.astype("int64"),
+                    }
                 )
 
     spans = docs.select("doc_id", "text").mapInPandas(
-        span_fps, schema="doc_id long, span_fp long"
+        span_fps, schema="doc_id long, span_fp long, c long"
     )
     return (
         spans.groupBy("span_fp")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
+            # rows are (doc, span)-distinct by kernel contract, so
+            # doc count is a plain count — no countDistinct expand
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occ"),
             F.min("doc_id").alias("example_doc"),
         )
         .filter(F.col("n_docs") >= 2)
