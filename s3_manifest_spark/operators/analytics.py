@@ -94,23 +94,22 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: stddev/variance/corr/covar +
     exact interpolated percentiles.
 
-    All are single-pass partial aggregates (Spark keeps running
-    moments per partition and merges) EXCEPT ``percentile``, which
-    buffers per group — at 100 TB swap it for
-    ``approx_percentile(col, p, accuracy)`` (t-digest-style sketch,
-    mergeable, bounded memory) or, when exactness is required, the
-    sort-based bounded-memory plan in
-    :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`.  Both quantiles are requested as ONE
-    array-argument percentile call: each extra ``percentile(col, p)``
-    aggregate re-buffers the whole column per group, so the array form
-    halves the dominant cost (measured 2× at sf0.1).
-
-    The moments and the percentile run as SEPARATE aggregations
-    broadcast-joined on the 3-row group key: one combined agg would
-    drag every function through ObjectHashAggregate (percentile is a
-    TypedImperativeAggregate, and a single object-path function
-    demotes the WHOLE aggregation out of codegen) — measured 2.1 s
-    combined vs 1.4 s split at sf0.1.
+    The moments are single-pass partial aggregates (Spark keeps
+    running moments per partition and merges) and stay in whole-stage
+    codegen.  The exact interpolated percentiles do NOT use Spark's
+    ``percentile`` aggregate: it is a TypedImperativeAggregate that
+    buffers every value in a per-group OpenHashMap and serializes the
+    whole buffer between partial and merge — measured ~0.7 s of the
+    query's 1.0 s wall at sf0.1.  Instead one ``applyInPandas`` over
+    the group key ships each group's value column once through Arrow
+    and takes ``np.percentile`` (C quickselect, same (n-1)·q linear
+    interpolation as Spark's percentile and DuckDB's quantile_cont —
+    parity is driver-hash-checked).  One shuffle of (char, double)
+    pairs; per-group state is one numpy array, the same memory the
+    JVM aggregate would have buffered, minus the object overhead.  At
+    100 TB the sketch path (``approx_percentile``) or the sort-based
+    :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`
+    replaces exactness-per-group buffering entirely.
     """
     li = load_table(spark, sf_dir, "lineitem")
     moments = li.groupBy("l_returnflag").agg(
@@ -121,17 +120,34 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
-    pcts = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
-            ).alias("p")
+
+    def pct(pdf):
+        import numpy as np
+        import pandas as pd
+
+        med, p95 = np.percentile(
+            pdf["l_extendedprice"].to_numpy(), [50.0, 95.0]
         )
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "price_median": [float(med)],
+                "price_p95": [float(p95)],
+            }
+        )
+
+    pcts = (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            pct, schema="l_returnflag string, price_median double, price_p95 double"
+        )
+        # round JVM-side: F.round is HALF_UP like the oracle's round()
+        # (Python's round would be banker's)
         .select(
             "l_returnflag",
-            F.round(F.col("p")[0], 4).alias("price_median"),
-            F.round(F.col("p")[1], 4).alias("price_p95"),
+            F.round("price_median", 4).alias("price_median"),
+            F.round("price_p95", 4).alias("price_p95"),
         )
     )
     return moments.join(F.broadcast(pcts), "l_returnflag")
