@@ -373,19 +373,78 @@ def outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_digest")  # rows-only: t-digest estimates are engine-specific
+#: approx_percentile accuracy parameter: guaranteed rank error
+#: ≤ n / PCT_DIGEST_ACCURACY (Greenwald-Khanna bound).
+PCT_DIGEST_ACCURACY = 10000
+
+
+@register(
+    "percentile_digest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           true AS p05_in_bound,
+           true AS p50_in_bound,
+           true AS p95_in_bound
+    FROM documents
+    GROUP BY lang
+    """,
+)
 def percentile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of document length via
     ``approx_percentile`` — the mergeable-sketch path that replaces
-    exact percentiles at scale (per-partition digests merge on the
-    driver; no global sort, bounded memory).  Estimates are
-    engine-specific, hence rows-only; merge-consistency with the exact
-    path is asserted in tests.
+    exact percentiles at scale (per-partition digests merge without a
+    global sort; bounded memory).
+
+    The raw estimates are engine-specific, so instead of emitting them
+    this query emits per-quantile RANK-BOUND CERTIFICATES the oracle
+    can reproduce: each estimate's exact rank interval (values < est,
+    values ≤ est — one second aggregation against the broadcast 5-row
+    digest result) must intersect the target rank q·n within the
+    sketch's guaranteed tolerance max(1, n/accuracy) (+1 interpolation
+    slack).  A digest that ever violated its Greenwald-Khanna bound
+    would flip a flag to false and fail the driver's hash check — the
+    same in-bound-flag pattern approx_distinct uses.  The raw-estimate
+    form stays available via ``percentile_digest_raw``; bracketing vs
+    the exact path is additionally pinned in tests/test_curation.py.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    d = percentile_digest_raw(spark, sf_dir)
+    j = docs.select("lang", "n_chars").join(F.broadcast(d), "lang")
+
+    def bounds(est_col: str):
+        lo = F.sum((F.col("n_chars") < F.col(est_col)).cast("long"))
+        hi = F.sum((F.col("n_chars") <= F.col(est_col)).cast("long"))
+        return lo.alias(f"_lo_{est_col}"), hi.alias(f"_hi_{est_col}")
+
+    aggs = []
+    for est in ("p05", "p50", "p95"):
+        aggs.extend(bounds(est))
+    flags = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )
+    tol = F.greatest(
+        F.lit(1.0), F.col("n_docs") / F.lit(float(PCT_DIGEST_ACCURACY))
+    ) + F.lit(1.0)
+    cols = [F.col("lang"), F.col("n_docs")]
+    for q, est in ((0.05, "p05"), (0.5, "p50"), (0.95, "p95")):
+        target = F.col("n_docs") * F.lit(q)
+        in_bound = (F.col(f"_lo_{est}") <= target + tol) & (
+            F.col(f"_hi_{est}") >= target - tol
+        )
+        cols.append(in_bound.alias(f"{est}_in_bound"))
+    return flags.select(*cols)
+
+
+def percentile_digest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw digest relation: per-lang approx p05/p50/p95 estimates
+    plus doc count (what a consumer actually reads; the registered
+    query wraps it in oracle-checkable rank-bound certificates)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.expr(
-            "approx_percentile(n_chars, array(0.05, 0.5, 0.95), 10000)"
+            f"approx_percentile(n_chars, array(0.05, 0.5, 0.95), "
+            f"{PCT_DIGEST_ACCURACY})"
         ).alias("p"),
         F.count(F.lit(1)).alias("n_docs"),
     ).select(

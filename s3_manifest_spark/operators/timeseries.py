@@ -89,7 +89,16 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_hll_merge")  # rows-only: sketch estimates are engine-specific
+@register(
+    "sketch_hll_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_in_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user count via explicitly two-phase Datasketches HLL:
     build one sketch per (event_type, partition), then union the
@@ -102,7 +111,38 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching raw data (the lambda-architecture rollup trick).
     Result is independent of partitioning because HLL is insensitive
     to insertion order and duplication.
+
+    The estimate itself is engine-specific, so the registered form
+    emits an oracle-checkable CERTIFICATE instead: the exact distinct
+    count (one countDistinct aggregation — fine at fixture scale; at
+    100 TB the sketch replaces it, which is the point) next to a flag
+    asserting |estimate − exact| ≤ 3·RSE·exact + 16, the 3-sigma
+    Datasketches HLL_4 bound at the default lgK=12 (RSE ≈
+    1.04/√4096 ≈ 1.6%) with additive slack for the sparse-mode
+    regime.  An estimator drifting out of its published error bound
+    flips the flag and fails the driver hash check.  The raw-estimate
+    relation stays available via :func:`sketch_hll_estimates`;
+    merge-invariance is pinned in tests/test_timeseries.py.
     """
+    ev = load_table(spark, sf_dir, "events")
+    est = sketch_hll_estimates(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    tol = F.lit(3 * 1.04 / 4096**0.5) * F.col("exact_users") + F.lit(16)
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) <= tol
+        ).alias("approx_in_bound"),
+    )
+
+
+def sketch_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw two-phase HLL relation ``(event_type, approx_users)``
+    (what a consumer reads; see :func:`sketch_hll_merge` for the plan
+    and the oracle-checkable certificate wrapper)."""
     ev = load_table(spark, sf_dir, "events")
     per_part = ev.groupBy(
         "event_type", F.spark_partition_id().alias("pid")

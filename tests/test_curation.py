@@ -115,12 +115,22 @@ def test_outlier_filter_bounds(spark, q):
 
 def test_percentile_digest_brackets_exact(spark, q):
     """approx_percentile at accuracy 10000 on a few hundred rows is
-    exact-rank; it must bracket the true quantiles per lang."""
-    pd_ = q["percentile_digest"](spark, SF).toPandas()
+    exact-rank; the raw digest must bracket the true quantiles per
+    lang, and the registered certificate form must report every
+    estimate in bound."""
+    from s3_manifest_spark.operators.curation import percentile_digest_raw
+
+    pd_ = percentile_digest_raw(spark, SF).toPandas()
     docs = load_table(spark, SF, "documents").toPandas()
     for _, r in pd_.iterrows():
         grp = docs[docs.lang == r.lang].n_chars
         assert grp.min() <= r.p05 <= r.p50 <= r.p95 <= grp.max()
+
+    flags = q["percentile_digest"](spark, SF).toPandas()
+    assert flags["p05_in_bound"].all()
+    assert flags["p50_in_bound"].all()
+    assert flags["p95_in_bound"].all()
+    assert flags["n_docs"].sum() == len(docs)
 
 
 def test_text_entropy_bounds_and_extremes(spark, q):

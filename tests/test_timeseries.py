@@ -25,7 +25,16 @@ def test_gap_fill_grid_is_dense(spark):
 
 
 def test_hll_estimate_close_to_exact_and_merge_invariant(spark):
-    est = {r.event_type: r.approx_users for r in sketch_hll_merge(spark, SF).collect()}
+    from s3_manifest_spark.operators.timeseries import sketch_hll_estimates
+
+    # registered certificate form: every estimate in its 3-sigma bound
+    cert = sketch_hll_merge(spark, SF).toPandas()
+    assert cert["approx_in_bound"].all()
+
+    est = {
+        r.event_type: r.approx_users
+        for r in sketch_hll_estimates(spark, SF).collect()
+    }
     exact = {
         r.event_type: r.n
         for r in load_table(spark, SF, "events")
