@@ -530,39 +530,91 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     any 3-gram with a held-out probe set (every {CONTAM_PROBE_STRIDE}th
     document stands in for an eval benchmark).
 
-    The probe shingle set is tiny relative to the corpus, so it is
-    broadcast and the corpus shingles never shuffle for the join — the
-    only shuffle is the per-flagged-doc distinct count.  This is the
-    decontamination pass every LLM data pipeline runs before training;
-    at 100 TB the probe side (real benchmarks: MMLU, GSM8K, ...) stays
-    broadcast-sized by construction.
-
-    Shingles travel as 64-bit FINGERPRINTS, not strings
-    (:func:`~s3_manifest_spark.operators.dedup.shingle_fingerprints`):
-    the screen only tests shingle equality, so the ~20-byte shingle
-    text never needs to exist — the kernel is one batch-vectorized
-    hash pass and the broadcast probe set + join keys are longs (8
-    bytes vs strings), shrinking the broadcast and the per-doc
-    aggregation shuffle alike.  The fingerprint relation is persisted:
-    the probe subplan and the corpus side both consume it, and per-doc
-    distinctness from the kernel makes the final count a plain
-    ``count``, not ``countDistinct``.
+    ZERO-SHUFFLE plan.  The probe shingle set is tiny relative to the
+    corpus (real benchmarks: MMLU, GSM8K, ... — broadcast-sized by
+    construction), so it is collected once (the same driver-memory
+    contract a broadcast join would impose) as a sorted uint64
+    fingerprint array, and ONE corpus kernel both fingerprints each
+    document's shingles and counts probe membership with a vectorized
+    ``searchsorted`` + per-doc ``add.reduceat`` — each document sits
+    wholly inside one Arrow batch, so the per-doc hit counts emitted
+    are FINAL: no join, no per-hit shuffle rows, no aggregation
+    exchange.  The previous broadcast-join form shuffled one row per
+    (doc, matching shingle) — frequent shingles made that a large
+    fraction of the corpus relation; this plan's output is bounded by
+    flagged docs.  Shingles exist only as 64-bit fingerprints
+    (:func:`~s3_manifest_spark.operators.dedup._batch_doc_fps`, one
+    ``hash_array`` call per batch); the shingle text is never built.
     """
-    from s3_manifest_spark.operators.dedup import shingle_fingerprints
-    from s3_manifest_spark.registry import track_persist
+    import numpy as np
+
+    from s3_manifest_spark.operators.dedup import (
+        _batch_doc_fps,
+        shingle_fingerprints,
+    )
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    sh = track_persist(shingle_fingerprints(docs))
+    # Probe side: fingerprint only the probe slice and unique
+    # driver-side — bounded by probe-set size.  Deliberately from the
+    # UNWIDENED scan: widen_scan's round-robin exchange sits below the
+    # filter, so the widened frame would shuffle the whole text column
+    # to keep 1% of it; the narrow scan pushes the predicate to the
+    # scan and the 1% slice doesn't need the parallelism.
     probe = (
-        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
+        shingle_fingerprints(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
+            )
+        )
         .select("fp")
-        .distinct()
+        .toPandas()["fp"]
+        .to_numpy()
     )
+    probe_sorted = np.unique(probe.view(np.uint64))
+    bc = spark.sparkContext.broadcast(probe_sorted)
+
+    def screen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pr = bc.value
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "n_probe_hits": np.empty(0, dtype=np.int64),
+            }
+        )
+        for pdf in batches:
+            if len(pr) == 0:
+                yield empty
+                continue
+            wdoc, fps = _batch_doc_fps(pdf)
+            if len(fps) == 0:
+                yield empty
+                continue
+            pos = np.searchsorted(pr, fps)
+            pos[pos == len(pr)] = 0
+            hit = (pr[pos] == fps).astype(np.int64)
+            # wdoc is doc-contiguous: reduceat over first-occurrence
+            # offsets gives final per-doc hit counts
+            starts = np.flatnonzero(
+                np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
+            )
+            counts = np.add.reduceat(hit, starts)
+            keep = counts > 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"]
+                    .to_numpy()[wdoc[starts][keep]]
+                    .astype("int64"),
+                    "n_probe_hits": counts[keep],
+                }
+            )
+
     return (
-        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
-        .join(F.broadcast(probe), "fp")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+        docs.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
+        .select("doc_id", "text")
+        .mapInPandas(screen, schema="doc_id long, n_probe_hits long")
     )
 
 

@@ -129,54 +129,67 @@ def shingle_fingerprints(docs: DataFrame, with_count: bool = False) -> DataFrame
         import numpy as np
         import pandas as pd
 
-        B1 = np.uint64(ROLL_BASE)
-        with np.errstate(over="ignore"):
-            B2 = B1 * B1
-            cols = {
-                "doc_id": np.empty(0, dtype=np.int64),
-                "fp": np.empty(0, dtype=np.int64),
+        cols = {
+            "doc_id": np.empty(0, dtype=np.int64),
+            "fp": np.empty(0, dtype=np.int64),
+        }
+        if with_count:
+            cols["n"] = np.empty(0, dtype=np.int64)
+        empty = pd.DataFrame(cols)
+        for pdf in batches:
+            wdoc, fps = _batch_doc_fps(pdf)
+            if len(fps) == 0:
+                yield empty
+                continue
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy()[wdoc].astype("int64"),
+                "fp": fps.view(np.int64),
             }
             if with_count:
-                cols["n"] = np.empty(0, dtype=np.int64)
-            empty = pd.DataFrame(cols)
-            for pdf in batches:
-                toks = [
-                    t.split(" ") if t is not None else []
-                    for t in pdf["text"]
-                ]
-                lens = np.fromiter(
-                    (len(t) for t in toks), dtype=np.int64, count=len(toks)
-                )
-                n_tok = int(lens.sum())
-                if n_tok < SHINGLE_W:
-                    yield empty
-                    continue
-                flat = np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks if t]
-                )
-                th = pd.util.hash_array(flat)
-                fp_all = th[:-2] * B2 + th[1:-1] * B1 + th[2:]
-                di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-                ok = di[:-2] == di[2:]  # window fully inside one doc
-                wdoc, fps = di[:-2][ok], fp_all[ok]
-                order = np.lexsort((fps, wdoc))
-                wdoc, fps = wdoc[order], fps[order]
-                keep = np.ones(len(fps), dtype=bool)
-                keep[1:] = (wdoc[1:] != wdoc[:-1]) | (fps[1:] != fps[:-1])
-                wdoc, fps = wdoc[keep], fps[keep]
-                out = {
-                    "doc_id": pdf["doc_id"].to_numpy()[wdoc].astype("int64"),
-                    "fp": fps.view(np.int64),
-                }
-                if with_count:
-                    # rows are doc-contiguous: per-doc distinct counts
-                    # repeat onto their own rows
-                    _, counts = np.unique(wdoc, return_counts=True)
-                    out["n"] = np.repeat(counts, counts).astype("int64")
-                yield pd.DataFrame(out)
+                # rows are doc-contiguous: per-doc distinct counts
+                # repeat onto their own rows
+                _, counts = np.unique(wdoc, return_counts=True)
+                out["n"] = np.repeat(counts, counts).astype("int64")
+            yield pd.DataFrame(out)
 
     schema = "doc_id long, fp long" + (", n long" if with_count else "")
     return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+
+
+def _batch_doc_fps(pdf):
+    """Batch-vectorized shingle-fingerprint core shared by
+    :func:`shingle_fingerprints` and the contamination screen kernel:
+    for one Arrow batch of ``(doc_id, text)`` rows, return
+    ``(row_idx, fps)`` — per-document DISTINCT {SHINGLE_W}-gram
+    fingerprints as uint64, doc-contiguous, with ``row_idx`` indexing
+    the batch's rows.  One ``pd.util.hash_array`` call for every token
+    in the batch; windows crossing document boundaries masked out;
+    per-doc dedup via lexsort + neighbor-mask."""
+    import numpy as np
+    import pandas as pd
+
+    e = np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    toks = [t.split(" ") if t is not None else [] for t in pdf["text"]]
+    lens = np.fromiter(
+        (len(t) for t in toks), dtype=np.int64, count=len(toks)
+    )
+    n_tok = int(lens.sum())
+    if n_tok < SHINGLE_W:
+        return e
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+    with np.errstate(over="ignore"):
+        B1 = np.uint64(ROLL_BASE)
+        B2 = B1 * B1
+        th = pd.util.hash_array(flat)
+        fp_all = th[:-2] * B2 + th[1:-1] * B1 + th[2:]
+    di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    ok = di[:-2] == di[2:]  # window fully inside one doc
+    wdoc, fps = di[:-2][ok], fp_all[ok]
+    order = np.lexsort((fps, wdoc))
+    wdoc, fps = wdoc[order], fps[order]
+    keep = np.ones(len(fps), dtype=bool)
+    keep[1:] = (wdoc[1:] != wdoc[:-1]) | (fps[1:] != fps[:-1])
+    return wdoc[keep], fps[keep]
 
 
 @register(
