@@ -50,9 +50,42 @@ def manifest_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT * FROM ({_PROJECT_SQL}) WHERE Key LIKE 'data/A%'",
 )
 def manifest_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F1: raw startswith re-check of the server-side pushed prefix
-    # (main.rs:210-219).
-    return derive_manifest(synth_listing(spark, sf_dir), bucket=BUCKET, prefix="data/A")
+    """F1: prefix-filtered manifest projection.
+
+    FUSED predicate: the listing key is the template
+    ``data/<rf>/<ok>/part-<ln>.parquet``, so ``Key startswith
+    'data/A'`` is equivalent to ``l_returnflag startswith 'A'`` on the
+    SOURCE column (NULL components make the key NULL → '' on both
+    paths, which matches neither) — letting the predicate run against
+    the scan before any key string exists.  Unfused, the plan built
+    600k concat'd keys one-task-wide below the widening exchange just
+    to drop 3/4 of them; fused, the cheap source-column test prunes
+    first, the exchange ships only surviving source tuples, and key
+    construction runs 32-wide above it.  The defensive client-side
+    re-check of the server-pushed prefix (main.rs:210-219) is KEPT on
+    the built key — it re-verifies the fusion on every row.
+    Equivalence with the unfused composition is pinned by
+    tests/test_manifest_core.py::test_prefix_filter_fusion_equals_unfused.
+    """
+    from s3_manifest_spark.sources.tables import listing_projection, widen_scan
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").startswith("A")
+    )
+    listing = listing_projection(
+        widen_scan(li, f"{sf_dir}/lineitem.parquet")
+    )
+    return derive_manifest(listing, bucket=BUCKET, prefix="data/A")
+
+
+def manifest_prefix_filter_unfused(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The generic composition (listing → derive_manifest with a
+    prefix) — the form an arbitrary, non-template prefix takes."""
+    return derive_manifest(
+        synth_listing(spark, sf_dir), bucket=BUCKET, prefix="data/A"
+    )
 
 
 @register(

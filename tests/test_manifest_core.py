@@ -177,3 +177,25 @@ def test_stats_fusion_equals_unfused(spark):
             .reset_index(drop=True)
         )
         assert fused.equals(unfused[fused.columns]), sf
+
+
+def test_prefix_filter_fusion_equals_unfused(spark):
+    """The source-column prefix pushdown (l_returnflag startswith 'A')
+    must be value-identical to the generic key-startswith composition
+    it replaces."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        manifest_prefix_filter,
+        manifest_prefix_filter_unfused,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fused = manifest_prefix_filter(spark, sf).toPandas()
+        unfused = manifest_prefix_filter_unfused(spark, sf).toPandas()
+        # the listing can repeat a Key with different sizes — sort on
+        # every column for a deterministic compare
+        cols = sorted(fused.columns)
+        fused = fused.sort_values(cols).reset_index(drop=True)
+        unfused = unfused[fused.columns].sort_values(cols).reset_index(
+            drop=True
+        )
+        assert fused.equals(unfused), sf
