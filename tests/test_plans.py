@@ -179,10 +179,15 @@ def test_star_join_broadcasts_dimensions(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_contamination_probe_side_is_broadcast(spark):
-    """The corpus shingles must never shuffle for the probe join."""
+def test_contamination_screen_no_join_no_agg_exchange(spark):
+    """The screen has NO join operator at all — the probe fingerprint
+    set travels as a broadcast variable inside the membership kernel,
+    per-doc hit counts are final in-kernel (docs are batch-local), so
+    the only exchange permitted is the widen-gate repartition of the
+    degenerate single-row-group fixture scan."""
     plan = plan_of(spark, "contamination_screen")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) <= 1, plan
 
 
 def test_two_phase_aggregation_family(spark):
