@@ -475,23 +475,79 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic gibberish/boilerplate detector (low entropy = repetitive
     text, the kind a training pipeline drops).
 
-    Uses the algebraic identity H = log2(n) − Σc·log2(c)/n so the
-    whole thing is two map-side-combinable aggregations (token counts,
-    then per-doc sums) — no per-token probabilities materialized, and
-    both engines evaluate the identical float expression (rounded 4dp).
+    Uses the algebraic identity H = log2(n) − Σc·log2(c)/n.  ZERO
+    shuffles, like the rest of the per-document text family: a
+    document's token multiset is complete inside its Arrow batch, so
+    one batch-vectorized kernel tokenizes, hashes every token in a
+    single ``pd.util.hash_array`` call (token equality via 64-bit
+    fingerprints — deterministic fixed-key siphash; a collision within
+    one document has ~1e-16 odds), groups runs with a lexsort, and
+    reduces Σc·log2(c) per document with ``np.add.reduceat``.  The
+    previous form exploded tokens through two keyed exchanges
+    (per-(doc, token) counts, then per-doc sums) — at 100 TB that
+    shuffles the corpus's token volume twice for a per-document
+    statistic the scan stage can finish.  Rounding stays JVM-side
+    (half-up, matching the oracle).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n = F.sum("c")
-    return cnt.groupBy("doc_id").agg(
-        n.cast("long").alias("n_tokens"),
-        F.round(
-            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
-        ).alias("token_entropy"),
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "n_tokens": np.empty(0, dtype=np.int64),
+                "h_raw": np.empty(0, dtype=np.float64),
+            }
+        )
+        for pdf in batches:
+            toks = [
+                t.split(" ") if t is not None else [] for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            n_tok = int(lens.sum())
+            if n_tok == 0:
+                yield empty
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
+            th = pd.util.hash_array(flat)
+            di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+            order = np.lexsort((th, di))
+            di_s, th_s = di[order], th[order]
+            run_first = np.ones(len(th_s), dtype=bool)
+            run_first[1:] = (di_s[1:] != di_s[:-1]) | (th_s[1:] != th_s[:-1])
+            ridx = np.flatnonzero(run_first)
+            c = np.diff(np.append(ridx, len(th_s))).astype(np.float64)
+            rdoc = di_s[ridx]
+            dstart = np.flatnonzero(
+                np.concatenate(([True], rdoc[1:] != rdoc[:-1]))
+            )
+            n = np.add.reduceat(c, dstart)
+            s = np.add.reduceat(c * np.log2(c), dstart)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"]
+                    .to_numpy()[rdoc[dstart]]
+                    .astype("int64"),
+                    "n_tokens": n.astype("int64"),
+                    "h_raw": np.log2(n) - s / n,
+                }
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(kernel, schema="doc_id long, n_tokens long, h_raw double")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("h_raw", 4).alias("token_entropy"),
+        )
     )
 
 
