@@ -539,8 +539,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     def span_hashes(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "span_hash": np.empty(0, dtype=object),
+                "c": np.empty(0, dtype=np.int64),
+            }
+        )
         for pdf in batches:
             ids: list = []
             hs: list = []
@@ -556,18 +564,44 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hashlib.md5(" ".join(t[i : i + W]).encode()).hexdigest()
                     for i in range(m)
                 )
-            yield pd.DataFrame({"doc_id": ids, "span_hash": hs}).astype(
-                {"doc_id": "int64", "span_hash": "str"}
+            if not hs:
+                yield empty
+                continue
+            # Per-(doc, span) pre-aggregation (same contract as the
+            # rolling kernel): docs are batch-local, so one row per
+            # DISTINCT span per doc with its occurrence count lets the
+            # downstream groupBy use plain count/sum instead of a
+            # countDistinct expand.  Dedup keys are 64-bit hashes OF
+            # the md5 hex (cheap fixed-width lexsort); the md5 string
+            # itself is what ships — group identity stays md5-exact up
+            # to a ~1e-16 within-doc u64 collision, deterministic
+            # either way.
+            wdoc = np.asarray(ids, dtype=np.int64)
+            hs_arr = np.asarray(hs, dtype=object)
+            hk = pd.util.hash_array(hs_arr)
+            order = np.lexsort((hk, wdoc))
+            wdoc, hk, hs_arr = wdoc[order], hk[order], hs_arr[order]
+            first = np.ones(len(hk), dtype=bool)
+            first[1:] = (wdoc[1:] != wdoc[:-1]) | (hk[1:] != hk[:-1])
+            idx = np.flatnonzero(first)
+            counts = np.diff(np.append(idx, len(hk)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": wdoc[idx],
+                    "span_hash": hs_arr[idx],
+                    "c": counts.astype("int64"),
+                }
             )
 
     spans = docs.select("doc_id", "text").mapInPandas(
-        span_hashes, schema="doc_id long, span_hash string"
+        span_hashes, schema="doc_id long, span_hash string, c long"
     )
     return (
         spans.groupBy("span_hash")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
+            # rows are (doc, span)-distinct by kernel contract
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occ"),
             F.min("doc_id").alias("example_doc"),
         )
         .filter(F.col("n_docs") >= 2)
