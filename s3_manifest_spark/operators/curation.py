@@ -704,10 +704,12 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORs ≤ partitions bitsets — the same partial-merge shape as a
        native bloom aggregate, driver memory = bitset size, not probe
        size.
-    2. SCREEN, no join: the merged bitset broadcasts; each corpus
-       batch tests membership vectorized and emits only candidate
-       (doc, shingle) hits, which aggregate to per-doc counts.  The
-       corpus never shuffles for the screen.
+    2. SCREEN, no join, no exchange: the merged bitset broadcasts;
+       ONE corpus kernel fingerprints each document's shingles
+       (:func:`~s3_manifest_spark.operators.dedup._batch_doc_fps`),
+       tests membership vectorized, and — documents being batch-local
+       — emits FINAL per-doc candidate counts.  The corpus never
+       shuffles at all.
 
     Bloom semantics: no false negatives, ~1% false positives — the
     flagged set is a SUPERSET of the exact screen's with per-doc
@@ -718,20 +720,20 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from s3_manifest_spark.operators.dedup import shingle_fingerprints
-    from s3_manifest_spark.registry import track_persist
+    from s3_manifest_spark.operators.dedup import (
+        _batch_doc_fps,
+        shingle_fingerprints,
+    )
 
-    # Same 64-bit fingerprint relation as contamination_screen (one
-    # batch-vectorized kernel, per-doc distinct, long rows) — the
-    # bloom only needs shingle equality, never the text.
-    sh = track_persist(
-        shingle_fingerprints(load_table(spark, sf_dir, "documents", widen=True))
-    )
-    probe = (
-        sh.filter(F.col("doc_id") % CONTAM_PROBE_STRIDE == 0)
-        .select("fp")
-        .distinct()
-    )
+    # Probe side from the UNWIDENED scan (the widen exchange would sit
+    # below the filter and shuffle 100% of the text to keep a slice);
+    # no distinct either — duplicate shingles just re-set the same
+    # bits, and dropping the exchange is cheaper than deduping.
+    probe = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
+        )
+    ).select("fp")
     # Size from the parquet footer (never a Spark job): docs × a
     # generous distinct-shingle bound — oversizing wastes bits, never
     # correctness.
@@ -778,24 +780,45 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def screen(batches):
         bits = bc.value
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "n_candidate_hits": np.empty(0, dtype=np.int64),
+            }
+        )
         for pdf in batches:
-            vals = pdf["fp"].to_numpy()
-            if len(vals) == 0:
+            wdoc, fps = _batch_doc_fps(pdf)
+            if len(fps) == 0:
+                yield empty
                 continue
-            pos = positions(vals)  # (k, n)
+            pos = positions(fps)  # (k, n)
             word = bits[(pos >> np.uint64(6)).astype(np.int64)]
-            hit = ((word >> (pos & np.uint64(63))) & np.uint64(1)).all(
-                axis=0
+            hit = (
+                ((word >> (pos & np.uint64(63))) & np.uint64(1))
+                .all(axis=0)
+                .astype(np.int64)
             )
-            if hit.any():
-                yield pdf[hit]
+            # wdoc is doc-contiguous and per-doc distinct: reduceat
+            # over first-occurrence offsets gives final counts
+            starts = np.flatnonzero(
+                np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
+            )
+            counts = np.add.reduceat(hit, starts)
+            keep = counts > 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"]
+                    .to_numpy()[wdoc[starts][keep]]
+                    .astype("int64"),
+                    "n_candidate_hits": counts[keep],
+                }
+            )
 
-    candidates = sh.filter(
-        F.col("doc_id") % CONTAM_PROBE_STRIDE != 0
-    ).mapInPandas(screen, schema="doc_id long, fp long")
-    # rows are per-doc distinct already (kernel contract) — plain count
-    return candidates.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_candidate_hits")
+    return (
+        load_table(spark, sf_dir, "documents", widen=True)
+        .filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
+        .select("doc_id", "text")
+        .mapInPandas(screen, schema="doc_id long, n_candidate_hits long")
     )
 
 
