@@ -36,6 +36,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from s3_manifest_spark.registry import defer_cleanup, register
+from s3_manifest_spark.streaming.scratch import scratch_base
 from s3_manifest_spark.sources.tables import listing_projection, parquet_row_count
 
 
@@ -74,7 +75,7 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:16]
     spool = os.path.join(
-        tempfile.gettempdir(), f"smsp-listing-{os.getuid()}-{tag}"
+        scratch_base(), f"smsp-listing-{os.getuid()}-{tag}"
     )
     os.makedirs(spool, exist_ok=True)
     dst = os.path.join(spool, "lineitem.parquet")
@@ -106,7 +107,7 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    out_dir = tempfile.mkdtemp(prefix="smsp-cdc-snap-")
+    out_dir = tempfile.mkdtemp(prefix="smsp-cdc-snap-", dir=scratch_base())
     defer_cleanup(lambda: shutil.rmtree(out_dir, ignore_errors=True))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -116,7 +117,7 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
             .parquet(out_dir)
         )
 
-    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="smsp-ckpt-", dir=scratch_base()) as ckpt:
         q = (
             per_key_stream.writeStream.foreachBatch(sink)
             .outputMode("update")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from s3_manifest_spark.registry import register
+from s3_manifest_spark.streaming.scratch import scratch_base
 from s3_manifest_spark.sources.tables import load_table, normalize_event_ts
 
 
@@ -143,7 +144,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     spool = os.path.join(
-        tempfile.gettempdir(), f"smsp-events-{os.path.basename(sf_dir)}"
+        scratch_base(), f"smsp-events-{os.path.basename(sf_dir)}"
     )
     os.makedirs(spool, exist_ok=True)
     dst = os.path.join(spool, "events.parquet")
@@ -187,7 +188,7 @@ def run_tumbling_stream(
     agg = _tumbling_agg(stream)
     name = f"tumbling_{abs(hash(sf_dir)) % 10_000_000}"
     with _stream_partitions(spark), tempfile.TemporaryDirectory(
-        prefix="smsp-ckpt-"
+        prefix="smsp-ckpt-", dir=scratch_base()
     ) as ckpt:
         q = (
             agg.writeStream.format("memory")
@@ -267,7 +268,7 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"user_state_{abs(hash(sf_dir)) % 10_000_000}"
     with _stream_partitions(spark), tempfile.TemporaryDirectory(
-        prefix="smsp-ckpt-"
+        prefix="smsp-ckpt-", dir=scratch_base()
     ) as ckpt:
         q = (
             profiles.writeStream.format("memory")
@@ -348,7 +349,7 @@ def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
     import shutil
 
     spool = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"smsp-events{tag}-x{copies}-{os.path.basename(sf_dir)}",
     )
     os.makedirs(spool, exist_ok=True)
@@ -364,7 +365,7 @@ def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
 
 def _drain(df: DataFrame, name: str, mode: str) -> None:
     with _stream_partitions(df.sparkSession), tempfile.TemporaryDirectory(
-        prefix="smsp-ckpt-"
+        prefix="smsp-ckpt-", dir=scratch_base()
     ) as ckpt:
         q = (
             df.writeStream.format("memory")
