@@ -272,3 +272,25 @@ def test_stream_cdc_apply_multi_batch_drain(spark, tmp_path):
     )
     assert list(live.key) == list(batch.key)
     assert list(live["size"]) == list(batch["size"])
+
+
+def test_scratch_base_policy(monkeypatch):
+    """$TMPDIR wins when set; otherwise a writable /dev/shm is
+    preferred for ephemeral drain scratch."""
+    import os
+    import tempfile
+
+    from s3_manifest_spark.streaming.scratch import scratch_base
+
+    old_cache = tempfile.tempdir
+    try:
+        monkeypatch.setenv("TMPDIR", "/tmp")
+        tempfile.tempdir = None  # drop gettempdir()'s cache
+        assert scratch_base() == tempfile.gettempdir()
+
+        monkeypatch.delenv("TMPDIR")
+        tempfile.tempdir = None
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            assert scratch_base() == "/dev/shm"
+    finally:
+        tempfile.tempdir = old_cache
