@@ -365,9 +365,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact verification on the (small) candidate set only: broadcast the
     # candidates against the persisted shingle fingerprints, count
-    # shared fingerprints.
+    # shared fingerprints.  BOTH sides are broadcast-semi-filtered to
+    # candidate docs BEFORE the (doc, fp) shuffle join — without the
+    # doc_b prefilter the join shuffled the ENTIRE fingerprint
+    # relation to verify a candidate set that is typically a tiny
+    # fraction of the corpus (candidate volume is what LSH bucketing
+    # exists to bound).
     sa = sh.select(F.col("doc_id").alias("doc_a"), "fp")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "fp")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "fp").join(
+        F.broadcast(candidates.select("doc_b").distinct()), "doc_b"
+    )
     inter = (
         sa.join(F.broadcast(candidates), "doc_a")
         .join(sb, ["doc_b", "fp"])
