@@ -1,7 +1,11 @@
 """Simulate the driver: fresh SparkSession (driver's own config, NOT our
 session factory), import __spark_entry__, smoke entry(), then run each
-query at sf0.01 vs its DuckDB oracle with an order-insensitive value hash."""
-import sys, hashlib
+query vs its DuckDB oracle with an order-insensitive value hash.
+
+Scale factor dir comes from $DRIVE_SF_DIR (default sf0.01 — the
+driver's own scale); run with DRIVE_SF_DIR=/root/testdata/sf0.1 to
+assert parity at bench scale too."""
+import os, sys, hashlib
 sys.path.insert(0, "/root/repo")
 import duckdb, pandas as pd
 from pyspark.sql import SparkSession
@@ -21,8 +25,8 @@ print(f"[t1] entry(): {len(rows)} rows, schema={[f.name for f in df.schema.field
 print("     sample:", rows[:3])
 assert len(rows) > 0
 
-# t2 correctness at sf0.01
-SF = "/root/testdata/sf0.01"
+# t2 correctness (driver default sf0.01; override via DRIVE_SF_DIR)
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
