@@ -18,6 +18,7 @@ from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import (
     SYNTH_LISTING_SQL,
     load_table,
+    size_cents,
     synth_listing,
 )
 
@@ -139,9 +140,7 @@ def manifest_stats_unfused(
         prefix2 = F.when(any_null, F.lit("")).otherwise(
             F.concat(F.lit("data/"), F.col("l_returnflag"))
         )
-        size = F.coalesce(
-            F.round(F.col("l_extendedprice") * 100).cast("long"), F.lit(0)
-        )
+        size = F.coalesce(size_cents(), F.lit(0))
         mtime = F.timestamp_millis(
             F.coalesce(
                 F.unix_millis(F.col("l_shipdate").cast("timestamp")), F.lit(0)
@@ -171,6 +170,53 @@ def manifest_stats_unfused(
 _DIFF_OLD_PRED = "size % 3 != 0"
 _DIFF_NEW_PRED = "size % 5 != 0"
 _DIFF_BUMP = "CASE WHEN size % 7 = 0 THEN size + 1 ELSE size END"
+
+
+def _packed_key() -> F.Column:
+    """The synthetic listing key ``data/<rf>/<ok>/part-<ln>.parquet``
+    packed into ONE nullable long: ``ok*2048 + ln*256 + ascii(rf)``.
+
+    Injective for this key template's component domain (single-char
+    returnflag, linenumber in [1,7] so ``ln*256 + ascii(rf) < 2048``;
+    TPC-H orderkeys stay far below 2^52 so the product never
+    overflows) — so grouping by the packed long is identical to
+    grouping by the key string, while the exchange hashes and ships one
+    primitive instead of a ~35-byte string, and the aggregation hash
+    map takes codegen's primitive-key fast path.  A NULL in any
+    component nulls the whole string key (one '' group after the
+    manifest default); mirrored by nulling the packed key, which Spark
+    groups as one NULL group.  Injectivity over the real fixture is
+    pinned by tests/test_manifest_core.py::test_packed_key_injective.
+    """
+    any_null = (
+        F.col("l_returnflag").isNull()
+        | F.col("l_orderkey").isNull()
+        | F.col("l_linenumber").isNull()
+    )
+    packed = (
+        F.col("l_orderkey") * F.lit(2048)
+        + F.col("l_linenumber").cast("long") * F.lit(256)
+        + F.ascii(F.col("l_returnflag")).cast("long")
+    )
+    return F.when(any_null, F.lit(None).cast("long")).otherwise(packed)
+
+
+def _unpacked_key_string(k: F.Column) -> F.Column:
+    """Rebuild the listing key string from a :func:`_packed_key` value
+    (NULL stays NULL, matching the NULL concat of NULL components).
+    Runs post-aggregation, so the concat cost is per RESULT row and
+    32-wide, not per input row inside the serial scan task."""
+    # power-of-two divisions of an integer-valued double are exact, and
+    # the long cast truncates the remainder — integer div/mod in codegen
+    return F.concat(
+        F.lit("data/"),
+        F.char(k % 256),
+        F.lit("/"),
+        (k / 2048).cast("long").cast("string"),
+        F.lit("/part-"),
+        ((k % 2048) / 256).cast("long").cast("string"),
+        F.lit(".parquet"),
+    )
 
 
 @register(
@@ -205,10 +251,11 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's manifests runs between two listing snapshots: which
     objects were added, removed, or changed size, and the byte delta.
 
-    One full-outer sort-merge join keyed by object key, then a
-    map-side-combinable rollup on the 4-value change class.  At 100 TB
-    both manifests would be written bucketed by key (see
-    tests/test_bucketed_join.py) so this join co-locates without
+    Here both snapshots derive from one scan, so the whole diff is ONE
+    conditional aggregation + a tiny rollup (see inline comments).  At
+    100 TB with two independent physical manifests, the full-outer-join
+    form applies instead — both manifests written bucketed by key (see
+    tests/test_bucketed_join.py) so the join co-locates without
     shuffling either snapshot.
     """
     # Snapshots aggregate per key first: S3 keys are unique within a
@@ -225,37 +272,34 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outer-join form applies — bucketed by key, it co-locates without
     # shuffling either snapshot; tests/test_bucketed_join.py.)
     #
-    # Two fusions on top (the key STRING never reaches the output —
+    # Three fusions on top (the key STRING never reaches the output —
     # only change classes do):
-    # - group by the key's source COMPONENT TUPLE instead of the
-    #   concat'd string: component→string is injective for this key
-    #   format, so the grouping is identical, but 600k concats are
-    #   skipped and the shuffle hashes/ships (char, long, int) instead
-    #   of ~35-byte strings (measured 1.02s → 0.76s at sf0.1).  A NULL
+    # - group by the key's source components instead of the concat'd
+    #   string: component→string is injective for this key format, so
+    #   the grouping is identical, but 600k concats are skipped
+    #   (measured 1.02s → 0.76s at sf0.1 for the tuple form).  A NULL
     #   in any component nulls the whole string key, which groups as
     #   ONE '' key — reproduced by collapsing all-null-component rows
-    #   to one all-NULL tuple (Spark groups NULL keys together).
-    # - repartition-by-tuple first: listing keys are nearly unique, so
+    #   to one all-NULL key (Spark groups NULL keys together).
+    # - PACK the (rf, ok, ln) tuple into a single long
+    #   (:func:`_packed_key`): one primitive hash + 8 shipped bytes per
+    #   row instead of a 3-column row, and the post-shuffle hash map
+    #   takes codegen's primitive-key fast path (0.92s → 0.75s).
+    # - repartition-by-key first: listing keys are nearly unique, so
     #   the map-side partial aggregate would shrink nothing while
     #   hashing almost every input row (see cdc_per_key's
     #   pre_partition note).
+    # size_cents (not F.round) keeps the serial scan task free of
+    # per-row BigDecimal work — see its docstring.
     li = load_table(spark, sf_dir, "lineitem")
-    any_null = (
-        F.col("l_returnflag").isNull()
-        | F.col("l_orderkey").isNull()
-        | F.col("l_linenumber").isNull()
-    )
-    comp = lambda c: F.when(any_null, F.lit(None)).otherwise(F.col(c))  # noqa: E731
     l = li.select(
-        comp("l_returnflag").alias("rf"),
-        comp("l_orderkey").alias("ok"),
-        comp("l_linenumber").alias("ln"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+        _packed_key().alias("k"),
+        size_cents().alias("size"),
     )
     j = (
         l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .repartition("rf", "ok", "ln")
-        .groupBy("rf", "ok", "ln")
+        .repartition("k")
+        .groupBy("k")
         .agg(
             F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
             .cast("long")
@@ -389,31 +433,26 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the two-sided full-outer MERGE, co-located shuffle-free over
     bucketed manifests (tests/test_bucketed_join.py).
     """
-    # Same component-tuple fusion as manifest_diff (its inline comment
-    # has the argument): the per-key aggregation groups the key's
-    # SOURCE COMPONENTS — injective for this key format, so identical
-    # groups — and the output key string is built once per RESULT row
-    # after the aggregation (445k concats post-agg vs 600k pre-shuffle,
-    # and the repartition ships (char, long, int) tuples, not ~35-byte
-    # strings).  Null components collapse to one all-NULL tuple whose
-    # post-agg concat coalesces to '' — the projection's default.
+    # Same packed-key fusion as manifest_diff (its inline comment has
+    # the argument): the per-key aggregation groups the key packed into
+    # ONE long — injective for this key format, so identical groups —
+    # and the output key string is rebuilt once per RESULT row after
+    # the aggregation (445k concats post-agg and 32-wide vs 600k inside
+    # the serial scan task; the repartition ships 8-byte primitives,
+    # not ~35-byte strings).  Null components collapse to one NULL
+    # packed key whose rebuilt string stays NULL — matching the
+    # oracle's NULL key group (its GROUP BY runs on the raw listing
+    # key, which is NULL for NULL components, NOT the manifest
+    # projection's '' default).
     li = load_table(spark, sf_dir, "lineitem")
-    any_null = (
-        F.col("l_returnflag").isNull()
-        | F.col("l_orderkey").isNull()
-        | F.col("l_linenumber").isNull()
-    )
-    comp = lambda c: F.when(any_null, F.lit(None)).otherwise(F.col(c))  # noqa: E731
     l = li.select(
-        comp("l_returnflag").alias("rf"),
-        comp("l_orderkey").alias("ok"),
-        comp("l_linenumber").alias("ln"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+        _packed_key().alias("k"),
+        size_cents().alias("size"),
     )
     per = (
         l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .repartition("rf", "ok", "ln")
-        .groupBy("rf", "ok", "ln")
+        .repartition("k")
+        .groupBy("k")
         .agg(
             F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
             .cast("long")
@@ -423,16 +462,5 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("feed_new"),
         )
     )
-    key = F.coalesce(
-        F.concat(
-            F.lit("data/"),
-            F.col("rf"),
-            F.lit("/"),
-            F.col("ok").cast("string"),
-            F.lit("/part-"),
-            F.col("ln").cast("string"),
-            F.lit(".parquet"),
-        ),
-        F.lit(""),
-    )
+    key = _unpacked_key_string(F.col("k"))
     return cdc_merge(per.select(key.alias("key"), "old_sz", "feed_new"))

@@ -164,6 +164,25 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
     return out
 
 
+def size_cents(col: F.Column | None = None) -> F.Column:
+    """Whole-cent listing size: half-up rounding of ``price * 100``.
+
+    Algebraic twin of ``CAST(round(p * 100) AS BIGINT)`` (the oracle's
+    form, :data:`SYNTH_LISTING_SQL`): ``F.round`` on DOUBLE routes
+    every row through a BigDecimal construction — measured ~0.16 s of
+    SERIAL time at sf0.1, paid inside the 1-row-group scan task where
+    it cannot parallelize — while ``floor(x + 0.5)`` stays in primitive
+    whole-stage codegen and costs ~nothing.  The two are value-identical
+    for all non-negative inputs (HALF_UP == floor(+0.5) there; TPC-H
+    extended prices are positive); equality over the full fixture is
+    pinned by tests/test_manifest_core.py::test_size_cents_equals_round.
+    ``floor`` already returns LongType, so no cast is needed.
+    """
+    if col is None:
+        col = F.col("l_extendedprice")
+    return F.floor(col * 100 + F.lit(0.5))
+
+
 def listing_projection(li: DataFrame) -> DataFrame:
     """The lineitem → listing column derivation shared by
     :func:`synth_listing` (batch) and the streaming listing source
@@ -179,7 +198,7 @@ def listing_projection(li: DataFrame) -> DataFrame:
             F.col("l_linenumber").cast("string"),
             F.lit(".parquet"),
         ).alias("key"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+        size_cents().alias("size"),
         F.date_format(F.col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
             "last_modified"
         ),

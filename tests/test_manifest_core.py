@@ -199,3 +199,87 @@ def test_prefix_filter_fusion_equals_unfused(spark):
             drop=True
         )
         assert fused.equals(unfused), sf
+
+
+def test_size_cents_equals_round(spark):
+    """size_cents (primitive floor(x+0.5)) must equal the oracle's
+    CAST(round(p*100) AS BIGINT) on every fixture price — the
+    precondition (non-negative input) the fusion's docstring states."""
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.sources.tables import size_cents
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ne = li.filter(
+            ~size_cents().eqNullSafe(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            )
+        ).count()
+        assert ne == 0, sf
+
+
+def test_packed_key_injective(spark):
+    """Grouping by the packed long must produce the SAME groups as
+    grouping by the concat'd key string: distinct-count equality over
+    the joint relation proves the packing is injective on the fixture's
+    component domain (and that no two distinct keys collide)."""
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.operators.manifest_queries import _packed_key
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    key_str = F.concat(
+        F.lit("data/"),
+        F.col("l_returnflag"),
+        F.lit("/"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/part-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(".parquet"),
+    )
+    joint = li.select(_packed_key().alias("k"), key_str.alias("s"))
+    counts = joint.agg(
+        F.countDistinct("k").alias("nk"),
+        F.countDistinct("s").alias("ns"),
+        F.countDistinct("k", "s").alias("nks"),
+    ).first()
+    assert counts.nk == counts.ns == counts.nks
+
+
+def test_packed_key_null_components_and_unpack(spark):
+    """A NULL in any component must null the packed key (one NULL
+    group, mirroring the NULL concat'd string), and the post-agg
+    unpack must rebuild the exact key string for non-null rows."""
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.operators.manifest_queries import (
+        _packed_key,
+        _unpacked_key_string,
+    )
+    from s3_manifest_spark.sources.tables import listing_projection
+
+    rows = [
+        ("A", 7, 3, 1.0),
+        (None, 7, 3, 1.0),
+        ("A", None, 3, 1.0),
+        ("A", 7, None, 1.0),
+        ("R", 149999, 7, 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_orderkey long, l_linenumber int, l_extendedprice double"
+    )
+    got = df.select(
+        _unpacked_key_string(_packed_key()).alias("rebuilt"),
+        F.concat(
+            F.lit("data/"),
+            F.col("l_returnflag"),
+            F.lit("/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/part-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit(".parquet"),
+        ).alias("direct"),
+    ).collect()
+    for r in got:
+        assert r.rebuilt == r.direct
