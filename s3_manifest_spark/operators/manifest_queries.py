@@ -41,8 +41,88 @@ FROM listing
 """
 
 
+def _fused_manifest_projection(li: DataFrame) -> DataFrame:
+    """The ``synth_listing → derive_manifest`` composition fused into
+    one projection over the SOURCE columns.
+
+    Two round trips Catalyst cannot see through are removed:
+
+    - ``to_timestamp(date_format(ts, RFC3339))`` is just the
+      second-truncated ``ts`` (the RFC pattern has seconds precision) —
+      so LastModified is ``timestamp_seconds(unix_timestamp(ts))``
+      directly, skipping 600k string formats + parses;
+    - ``substring_index(concat('data/', rf, '/', ok, '/part-', ln,
+      '.parquet'), '/', -1)`` is just ``concat('part-', ln,
+      '.parquet')`` — FileName never needs the full key scanned.
+
+    NULL semantics preserved exactly: a NULL in any key component nulls
+    the concat'd key, which derive_manifest defaults to ``''`` (and its
+    FileName is ``substring_index('', '/', -1) = ''``); NULL price →
+    Size 0; NULL shipdate → epoch 0.  Equality with the unfused
+    composition is pinned by
+    tests/test_manifest_core.py::test_project_fusion_equals_unfused.
+    """
+    any_null = (
+        F.col("l_returnflag").isNull()
+        | F.col("l_orderkey").isNull()
+        | F.col("l_linenumber").isNull()
+    )
+    key = F.when(any_null, F.lit("")).otherwise(
+        F.concat(
+            F.lit("data/"),
+            F.col("l_returnflag"),
+            F.lit("/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/part-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit(".parquet"),
+        )
+    )
+    fname = F.when(any_null, F.lit("")).otherwise(
+        F.concat(
+            F.lit("part-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit(".parquet"),
+        )
+    )
+    return li.select(
+        F.lit(BUCKET).alias("Bucket"),
+        key.alias("Key"),
+        fname.alias("FileName"),
+        F.coalesce(size_cents(), F.lit(0)).alias("Size"),
+        F.timestamp_seconds(
+            F.coalesce(
+                F.unix_timestamp(F.col("l_shipdate").cast("timestamp")),
+                F.lit(0),
+            )
+        ).alias("LastModified"),
+    )
+
+
 @register("manifest_project", oracle=_PROJECT_SQL)
 def manifest_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P5 manifest projection over the synthetic listing.
+
+    Physical plan: select the five needed source columns, widen the
+    1-row-group scan with a raw-column round-robin exchange (~29-byte
+    rows — narrower than the ~60-byte derived rows the old
+    project-then-widen order shipped), then run the FUSED projection
+    (:func:`_fused_manifest_projection`) 32-wide.  The serial scan task
+    does no string building at all.
+    """
+    from s3_manifest_spark.sources.tables import widen_scan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_shipdate",
+    )
+    li = widen_scan(li, f"{sf_dir}/lineitem.parquet")
+    return _fused_manifest_projection(li)
+
+
+def manifest_project_unfused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic composition (listing → derive_manifest) — the form a
+    real, non-synthetic listing takes; the fused twin must equal it."""
     return derive_manifest(synth_listing(spark, sf_dir), bucket=BUCKET)
 
 
@@ -68,15 +148,21 @@ def manifest_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equivalence with the unfused composition is pinned by
     tests/test_manifest_core.py::test_prefix_filter_fusion_equals_unfused.
     """
-    from s3_manifest_spark.sources.tables import listing_projection, widen_scan
+    from s3_manifest_spark.sources.tables import widen_scan
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").startswith("A")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").startswith("A"))
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_shipdate",
+        )
     )
-    listing = listing_projection(
-        widen_scan(li, f"{sf_dir}/lineitem.parquet")
+    li = widen_scan(li, f"{sf_dir}/lineitem.parquet")
+    # fused projection + the KEPT defensive re-check on the built key
+    return _fused_manifest_projection(li).filter(
+        F.col("Key").startswith("data/A")
     )
-    return derive_manifest(listing, bucket=BUCKET, prefix="data/A")
 
 
 def manifest_prefix_filter_unfused(
@@ -170,6 +256,22 @@ def manifest_stats_unfused(
 _DIFF_OLD_PRED = "size % 3 != 0"
 _DIFF_NEW_PRED = "size % 5 != 0"
 _DIFF_BUMP = "CASE WHEN size % 7 = 0 THEN size + 1 ELSE size END"
+
+
+def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Right-size the diff/apply keyed exchange from the parquet
+    footer's row count (a cached metadata read, no job): ~40k packed
+    8-byte rows per reducer keeps per-task scheduling overhead from
+    dominating a small shuffle (measured at sf0.1: 32 → 16 reducers is
+    0.60s → 0.42s), while the cap at the session's shuffle-partition
+    conf means production inputs — rows ≫ 40k × cores — keep full
+    cluster width.  This is AQE-coalescing logic applied up front;
+    AQE itself won't shrink a user-specified repartition."""
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    rows = parquet_row_count(f"{sf_dir}/lineitem.parquet")
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, rows // 40_000))
 
 
 def _packed_key() -> F.Column:
@@ -298,7 +400,7 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .repartition("k")
+        .repartition(_keyed_parts(spark, sf_dir), "k")
         .groupBy("k")
         .agg(
             F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
@@ -451,7 +553,7 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = (
         l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
-        .repartition("k")
+        .repartition(_keyed_parts(spark, sf_dir), "k")
         .groupBy("k")
         .agg(
             F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))

@@ -283,3 +283,72 @@ def test_packed_key_null_components_and_unpack(spark):
     ).collect()
     for r in got:
         assert r.rebuilt == r.direct
+
+
+def test_project_fusion_equals_unfused(spark):
+    """The fused manifest projection (source columns -> manifest
+    columns directly) must be value-identical to the full
+    synth_listing -> derive_manifest composition it replaces."""
+    from s3_manifest_spark.operators.manifest_queries import (
+        manifest_project,
+        manifest_project_unfused,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        cols = ["Bucket", "Key", "FileName", "Size", "LastModified"]
+        fused = (
+            manifest_project(spark, sf)
+            .toPandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        unfused = (
+            manifest_project_unfused(spark, sf)
+            .toPandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        assert list(fused.columns) == cols
+        assert fused.equals(unfused), sf
+
+
+def test_project_fusion_null_semantics(spark):
+    """NULL component -> Key '' and FileName ''; NULL price -> Size 0;
+    NULL shipdate -> epoch 0 — the fused projection must reproduce
+    derive_manifest's defaults exactly (lineitem has no NULLs, so the
+    fixture equality test cannot cover this branch)."""
+    import datetime as dt
+
+    from s3_manifest_spark.manifest.core import derive_manifest
+    from s3_manifest_spark.operators.manifest_queries import (
+        _fused_manifest_projection,
+    )
+    from s3_manifest_spark.sources.tables import listing_projection
+
+    rows = [
+        ("A", 7, 3, 1.0, dt.datetime(2020, 5, 6, 7, 8, 9)),
+        (None, 7, 3, 1.0, dt.datetime(2020, 5, 6, 7, 8, 9)),
+        ("A", None, 3, 1.0, dt.datetime(2020, 5, 6, 7, 8, 9)),
+        ("A", 7, None, 1.0, dt.datetime(2020, 5, 6, 7, 8, 9)),
+        ("A", 7, 3, None, dt.datetime(2020, 5, 6, 7, 8, 9)),
+        ("A", 7, 3, 1.0, None),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_orderkey long, l_linenumber int, "
+        "l_extendedprice double, l_shipdate timestamp",
+    )
+    cols = ["Bucket", "Key", "FileName", "Size", "LastModified"]
+    fused = (
+        _fused_manifest_projection(li)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    unfused = (
+        derive_manifest(listing_projection(li), bucket="test-bucket")
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert fused.equals(unfused)
