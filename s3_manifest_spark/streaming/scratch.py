@@ -26,8 +26,12 @@ def scratch_base() -> str:
     """Base directory for ephemeral drain scratch: ``$TMPDIR`` when the
     user set one, else ``/dev/shm`` when present and writable, else the
     platform default temp dir."""
-    if os.environ.get("TMPDIR"):
-        return tempfile.gettempdir()
+    # Read $TMPDIR directly: tempfile.gettempdir() caches its answer
+    # process-wide at FIRST call, so an override exported after any
+    # earlier gettempdir() call would be silently ignored.
+    tmpdir = os.environ.get("TMPDIR")
+    if tmpdir:
+        return tmpdir
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         return shm

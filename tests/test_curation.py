@@ -271,3 +271,20 @@ def test_global_ordinal_dense_and_order_correct(spark):
     assert sorted(got["position"]) == list(range(123))
     ordered = got.sort_values("position")
     assert list(ordered[["k", "v"]].itertuples(index=False, name=None)) == sorted(rows)
+
+
+def test_documents_doc_id_unique():
+    """PK precondition the (doc, span) pre-aggregation kernels rely on
+    (dedup.py span/rolling contracts): doc_id is unique in documents.
+    Footer row count vs DuckDB distinct count — no Spark job."""
+    import duckdb
+
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = f"{sf}/documents.parquet"
+        distinct = con.execute(
+            f"SELECT count(DISTINCT doc_id) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert distinct == parquet_row_count(path), sf

@@ -340,3 +340,64 @@ def test_similarity_query_set_is_hard_capped(spark):
     full = sim._query_pdf(v)
     assert len(full) <= sim.MAX_QUERIES
     assert (full["vec_id"] % sim.QUERY_STRIDE == 0).all()
+
+
+def test_embedding_lsh_sparse_equals_dense_on_planted_set(spark):
+    """The id-only sparse plan and the packed dense plan must emit the
+    SAME pair set (both verify exactly; only candidate generation
+    differs) on a planted near-dup set, at signature parameters whose
+    analytic recall at sim >= 0.93 is ~1."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.dedup import (
+        EMBED_LSH_HI_BANDS,
+        EMBED_LSH_HI_PLANES,
+        _embedding_lsh_pairs,
+        _embedding_lsh_pairs_sparse,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    eps = rng.uniform(0.05, 0.3, size=(60, 1))
+    dup = base + eps * rng.standard_normal((60, dim)) / np.sqrt(dim)
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    decoys = rng.standard_normal((200, dim))
+    decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+    vecs = np.vstack([base, dup, decoys])
+    v = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    L, r = EMBED_LSH_HI_BANDS, EMBED_LSH_HI_PLANES
+    sparse = {
+        (x.vec_a, x.vec_b)
+        for x in _embedding_lsh_pairs_sparse(v, 0.9, L=L, r=r).collect()
+    }
+    dense = {
+        (x.vec_a, x.vec_b)
+        for x in _embedding_lsh_pairs(v, 0.9, L=L, r=r).collect()
+    }
+    assert len(sparse) >= 40
+    assert sparse == dense
+
+
+def test_plant_id_guard_rejects_colliding_corpus(spark, tmp_path):
+    """_assert_plant_ids_disjoint must refuse a corpus whose vec_ids
+    reach PLANT_ID_BASE (footer-stats read, no Spark job)."""
+    import pytest
+
+    from s3_manifest_spark.operators.dedup import (
+        PLANT_ID_BASE,
+        _assert_plant_ids_disjoint,
+    )
+
+    bad = spark.createDataFrame(
+        [(PLANT_ID_BASE + 5, [0.1, 0.2])],
+        schema="vec_id long, embedding array<float>",
+    )
+    d = str(tmp_path / "fixture")
+    bad.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    with pytest.raises(ValueError, match="PLANT_ID_BASE"):
+        _assert_plant_ids_disjoint(spark, d)
