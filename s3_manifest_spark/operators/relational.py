@@ -310,12 +310,20 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id)  AS exact_users,
            count(*)                 AS event_count,
+           -- literal TRUE by design: DuckDB cannot rerun the engine's
+           -- HLL, so the 3-sigma bound arithmetic behind this flag is
+           -- pinned locally by tests/test_timeseries.py::
+           -- test_approx_distinct_flag_falsifies_on_drift (a drifted
+           -- estimate must flip it); exact_users/event_count above ARE
+           -- recomputed independently and hash-compared.
            TRUE                     AS estimate_in_bound
     FROM events
     GROUP BY event_type
     """,
 )
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct(
+    spark: SparkSession, sf_dir: str, _drift: float = 0.0
+) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
     distinct's shuffle would dominate.  Sketches merge associatively,
     so the shuffle carries one ~KB sketch per group per partition.
@@ -329,7 +337,12 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     rsd = 0.02
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        # _drift is test-only: a deliberately biased estimate must flip
+        # the certificate flag (proves the bound check is load-bearing)
+        (
+            F.approx_count_distinct("user_id", rsd=rsd)
+            * F.lit(1.0 + _drift)
+        ).cast("long").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("event_count"),
     )

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3_manifest_spark.registry import register
-from s3_manifest_spark.sources.tables import load_table
+from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 
 TOP_K = 5
 #: every 100th vector is a query point — deterministic, sf-independent
@@ -161,7 +161,7 @@ def _plane(dim_idx: Column, plane: int) -> Column:
     return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def _lsh_signature(e: Column) -> Column:
+def _lsh_signature(e: Column, seed_offset: int = 0) -> Column:
     """Sign-pattern bucket id over LSH_PLANES random ±1 hyperplanes.
 
     sign(Σᵢ eᵢ·hᵖᵢ) per plane p, packed into an int.  Collision
@@ -178,7 +178,11 @@ def _lsh_signature(e: Column) -> Column:
             F.zip_with(
                 e,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(e) - 1), lambda i: _plane(i, p)
+                    # single-parameter lambda ONLY: a two-parameter
+                    # lambda would make transform() pass the element
+                    # INDEX as the second argument, clobbering the band
+                    F.sequence(F.lit(0), F.size(e) - 1),
+                    (lambda band: lambda i: _plane(i, band + seed_offset))(p),
                 ),
                 lambda x, h: x.cast("double") * h,
             ),
@@ -195,8 +199,13 @@ IVF_TRAIN_STRIDE = 2  # 1-in-N deterministic sample for quantizer training
 IVF_LLOYD_STEPS = 2
 
 
-@register("similarity_ivf")  # rows-only: cluster geometry is engine-internal
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_farthest: bool = False,
+    with_membership: bool = False,
+    exact: DataFrame | None = None,
+):
     """IVF (inverted-file) approximate top-k, FAISS-style split:
 
     1. TRAIN (distributed): {IVF_LLOYD_STEPS} Lloyd rounds over a
@@ -285,7 +294,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     qsims = qm @ centn.T
-    probes = np.argsort(-qsims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    # probe_farthest=True is the deliberate BROKEN mode the certificate
+    # test uses: probing the least-similar cells drops probed exact
+    # members, which must flip ann_complete_ok to false.
+    order_sign = 1.0 if probe_farthest else -1.0
+    probes = np.argsort(order_sign * qsims, kind="stable", axis=1)[:, :IVF_NPROBE]
     bc = spark.sparkContext.broadcast((qids, qm, probes, centn))
     k = TOP_K
 
@@ -325,18 +338,72 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return (
+    topk = (
         scored.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+    if not with_membership:
+        return topk
+
+    # Canonical membership for the completeness certificate: per exact
+    # top-k member, is its centroid cell among the query's NEAREST
+    # nprobe cells (canonical regardless of probe_farthest)?  Member
+    # cells are recomputed on the broadcast-semi-filtered corpus
+    # (O(k·queries) rows); the probe lists are driver-side,
+    # query-cap-bounded data.
+    canonical = np.argsort(-qsims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    probe_df = spark.createDataFrame(
+        [
+            (int(q), [int(c) for c in canonical[i]])
+            for i, q in enumerate(qids)
+        ],
+        schema="query_id long, probe_cells array<int>",
+    )
+    if exact is None:
+        exact = similarity_topk(spark, sf_dir)
+    exact_ids = exact.select("query_id", "neighbor_id")
+    memb_src = v.join(
+        F.broadcast(
+            exact_ids.select(F.col("neighbor_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    )
+
+    def cells(batches):
+        _, _, _, cents = bc.value
+        for b in batches:
+            ids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "ncell": np.argmax(en @ cents.T, axis=1).astype("int32"),
+                }
+            )
+
+    nc = memb_src.mapInPandas(cells, schema="neighbor_id long, ncell int")
+    membership = (
+        exact_ids.join(F.broadcast(nc), "neighbor_id")
+        .join(F.broadcast(probe_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.array_contains(
+                F.col("probe_cells"), F.col("ncell")
+            ).alias("should_find"),
+        )
+    )
+    return topk, membership
 
 
 LSH_MULTIPROBE = 1  # probe buckets within this signature Hamming radius
 
 
-@register("similarity_ann_lsh")  # rows-only: bucket membership is hash-seeded
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_lsh_neighbors(
+    spark: SparkSession, sf_dir: str, query_seed_offset: int = 0
+) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets, multi-probe.
 
     Each vector gets a {LSH_PLANES}-bit sign signature; each query
@@ -368,12 +435,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if LSH_MULTIPROBE >= 1
         ],
     )
+    # query_seed_offset != 0 is the deliberate BROKEN mode the
+    # certificate test uses: queries hashed with different planes than
+    # the corpus probe unrelated buckets, collapsing recall to ~random.
     q = (
-        bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.col("bucket").alias("qbucket"),
+            _lsh_signature(F.col("embedding"), query_seed_offset).alias(
+                "qbucket"
+            ),
         )
         .select(
             "query_id", "qe", F.explode(probe_sigs).alias("probe_bucket")
@@ -401,3 +473,184 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+#: DuckDB twin of the certificates' exact side — the SAME scored/topk
+#: construction as similarity_topk's oracle, aggregated to the k-th
+#: (minimum) similarity per query.  ann_complete_ok is literal true on
+#: the oracle side BY DESIGN: DuckDB cannot re-run the engine-seeded
+#: ANN, so the flag's invariant arithmetic is pinned by the local
+#: broken-ANN test
+#: tests/test_llm_ops.py::test_ann_certificates_detect_broken_ann,
+#: and the hash check proves the flag ACTUALLY came out true on the
+#: Spark side (plus full query coverage and an independently
+#: recomputed exact_kth_sim per query).
+_ANN_CERT_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {MAX_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim
+  FROM q JOIN v ON vec_id <> query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {TOP_K}
+)
+SELECT query_id,
+       round(min(cos_sim), 6) AS exact_kth_sim,
+       true                   AS ann_complete_ok
+FROM topk
+GROUP BY query_id
+"""
+
+
+def _ann_certificate(
+    spark: SparkSession,
+    sf_dir: str,
+    ann: DataFrame,
+    membership,
+    exact: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query ANN COMPLETENESS certificate (the in-bound-flag
+    pattern of percentile_digest, adapted to what an LSH/IVF actually
+    promises deterministically):
+
+    - ``exact_kth_sim`` — the k-th exact cosine per query, computed by
+      the engine's OWN brute-force scorer; the oracle recomputes it
+      independently in SQL, so a hash match proves the exact side
+      end-to-end (queries, scoring, rounding, tie order).
+    - ``ann_complete_ok`` — every exact-top-k member whose
+      bucket/cell the query PROBES (``membership``: per (query_id,
+      neighbor_id) a ``should_find`` bool recomputed from the
+      canonical signature/centroid assignment) must appear in the ANN
+      output.  This is deterministic — no statistical slack: a probed
+      member outranks every non-member candidate under the shared
+      (rounded sim desc, id asc) order, so a working ANN cannot drop
+      it.  Statistical recall flags are impossible on this fixture
+      (uniform-random vectors: per-query recall legitimately hits 0),
+      but completeness-within-probe must hold at every scale, and the
+      broken-ANN test shows the flag actually falsifies (mismatched
+      query planes / farthest-cell probing).
+
+    Queries none of whose exact members are probed are vacuously
+    complete — the flag certifies the ANN faithfully returns what its
+    candidate generation promises, not that candidate generation has
+    high recall on structureless data (the docstrings' analytic
+    recall math covers that).
+    """
+    from s3_manifest_spark.registry import track_persist
+
+    # the brute-force exact relation is referenced three times in the
+    # certificate tree (k-th sim, found-check, membership) — persist
+    # the tiny k·queries-row result so the corpus is scored once.
+    if exact is None:
+        exact = track_persist(similarity_topk(spark, sf_dir))
+    eagg = exact.groupBy("query_id").agg(
+        F.min("cos_sim").alias("exact_kth_sim")
+    )
+    if callable(membership):
+        membership = membership(exact)
+    found = ann.select(
+        "query_id", "neighbor_id", F.lit(True).alias("found")
+    )
+    checks = (
+        exact.select("query_id", "neighbor_id")
+        .join(membership, ["query_id", "neighbor_id"], "left")
+        .join(found, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.coalesce(F.col("should_find"), F.lit(False))
+                    & ~F.coalesce(F.col("found"), F.lit(False)),
+                    F.lit(False),
+                ).otherwise(F.lit(True))
+            ).alias("ann_complete_ok")
+        )
+    )
+    return eagg.join(checks, "query_id").select(
+        "query_id",
+        F.round("exact_kth_sim", 6).alias("exact_kth_sim"),
+        "ann_complete_ok",
+    )
+
+
+def _lsh_membership(
+    spark: SparkSession, sf_dir: str, exact: DataFrame | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, should_find) for the LSH ANN: the
+    neighbor's canonical bucket is in the query's canonical probe set
+    (own signature + 1-bit flips).  Signatures are recomputed only for
+    the exact-top-k member rows (broadcast-semi-filtered corpus), so
+    the membership relation costs O(k·queries), not a corpus pass."""
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if exact is None:
+        exact = similarity_topk(spark, sf_dir)
+    exact_ids = exact.select("query_id", "neighbor_id")
+    nb = v.join(
+        F.broadcast(
+            exact_ids.select(F.col("neighbor_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _lsh_signature(F.col("embedding")).alias("nbucket"),
+    )
+    qb = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _lsh_signature(F.col("embedding")).alias("qbucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(LSH_PLANES)
+            if LSH_MULTIPROBE >= 1
+        ],
+    )
+    return (
+        exact_ids.join(F.broadcast(nb), "neighbor_id")
+        .join(F.broadcast(qb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.array_contains(probes, F.col("nbucket")).alias("should_find"),
+        )
+    )
+
+
+@register("similarity_ann_lsh", oracle=_ANN_CERT_SQL)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness certificate for
+    :func:`similarity_ann_lsh_neighbors` (the multi-probe
+    hyperplane-LSH ANN) — see :func:`_ann_certificate` for what each
+    column certifies.  The raw neighbor relation stays available as
+    ``similarity_ann_lsh_neighbors``."""
+    return _ann_certificate(
+        spark,
+        sf_dir,
+        similarity_ann_lsh_neighbors(spark, sf_dir),
+        lambda exact: _lsh_membership(spark, sf_dir, exact),
+    )
+
+
+@register("similarity_ivf", oracle=_ANN_CERT_SQL)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness certificate for :func:`similarity_ivf_neighbors`
+    (the distributed-Lloyd IVF ANN) — see :func:`_ann_certificate`.
+    The raw neighbor relation stays available as
+    ``similarity_ivf_neighbors``."""
+    from s3_manifest_spark.registry import track_persist
+
+    exact = track_persist(similarity_topk(spark, sf_dir))
+    ann, membership = similarity_ivf_neighbors(
+        spark, sf_dir, with_membership=True, exact=exact
+    )
+    return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)

@@ -94,6 +94,13 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           -- literal true by design: DuckDB cannot rerun the engine's
+           -- mergeable HLL sketches, so the 3-sigma-RSE certificate
+           -- arithmetic behind this flag is pinned locally by
+           -- tests/test_timeseries.py::
+           -- test_hll_estimate_close_to_exact_and_merge_invariant;
+           -- exact_users above IS recomputed independently and
+           -- hash-compared.
            true AS approx_in_bound
     FROM events
     GROUP BY event_type

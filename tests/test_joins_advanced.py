@@ -17,7 +17,10 @@ from s3_manifest_spark.operators.joins_advanced import (
     asof_join,
     range_join_bands,
 )
-from s3_manifest_spark.operators.similarity import TOP_K, similarity_ivf
+from s3_manifest_spark.operators.similarity import (
+    TOP_K,
+    similarity_ivf_neighbors,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -74,7 +77,7 @@ def test_dedup_embedding_pairs_ordered_and_above_threshold(spark):
 
 
 def test_similarity_ivf_topk_shape(spark):
-    rows = similarity_ivf(spark, SF).collect()
+    rows = similarity_ivf_neighbors(spark, SF).collect()
     per_query: dict[int, list] = {}
     for r in rows:
         per_query.setdefault(r.query_id, []).append(r)
@@ -95,7 +98,11 @@ def test_similarity_ivf_recall_vs_brute_force(spark):
 
     q = entrymod.queries()
     bf = q["similarity_topk"](spark, SF).toPandas()
-    ivf = q["similarity_ivf"](spark, SF).toPandas()
+    from s3_manifest_spark.operators.similarity import (
+        similarity_ivf_neighbors as _ivfn,
+    )
+
+    ivf = _ivfn(spark, SF).toPandas()
     b = set(zip(bf.query_id, bf.neighbor_id))
     i = set(zip(ivf.query_id, ivf.neighbor_id))
     assert len(b & i) / len(b) >= 0.6

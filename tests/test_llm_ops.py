@@ -90,8 +90,12 @@ def test_ann_lsh_candidates_are_correct(spark, q):
     """ANN reports a subset of the true pair space with correct cosine
     values (the fixture's vectors are near-orthogonal, so recall vs
     brute force isn't meaningful — correctness of scored candidates is)."""
+    from s3_manifest_spark.operators.similarity import (
+        similarity_ann_lsh_neighbors,
+    )
+
     bf = q["similarity_topk"](spark, SF).toPandas()
-    ann = q["similarity_ann_lsh"](spark, SF).toPandas()
+    ann = similarity_ann_lsh_neighbors(spark, SF).toPandas()
     assert len(ann) > 0, "6-plane LSH over 500 vectors must yield collisions"
     assert set(ann.columns) == set(bf.columns)
     assert (ann.groupby("query_id").size() <= 5).all()
@@ -401,3 +405,48 @@ def test_plant_id_guard_rejects_colliding_corpus(spark, tmp_path):
     bad.coalesce(1).write.parquet(d + "/embeddings.parquet")
     with pytest.raises(ValueError, match="PLANT_ID_BASE"):
         _assert_plant_ids_disjoint(spark, d)
+
+
+def test_ann_certificates_detect_broken_ann(spark, q):
+    """The registered similarity_ann_lsh / similarity_ivf entries are
+    COMPLETENESS certificates: exact_kth_sim per query plus a
+    deterministic flag (every exact-top-k member the query's canonical
+    buckets/cells probe must appear in the ANN output).  The flag must
+    be TRUE for the working ANNs and must FALSIFY when the ANN is
+    deliberately broken (queries hashed with mismatched planes; IVF
+    probing the farthest cells) — proving the certificate arithmetic
+    is load-bearing, not vacuously true."""
+    from s3_manifest_spark.operators.similarity import (
+        _ann_certificate,
+        _lsh_membership,
+        similarity_ann_lsh_neighbors,
+        similarity_ivf_neighbors,
+    )
+
+    for name in ("similarity_ann_lsh", "similarity_ivf"):
+        cert = q[name](spark, SF).toPandas()
+        assert set(cert.columns) == {
+            "query_id",
+            "exact_kth_sim",
+            "ann_complete_ok",
+        }
+        assert len(cert) > 0
+        assert cert["ann_complete_ok"].all(), name
+
+    broken_lsh = _ann_certificate(
+        spark,
+        SF,
+        similarity_ann_lsh_neighbors(spark, SF, query_seed_offset=17),
+        _lsh_membership(spark, SF),
+    ).toPandas()
+    assert not broken_lsh["ann_complete_ok"].all()
+    _, membership = similarity_ivf_neighbors(
+        spark, SF, probe_farthest=True, with_membership=True
+    )
+    broken_ivf = _ann_certificate(
+        spark,
+        SF,
+        similarity_ivf_neighbors(spark, SF, probe_farthest=True),
+        membership,
+    ).toPandas()
+    assert not broken_ivf["ann_complete_ok"].all()

@@ -98,3 +98,17 @@ def test_dedup_clusters_are_consistent_with_pairs(spark):
     for cid, g in grp:
         assert cid == g.doc_id.min()
         assert (g.component_size == len(g)).all()
+
+
+def test_approx_distinct_flag_falsifies_on_drift(spark):
+    """The 3-sigma certificate flag in approx_distinct must be TRUE on
+    the real HLL estimate and must flip to FALSE when the estimate is
+    deliberately drifted past the bound — proving the bound check is
+    load-bearing, not vacuously true (its oracle emits a literal
+    TRUE)."""
+    from s3_manifest_spark.operators.relational import approx_distinct
+
+    ok = approx_distinct(spark, SF).toPandas()
+    assert ok["estimate_in_bound"].all()
+    drifted = approx_distinct(spark, SF, _drift=0.25).toPandas()
+    assert not drifted["estimate_in_bound"].any()
