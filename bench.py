@@ -97,6 +97,16 @@ def main() -> int:
     rows: dict[str, int] = {}
     for _ in range(RUNS):
         for name in sorted(qs):
+            # Measurement integrity: drop the registry's plan memo so
+            # every rep pays the FULL query path (plan construction +
+            # all stages).  A re-served DataFrame would reuse its
+            # already-materialized shuffle map outputs — rep 2+ would
+            # time only the final stage, which is not the work the
+            # DuckDB side re-executes each rep.  The memoized path is
+            # a real API feature (prepared-statement reuse for
+            # interactive callers); it just must not be what the
+            # benchmark times.
+            getattr(spark, "_smsp_plan_cache", {}).clear()
             t0 = time.perf_counter()
             pdf = qs[name](spark, sf_dir).toPandas()
             spark_samples[name].append(round(time.perf_counter() - t0, 4))

@@ -98,7 +98,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
                 _TRACKED_PERSISTS.pop().unpersist(blocking=False)
             while _DEFERRED_CLEANUPS:
                 _DEFERRED_CLEANUPS.pop()()
-            return fn(spark, sf_dir)
+            # Plan memoization (prepared-statement reuse): DataFrames
+            # are immutable LAZY plans, so re-serving one is
+            # semantically identical to rebuilding it, while skipping
+            # the per-call py4j expression construction + analysis
+            # (50-700 ms — up to half a floor-class query's wall).
+            # Stored on the session object like the reader cache, so
+            # entries die with the session.  A query that registered
+            # persists or cleanups during construction is NOT cached:
+            # its returned plan depends on query-scoped state (scratch
+            # spools, conf overrides, persisted intermediates) that the
+            # next registry call tears down.
+            cache = getattr(spark, "_smsp_plan_cache", None)
+            if cache is None:
+                cache = {}
+                spark._smsp_plan_cache = cache
+            key = (name, sf_dir)
+            cached = cache.get(key)
+            if cached is not None:
+                return cached
+            df = fn(spark, sf_dir)
+            if not _TRACKED_PERSISTS and not _DEFERRED_CLEANUPS:
+                cache[key] = df
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

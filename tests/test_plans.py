@@ -21,6 +21,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # Plan pins must inspect the PRE-EXECUTION plan: the registry's
+    # plan memoization can otherwise serve a DataFrame a previous test
+    # already EXECUTED, whose AdaptiveSparkPlan is finalized (AQE may
+    # have coalesced exchanges / converted joins) — a different string
+    # than the shape these tests pin.
+    getattr(spark, "_smsp_plan_cache", {}).clear()
     df = entrymod.queries()[name](spark, SF)
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"

@@ -111,3 +111,22 @@ def test_dedup_clusters_restores_shuffle_conf_via_deferral(spark, q):
     df.count()
     q["hash_join"](spark, SF).count()
     assert spark.conf.get(key) == before
+
+
+def test_plan_memoization_serves_same_lazy_plan(spark):
+    """The registry memoizes returned DataFrames per (query, sf_dir)
+    on the session (prepared-statement reuse): same object back on a
+    repeat call, while a query that registered cleanups during
+    construction (streaming drains) is never cached."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    getattr(spark, "_smsp_plan_cache", {}).clear()
+    a = qs["agg_groupby"](spark, "/root/testdata/sf0.001")
+    b = qs["agg_groupby"](spark, "/root/testdata/sf0.001")
+    assert a is b
+    # different sf_dir -> different plan
+    c = qs["agg_groupby"](spark, "/root/testdata/sf0.01")
+    assert c is not a
+    # re-serving stays executable
+    assert b.count() > 0

@@ -57,6 +57,7 @@ def main() -> int:
     for name in sorted(qs):
         if only and name not in only:
             continue
+        getattr(spark, "_smsp_plan_cache", {}).clear()  # full path per rep
         t0 = time.perf_counter()
         spdf = qs[name](spark, sf_dir).toPandas()
         t_spark = time.perf_counter() - t0

@@ -42,6 +42,7 @@ for t in "region nation customer supplier part orders lineitem events documents 
 for name in names:
     best = None
     for _ in range(3):
+        getattr(spark, "_smsp_plan_cache", {}).clear()  # full path per rep
         t0 = time.perf_counter()
         qs[name](spark, SF).toPandas()
         best = min(best or 9e9, time.perf_counter() - t0)
