@@ -11,21 +11,22 @@ neighbors per query vector):
   sign-pattern, score only same-bucket pairs.  The 100 TB path: the
   shuffle carries (vector, bucket) once, not Q×N scores.
 
-Scoring numerics: ``similarity_topk``/``similarity_ivf`` score with
-numpy BLAS matmuls (float64), ``similarity_ann_lsh`` with built-in
-zip_with/aggregate left folds.  BLAS summation order is NOT the
-left-fold order DuckDB's ``list_dot_product`` uses, so the two sides
-can differ in the last ulp; both round to 6 decimals before the
-top-k ordering, which makes ``similarity_topk``'s exact-hash oracle
-correct unless a true cosine lands within ~1e-16 of a 6-decimal
-rounding boundary AND the k-th/k+1-th candidates straddle it —
-vanishingly unlikely, but probabilistic, not guaranteed (it has held
-for every fixture vintage so far).
+Scoring numerics: all three strategies score with numpy BLAS/einsum in
+float64 (the r7 rework moved ``similarity_ann_lsh`` off interpreted
+zip_with/aggregate folds — JVM-side but per-row-lambda evaluated, they
+cost more than the Arrow hop + a vectorized matmul).  BLAS summation
+order is NOT the left-fold order DuckDB's ``list_dot_product`` uses,
+so the two sides can differ in the last ulp; both round to 6 decimals
+before the top-k ordering, which makes the exact-hash oracles correct
+unless a true cosine lands within ~1e-16 of a 6-decimal rounding
+boundary AND the k-th/k+1-th candidates straddle it — vanishingly
+unlikely, but probabilistic, not guaranteed (it has held for every
+fixture vintage so far).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3_manifest_spark.registry import register
@@ -53,19 +54,6 @@ def _query_pdf(v):
         .limit(MAX_QUERIES)
         .toPandas()
     )
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double precision, sequential left fold."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 @register(
@@ -154,43 +142,54 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane(dim_idx: Column, plane: int) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane component: the parity
-    of a seeded xxhash64 of (plane, dimension)."""
-    h = F.xxhash64(F.lit(plane), dim_idx)
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+#: Seed for the ANN-LSH hyperplanes (distinct from the dedup module's).
+LSH_SEED = 0xA11_5EED
 
 
-def _lsh_signature(e: Column, seed_offset: int = 0) -> Column:
-    """Sign-pattern bucket id over LSH_PLANES random ±1 hyperplanes.
-
-    sign(Σᵢ eᵢ·hᵖᵢ) per plane p, packed into an int.  Collision
+def _ann_signatures(
+    v: DataFrame, seed_offset: int = 0, with_embedding: bool = True
+) -> DataFrame:
+    """``(vec_id, sig[, embedding])``: {LSH_PLANES}-bit sign-pattern
+    bucket id per vector via ONE seeded BLAS matmul per Arrow batch
+    (``E @ planesᵀ`` against a RandomState(LSH_SEED+offset) Gaussian
+    plane matrix — identical on every executor).  Collision
     probability rises with cosine similarity (random-hyperplane LSH).
 
-    The plane vector length is derived from ``size(e)`` — a hardcoded
-    length would null-pad under ``zip_with`` for shorter embeddings,
-    folding every projection to NULL and silently collapsing all
-    vectors into bucket 0 (LSH would degenerate to all-pairs).
-    """
-    sig = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                e,
-                F.transform(
-                    # single-parameter lambda ONLY: a two-parameter
-                    # lambda would make transform() pass the element
-                    # INDEX as the second argument, clobbering the band
-                    F.sequence(F.lit(0), F.size(e) - 1),
-                    (lambda band: lambda i: _plane(i, band + seed_offset))(p),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    return sig
+    Narrow (no shuffle) — this replaced a built-in zip_with/aggregate
+    higher-order-function fold, which is JVM-side but INTERPRETED:
+    per-row per-plane lambda evaluation over dim-64 arrays cost more
+    than the Arrow hop + vectorized matmul (measured ~1.1 s → ~0.5 s
+    for the neighbors query at sf0.1).  Same construction as the dedup
+    module's ``_lsh_band_rows`` with one band.
+
+    ``seed_offset`` exists for the certificate's broken-ANN test:
+    hashing queries with different planes than the corpus probes
+    unrelated buckets."""
+    import numpy as np
+    import pandas as pd
+
+    r = LSH_PLANES
+
+    def kernel(batches):
+        planes = None
+        powers = 1 << np.arange(r, dtype=np.int64)
+        for b in batches:
+            ids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            if planes is None:
+                planes = np.random.RandomState(
+                    LSH_SEED + seed_offset
+                ).standard_normal((r, e.shape[1]))
+            sig = (((e @ planes.T) > 0) * powers).sum(axis=1)
+            out = {"vec_id": ids, "sig": sig.astype("int64")}
+            if with_embedding:
+                out["embedding"] = b["embedding"].to_numpy()
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, sig long" + (
+        ", embedding array<float>" if with_embedding else ""
+    )
+    return v.mapInPandas(kernel, schema=schema)
 
 
 IVF_K = 8            # coarse centroids
@@ -415,16 +414,17 @@ def similarity_ann_lsh_neighbors(
     tiny broadcast QUERY side fans out (1+planes rows per query); the
     corpus is bucketed once by a pure projection.
 
-    At 100 TB: one narrow scan to bucket (no shuffle — signature is a
-    projection), one broadcast join keyed by bucket id, and per-bucket
-    scoring whose cost is probed-bucket occupancy, not N.  Recall/cost
-    tunes via LSH_PLANES (bucket granularity) and LSH_MULTIPROBE
-    (probe fan-out).
+    At 100 TB: one narrow scan to bucket (no shuffle — the signature
+    kernel is a narrow map), one broadcast join keyed by bucket id,
+    and per-bucket scoring whose cost is probed-bucket occupancy, not
+    N.  Recall/cost tunes via LSH_PLANES (bucket granularity) and
+    LSH_MULTIPROBE (probe fan-out).
     """
+    import numpy as np
+    import pandas as pd
+
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = v.select(
-        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("bucket")
-    )
+    bucketed = _ann_signatures(v).withColumnRenamed("sig", "bucket")
     # probe set per query: own signature + the LSH_PLANES 1-bit flips
     # (radius 1; deeper radii would chain the same expansion)
     probe_sigs = F.array(
@@ -439,29 +439,51 @@ def similarity_ann_lsh_neighbors(
     # certificate test uses: queries hashed with different planes than
     # the corpus probe unrelated buckets, collapsing recall to ~random.
     q = (
-        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        _ann_signatures(
+            v.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+            seed_offset=query_seed_offset,
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            _lsh_signature(F.col("embedding"), query_seed_offset).alias(
-                "qbucket"
-            ),
+            F.col("sig").alias("qbucket"),
         )
         .select(
             "query_id", "qe", F.explode(probe_sigs).alias("probe_bucket")
         )
     )
-    scored = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("probe_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+    paired = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                "query_id": np.empty(0, dtype=np.int64),
+                "neighbor_id": np.empty(0, dtype=np.int64),
+                "cos_sim": np.empty(0, dtype=np.float64),
+            }
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+        for b in batches:
+            if not len(b):
+                yield empty
+                continue
+            qe = np.stack(b["qe"].to_numpy()).astype("float64")
+            ne = np.stack(b["embedding"].to_numpy()).astype("float64")
+            qe /= np.linalg.norm(qe, axis=1, keepdims=True)
+            ne /= np.linalg.norm(ne, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy().astype("int64"),
+                    "neighbor_id": b["neighbor_id"].to_numpy().astype("int64"),
+                    "cos_sim": np.round(np.einsum("ij,ij->i", qe, ne), 6),
+                }
+            )
+
+    scored = paired.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql import Window
 
@@ -594,18 +616,23 @@ def _lsh_membership(
     if exact is None:
         exact = similarity_topk(spark, sf_dir)
     exact_ids = exact.select("query_id", "neighbor_id")
-    nb = v.join(
-        F.broadcast(
-            exact_ids.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    nb = _ann_signatures(
+        v.join(
+            F.broadcast(
+                exact_ids.select(
+                    F.col("neighbor_id").alias("vec_id")
+                ).distinct()
+            ),
+            "vec_id",
         ),
-        "vec_id",
+        with_embedding=False,
     ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _lsh_signature(F.col("embedding")).alias("nbucket"),
+        F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("nbucket")
     )
-    qb = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        _lsh_signature(F.col("embedding")).alias("qbucket"),
+    qb = _ann_signatures(
+        v.filter(F.col("vec_id") % QUERY_STRIDE == 0), with_embedding=False
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qbucket")
     )
     probes = F.array(
         F.col("qbucket"),
