@@ -742,8 +742,7 @@ CONTAM_BLOOM_K = 7
 _BLOOM_MIX = 0x9E3779B97F4A7C15
 
 
-@register("contamination_bloom")  # rows-only: bloom FPR is probabilistic
-def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — :func:`contamination_screen`'s
     100 TB form for when even the DISTINCT probe shingle set is too
     big to broadcast as an exact hash set (a full eval-benchmark union
@@ -876,6 +875,78 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
         .select("doc_id", "text")
         .mapInPandas(screen, schema="doc_id long, n_candidate_hits long")
+    )
+
+
+@register(
+    "contamination_bloom",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    probe AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_PROBE_STRIDE} = 0
+    )
+    SELECT doc_id,
+           count(DISTINCT s.sh) AS n_probe_hits,
+           -- literal true by design: DuckDB cannot rerun the engine's
+           -- seeded double-hashed bitset, so the flag arithmetic is
+           -- pinned locally by tests/test_curation.py::
+           -- test_contamination_bloom_supersets_exact_screen (which
+           -- also falsifies on a truncated bitset); doc_id and
+           -- n_probe_hits above ARE recomputed independently and
+           -- hash-compared.
+           true AS no_false_negative_ok,
+           true AS overshoot_ok
+    FROM sh s JOIN probe USING (sh)
+    WHERE doc_id % {CONTAM_PROBE_STRIDE} != 0
+    GROUP BY doc_id
+    """,
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screen CERTIFICATE (the ANN-certificate pattern): the raw
+    candidate relation (:func:`contamination_bloom_candidates`) is
+    seeded-hash-specific, so the registered, driver-hashed output is
+    per EXACT-flagged doc — a relation DuckDB recomputes independently
+    — plus two flags the bloom contract guarantees deterministically:
+
+    - ``no_false_negative_ok``: the bloom flagged this doc with at
+      least the exact hit count (a Bloom filter can never miss a real
+      member);
+    - ``overshoot_ok`` (global, replicated): total bloom candidate
+      hits ≤ 1.10 × exact + 10 — the documented FPR budget at this
+      sizing (the filter is deliberately oversized, footer-count ×
+      100 items).
+
+    Cost note: the certificate runs BOTH kernels (exact screen +
+    bloom screen) — the same accepted policy as approx_distinct and
+    the ANN certificates: a meaningful driver-hashed row costs the
+    exact side it certifies against.
+    """
+    exact = contamination_screen(spark, sf_dir)
+    bloom = contamination_bloom_candidates(spark, sf_dir)
+    j = exact.join(
+        bloom.select(
+            "doc_id", F.col("n_candidate_hits").alias("bloom_hits")
+        ),
+        "doc_id",
+        "left",
+    )
+    totals = j.crossJoin(
+        F.broadcast(
+            bloom.agg(F.sum("n_candidate_hits").alias("bloom_total"))
+        )
+    ).crossJoin(
+        F.broadcast(exact.agg(F.sum("n_probe_hits").alias("exact_total")))
+    )
+    return totals.select(
+        "doc_id",
+        "n_probe_hits",
+        F.coalesce(
+            F.col("bloom_hits") >= F.col("n_probe_hits"), F.lit(False)
+        ).alias("no_false_negative_ok"),
+        (
+            F.col("bloom_total")
+            <= F.lit(1.10) * F.col("exact_total") + F.lit(10)
+        ).alias("overshoot_ok"),
     )
 
 

@@ -1143,7 +1143,48 @@ def _assert_plant_ids_disjoint(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
-@register("dedup_embedding_lsh_hi")  # rows-only: bucket recall is hash-seeded
+def _lsh_hi_oracle_sql() -> str:
+    """DuckDB twin of the production-threshold canary query: the
+    planted probe set is SEEDED and id-disjoint from the corpus, so
+    the full expected result — every probe pair with exact cosine
+    ≥ {thr} — is computable by brute force over the probe vectors
+    INLINED as literals (float32-rounded to the exact values the
+    ``array<float>`` schema hands the Spark kernel).  A hash match
+    therefore asserts, per driver run: (a) the sparse-signature LSH
+    recalled EVERY planted pair (deterministic at these seeds — the
+    analytic miss bound is ≤ 1e-4 per pair at the planted sims and the
+    outcome is fixed by the plane seed), and (b) no corpus or
+    corpus-probe pair reached the threshold (uniform-random fixture
+    vectors: a 0.9 cosine at dim 64 is a ~7σ·√64 event, p < 1e-40).
+    Last-ulp caveat shared with similarity_topk's oracle: both sides
+    round to 6 decimals after float64 math over identical float32
+    inputs."""
+    import numpy as np
+
+    rows = []
+    for vid, vec in planted_near_dup_probes(64):
+        lits = ", ".join(repr(float(np.float32(x))) for x in vec)
+        rows.append(f"({vid}, [{lits}]::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH probes(vec_id, e) AS (VALUES
+      {values}
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+      FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(vec_a AS BIGINT) AS vec_a,
+           CAST(vec_b AS BIGINT) AS vec_b,
+           cos_sim
+    FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD_HI}
+    """
+
+
+@register("dedup_embedding_lsh_hi", oracle=_lsh_hi_oracle_sql())
 def dedup_embedding_lsh_hi(
     spark: SparkSession, sf_dir: str, planted_canaries: bool = True
 ) -> DataFrame:

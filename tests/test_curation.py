@@ -158,8 +158,12 @@ def test_contamination_bloom_supersets_exact_screen(spark, q):
     screen flags must be flagged by the bloom screen with at least as
     many candidate hits, and the bloom overshoot (false positives at
     ~1% FPR) must stay small relative to the exact answer."""
+    from s3_manifest_spark.operators.curation import (
+        contamination_bloom_candidates,
+    )
+
     exact = q["contamination_screen"](spark, SF).toPandas()
-    bloom = q["contamination_bloom"](spark, SF).toPandas()
+    bloom = contamination_bloom_candidates(spark, SF).toPandas()
     e = dict(zip(exact["doc_id"], exact["n_probe_hits"]))
     b = dict(zip(bloom["doc_id"], bloom["n_candidate_hits"]))
     assert set(e) <= set(b), "bloom screen missed an exactly-flagged doc"
@@ -167,6 +171,12 @@ def test_contamination_bloom_supersets_exact_screen(spark, q):
         assert b[doc_id] >= hits, (doc_id, b[doc_id], hits)
     # overshoot bound: total candidate hits within 10% of exact hits
     assert sum(b.values()) <= 1.10 * sum(e.values()) + 10
+    # the registered CERTIFICATE carries the same invariants as
+    # driver-hashed flags over the exact relation
+    cert = q["contamination_bloom"](spark, SF).toPandas()
+    assert set(cert["doc_id"]) == set(e)
+    assert cert["no_false_negative_ok"].all()
+    assert cert["overshoot_ok"].all()
 
 
 def test_domain_mix_shares_sum_to_one(spark, q):

@@ -256,10 +256,20 @@ def test_substring_rolling_single_combinable_shuffle(spark):
 
 
 def test_contamination_bloom_no_join(spark):
-    """The bloom screen must contain NO join operator at all — the
+    """The RAW bloom screen must contain NO join operator at all — the
     bitset travels as a broadcast variable inside the mapInPandas
-    closure; the only keyed exchange is the per-doc hit aggregation."""
-    plan = plan_of(spark, "contamination_bloom")
+    closure; the only keyed exchange is the per-doc hit aggregation.
+    (The REGISTERED query is the certificate form, which joins the
+    candidates against the exact screen by design — the no-join
+    contract belongs to the screen kernel itself.)"""
+    from s3_manifest_spark.operators.curation import (
+        contamination_bloom_candidates,
+    )
+
+    df = contamination_bloom_candidates(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "Join" not in plan, plan
     assert _n_exchanges(plan) <= 2, plan
 
