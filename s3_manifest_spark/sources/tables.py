@@ -47,21 +47,38 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 _ROW_GROUPS: dict[str, int] = {}
 
 
+def _parquet_files(path: str) -> list[str]:
+    """The fixture tables are single .parquet files, but Spark WRITES
+    parquet as a directory of part files — library callers pointing
+    these helpers at their own outputs get both shapes."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
 def parquet_row_groups(path: str) -> int:
     if path not in _ROW_GROUPS:
         import pyarrow.parquet as pq
 
-        _ROW_GROUPS[path] = pq.ParquetFile(path).metadata.num_row_groups
+        _ROW_GROUPS[path] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups
+            for f in _parquet_files(path)
+        )
     return _ROW_GROUPS[path]
 
 
 def parquet_row_count(path: str) -> int:
-    """Exact row count from the parquet footer — a metadata read, no
-    Spark job.  For guards like 'is the corpus bigger than X' this
+    """Exact row count from the parquet footer(s) — a metadata read,
+    no Spark job.  For guards like 'is the corpus bigger than X' this
     replaces a full ``df.count()`` scan."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path)
+    )
 
 
 def widen_scan(df: DataFrame, path: str) -> DataFrame:

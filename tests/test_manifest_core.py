@@ -352,3 +352,20 @@ def test_project_fusion_null_semantics(spark):
         .reset_index(drop=True)
     )
     assert fused.equals(unfused)
+
+
+def test_parquet_footer_helpers_handle_directories(spark, tmp_path):
+    """parquet_row_count / parquet_row_groups accept both fixture
+    single-file parquet and Spark-written directory parquet."""
+    from s3_manifest_spark.sources.tables import (
+        parquet_row_count,
+        parquet_row_groups,
+    )
+
+    d = str(tmp_path / "dir.parquet")
+    spark.range(100).repartition(3).write.parquet(d)
+    assert parquet_row_count(d) == 100
+    assert parquet_row_groups(d) >= 3
+    f = "/root/testdata/sf0.001/lineitem.parquet"
+    assert parquet_row_count(f) > 0
+    assert parquet_row_groups(f) >= 1
