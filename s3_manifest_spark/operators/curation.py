@@ -742,7 +742,9 @@ CONTAM_BLOOM_K = 7
 _BLOOM_MIX = 0x9E3779B97F4A7C15
 
 
-def contamination_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_bloom_candidates(
+    spark: SparkSession, sf_dir: str, _zero_bits_frac: float = 0.0
+) -> DataFrame:
     """Bloom-filter decontamination — :func:`contamination_screen`'s
     100 TB form for when even the DISTINCT probe shingle set is too
     big to broadcast as an exact hash set (a full eval-benchmark union
@@ -832,6 +834,12 @@ def contamination_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     bloom = np.zeros(n_words, dtype=np.uint64)
     for r in probe.mapInPandas(build, schema="bits binary").toLocalIterator():
         bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    if _zero_bits_frac > 0.0:
+        # test-only breakage: zeroing bits manufactures false
+        # NEGATIVES, the one failure a Bloom filter must never have —
+        # the certificate's no_false_negative_ok flag must catch it
+        # (tests/test_curation.py::test_bloom_certificate_falsifies)
+        bloom[: int(n_words * _zero_bits_frac)] = 0
     bc = spark.sparkContext.broadcast(bloom)
 
     def screen(batches):
@@ -890,8 +898,9 @@ def contamination_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFram
            -- literal true by design: DuckDB cannot rerun the engine's
            -- seeded double-hashed bitset, so the flag arithmetic is
            -- pinned locally by tests/test_curation.py::
-           -- test_contamination_bloom_supersets_exact_screen (which
-           -- also falsifies on a truncated bitset); doc_id and
+           -- test_contamination_bloom_supersets_exact_screen and
+           -- FALSIFIED by test_bloom_certificate_falsifies (a
+           -- partially zeroed bitset must flip the flag); doc_id and
            -- n_probe_hits above ARE recomputed independently and
            -- hash-compared.
            true AS no_false_negative_ok,
@@ -901,7 +910,9 @@ def contamination_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     GROUP BY doc_id
     """,
 )
-def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_bloom(
+    spark: SparkSession, sf_dir: str, _zero_bits_frac: float = 0.0
+) -> DataFrame:
     """Bloom-screen CERTIFICATE (the ANN-certificate pattern): the raw
     candidate relation (:func:`contamination_bloom_candidates`) is
     seeded-hash-specific, so the registered, driver-hashed output is
@@ -921,8 +932,17 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN certificates: a meaningful driver-hashed row costs the
     exact side it certifies against.
     """
-    exact = contamination_screen(spark, sf_dir)
-    bloom = contamination_bloom_candidates(spark, sf_dir)
+    from s3_manifest_spark.registry import track_persist
+
+    # both screen relations are referenced twice (per-doc join + the
+    # broadcast total aggregates) — persist so each corpus kernel
+    # scans and fingerprints the corpus ONCE, not per reference
+    exact = track_persist(contamination_screen(spark, sf_dir))
+    bloom = track_persist(
+        contamination_bloom_candidates(
+            spark, sf_dir, _zero_bits_frac=_zero_bits_frac
+        )
+    )
     j = exact.join(
         bloom.select(
             "doc_id", F.col("n_candidate_hits").alias("bloom_hits")

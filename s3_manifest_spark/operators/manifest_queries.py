@@ -24,6 +24,18 @@ from s3_manifest_spark.sources.tables import (
 
 BUCKET = "test-bucket"
 
+
+def _utc_session(spark: SparkSession) -> bool:
+    """The timestamp fusions (skipping the RFC3339 format→parse round
+    trip) are only identities when the round trip is one: the unfused
+    path formats wall time with a literal 'Z' and re-parses it as UTC,
+    so under a non-UTC session timezone it SHIFTS the instant while
+    the fused arithmetic does not.  The engine pins UTC (session.py,
+    __spark_entry__._configure); a library caller with another zone
+    gets the unfused composition instead of a silently-different
+    answer."""
+    return spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+
 # DuckDB twin of derive_manifest's projection (manifest core fidelity
 # contract, SURVEY.md §2C).  string_split is literal, [-1] matches
 # substring_index(key, d, -1) incl. no-delimiter and trailing-delimiter
@@ -112,6 +124,8 @@ def manifest_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from s3_manifest_spark.sources.tables import widen_scan
 
+    if not _utc_session(spark):
+        return manifest_project_unfused(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber",
         "l_extendedprice", "l_shipdate",
@@ -150,6 +164,8 @@ def manifest_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from s3_manifest_spark.sources.tables import widen_scan
 
+    if not _utc_session(spark):
+        return manifest_prefix_filter_unfused(spark, sf_dir)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").startswith("A"))
@@ -203,7 +219,7 @@ def manifest_stats_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the unfused derive_manifest composition is pinned by
     tests/test_manifest_core.py::test_stats_fusion_equals_unfused.
     """
-    return manifest_stats_unfused(spark, sf_dir, fused=True)
+    return manifest_stats_unfused(spark, sf_dir, fused=_utc_session(spark))
 
 
 def manifest_stats_unfused(

@@ -440,7 +440,11 @@ def similarity_ann_lsh_neighbors(
     # the corpus probe unrelated buckets, collapsing recall to ~random.
     q = (
         _ann_signatures(
-            v.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+            # same deterministic hard cap as _query_pdf: without it the
+            # broadcast query fan-out grows as N/stride, unbounded
+            v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+            .orderBy("vec_id")
+            .limit(MAX_QUERIES),
             seed_offset=query_seed_offset,
         )
         .select(
@@ -630,7 +634,10 @@ def _lsh_membership(
         F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("nbucket")
     )
     qb = _ann_signatures(
-        v.filter(F.col("vec_id") % QUERY_STRIDE == 0), with_embedding=False
+        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES),
+        with_embedding=False,
     ).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qbucket")
     )

@@ -29,6 +29,10 @@ _TRACKED_PERSISTS: list[DataFrame] = []
 #: frame.  Run at the NEXT registry invocation, after the persists.
 _DEFERRED_CLEANUPS: list[Callable[[], None]] = []
 
+#: Nesting depth of registered-query calls (certificates compose other
+#: registered queries); only depth-0 entry runs the cleanup sweep.
+_CALL_DEPTH = 0
+
 
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for deferred cleanup.
@@ -94,10 +98,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # previous result is materialized, so this releases executor
             # memory without evicting anything still needed — and without
             # touching caches created outside the registry.
-            while _TRACKED_PERSISTS:
-                _TRACKED_PERSISTS.pop().unpersist(blocking=False)
-            while _DEFERRED_CLEANUPS:
-                _DEFERRED_CLEANUPS.pop()()
+            # REENTRANCY: only the OUTERMOST registered call sweeps —
+            # a registered fn that composes another registered query
+            # (the certificate pattern) must not have its own tracked
+            # persists or conf-restoring cleanups torn down
+            # mid-construction by the nested call.
+            global _CALL_DEPTH
+            if _CALL_DEPTH == 0:
+                while _TRACKED_PERSISTS:
+                    _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+                while _DEFERRED_CLEANUPS:
+                    _DEFERRED_CLEANUPS.pop()()
             # Plan memoization (prepared-statement reuse): DataFrames
             # are immutable LAZY plans, so re-serving one is
             # semantically identical to rebuilding it, while skipping
@@ -105,10 +116,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # (50-700 ms — up to half a floor-class query's wall).
             # Stored on the session object like the reader cache, so
             # entries die with the session.  A query that registered
-            # persists or cleanups during construction is NOT cached:
-            # its returned plan depends on query-scoped state (scratch
-            # spools, conf overrides, persisted intermediates) that the
-            # next registry call tears down.
+            # persists or cleanups DURING construction (detected by
+            # list growth across fn, which nesting cannot mask since
+            # nested calls never drain) is NOT cached: its returned
+            # plan depends on query-scoped state (scratch spools, conf
+            # overrides, persisted intermediates) that the next
+            # outermost registry call tears down.
             cache = getattr(spark, "_smsp_plan_cache", None)
             if cache is None:
                 cache = {}
@@ -117,8 +130,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             cached = cache.get(key)
             if cached is not None:
                 return cached
-            df = fn(spark, sf_dir)
-            if not _TRACKED_PERSISTS and not _DEFERRED_CLEANUPS:
+            before = (len(_TRACKED_PERSISTS), len(_DEFERRED_CLEANUPS))
+            _CALL_DEPTH += 1
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                _CALL_DEPTH -= 1
+            registered_state = (
+                len(_TRACKED_PERSISTS),
+                len(_DEFERRED_CLEANUPS),
+            ) != before
+            if not registered_state:
                 cache[key] = df
             return df
 

@@ -188,16 +188,26 @@ def size_cents(col: F.Column | None = None) -> F.Column:
     form, :data:`SYNTH_LISTING_SQL`): ``F.round`` on DOUBLE routes
     every row through a BigDecimal construction — measured ~0.16 s of
     SERIAL time at sf0.1, paid inside the 1-row-group scan task where
-    it cannot parallelize — while ``floor(x + 0.5)`` stays in primitive
-    whole-stage codegen and costs ~nothing.  The two are value-identical
-    for all non-negative inputs (HALF_UP == floor(+0.5) there; TPC-H
-    extended prices are positive); equality over the full fixture is
-    pinned by tests/test_manifest_core.py::test_size_cents_equals_round.
-    ``floor`` already returns LongType, so no cast is needed.
+    it cannot parallelize — while this form stays in primitive
+    whole-stage codegen and costs ~nothing.
+
+    NOT the classic ``floor(x + 0.5)``: that addition can round UP in
+    the last ulp (x = 0.49999999999999994 + 0.5 == 1.0 in doubles —
+    the well-known Math.round defect), diverging from true HALF_UP.
+    Instead the fraction is compared directly: ``floor(x) + (x -
+    floor(x) >= 0.5)``.  For non-negative doubles ``x - floor(x)`` is
+    EXACT (Sterbenz: x and floor(x) are within a factor of two for
+    x ≥ 1, and floor is 0 below 1), so the comparison reproduces
+    HALF_UP bit-for-bit on every non-negative input — pinned on the
+    fixtures by test_size_cents_equals_round and on adversarial
+    ulp-boundary values by test_size_cents_half_up_ulp_boundaries.
     """
     if col is None:
         col = F.col("l_extendedprice")
-    return F.floor(col * 100 + F.lit(0.5))
+    scaled = col * 100
+    return F.floor(scaled) + (scaled - F.floor(scaled) >= F.lit(0.5)).cast(
+        "long"
+    )
 
 
 def listing_projection(li: DataFrame) -> DataFrame:

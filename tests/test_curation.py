@@ -298,3 +298,15 @@ def test_documents_doc_id_unique():
             f"SELECT count(DISTINCT doc_id) FROM read_parquet('{path}')"
         ).fetchone()[0]
         assert distinct == parquet_row_count(path), sf
+
+
+def test_bloom_certificate_falsifies(spark):
+    """The certificate's no_false_negative_ok flag must be load-bearing:
+    zeroing part of the merged bitset manufactures false negatives
+    (the one failure a Bloom filter must never have) and the flag must
+    flip to False for at least one exactly-flagged doc."""
+    from s3_manifest_spark.operators.curation import contamination_bloom
+
+    broken = contamination_bloom(spark, SF, _zero_bits_frac=0.6).toPandas()
+    assert len(broken) > 0
+    assert not broken["no_false_negative_ok"].all()

@@ -369,3 +369,69 @@ def test_parquet_footer_helpers_handle_directories(spark, tmp_path):
     f = "/root/testdata/sf0.001/lineitem.parquet"
     assert parquet_row_count(f) > 0
     assert parquet_row_groups(f) >= 1
+
+
+def test_size_cents_half_up_ulp_boundaries(spark):
+    """size_cents must reproduce true HALF_UP on adversarial doubles —
+    in particular values one ulp below a .5 boundary, where the
+    classic floor(x+0.5) rounds UP (0.49999999999999994 + 0.5 == 1.0)
+    but round() must not."""
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.sources.tables import size_cents
+
+    # values are PRICES; size = half-up(price * 100)
+    prices = [
+        0.0049999999999999994,  # *100 lands just below 0.5
+        0.005,
+        0.015,
+        0.0049,
+        1.005,
+        12.345,
+        0.0,
+    ]
+    df = spark.createDataFrame(
+        [(p,) for p in prices], "l_extendedprice double"
+    )
+    rows = df.select(
+        size_cents().alias("fast"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.ref, (r.fast, r.ref)
+
+
+def test_fused_projection_falls_back_under_non_utc_session(spark):
+    """The timestamp fusion is a UTC-only identity; under another
+    session timezone the registered queries must take the unfused
+    composition so fused == unfused keeps holding by construction."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "Europe/Berlin")
+    try:
+        getattr(spark, "_smsp_plan_cache", {}).clear()
+        from s3_manifest_spark.operators.manifest_queries import (
+            manifest_project_unfused,
+        )
+
+        cols = ["Bucket", "Key", "FileName", "Size", "LastModified"]
+        fused_path = (
+            qs["manifest_project"](spark, sf)
+            .toPandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        unfused = (
+            manifest_project_unfused(spark, sf)
+            .toPandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        assert fused_path.equals(unfused)
+    finally:
+        spark.conf.set(key, old)
+        getattr(spark, "_smsp_plan_cache", {}).clear()

@@ -29,9 +29,11 @@ QUERIES = ["manifest_project", "manifest_prefix_filter", "manifest_stats", "mani
 RUNS = 3
 
 
-def best(fn):
+def best(fn, pre=None):
     b = None
     for _ in range(RUNS):
+        if pre is not None:
+            pre()  # e.g. clear the registry plan memo — full path per rep
         t0 = time.perf_counter()
         fn()
         el = time.perf_counter() - t0
@@ -76,15 +78,19 @@ def main() -> int:
         )
 
     out = {}
+    clear = lambda: getattr(spark, "_smsp_plan_cache", {}).clear()  # noqa: E731
     for name in QUERIES:
         out[name] = {
             "spark_compute": best(
                 lambda: qs[name](spark, sf_dir)
                 .write.format("noop")
                 .mode("overwrite")
-                .save()
+                .save(),
+                pre=clear,
             ),
-            "spark_collect": best(lambda: qs[name](spark, sf_dir).toPandas()),
+            "spark_collect": best(
+                lambda: qs[name](spark, sf_dir).toPandas(), pre=clear
+            ),
             "duck_compute": best(
                 lambda: con.execute(
                     f"CREATE OR REPLACE TEMP TABLE _decomp AS ({oracles[name]})"
