@@ -742,6 +742,35 @@ CONTAM_BLOOM_K = 7
 _BLOOM_MIX = 0x9E3779B97F4A7C15
 
 
+def _bloom_geometry(sf_dir: str) -> tuple[int, int]:
+    """(m_bits, n_words) sized from the parquet footer (never a Spark
+    job): docs × a generous distinct-shingle bound — oversizing wastes
+    bits, never correctness.  Shared by the distributed candidates
+    build and the certificate's driver-side rebuild so both set
+    IDENTICAL bits for the same probe values."""
+    n_items = max(
+        1024, parquet_row_count(f"{sf_dir}/documents.parquet") * 100
+    )
+    m_bits = n_items * CONTAM_BLOOM_BITS_PER_ITEM
+    return m_bits, (m_bits + 63) // 64
+
+
+def _bloom_positions(vals, m_bits: int):
+    """(k, n) double-hashed bit positions — Kirsch-Mitzenmacher:
+    pos_j = (h1 + j·h2) mod m, all uint64, h2 an odd-multiplier mix of
+    h1.  Deterministic in the VALUES alone, so any build order (one
+    driver pass, partition-local partial bitsets) produces the same
+    final bitset."""
+    import numpy as np
+    import pandas as pd
+
+    h1 = pd.util.hash_array(np.ascontiguousarray(vals))
+    j = np.arange(CONTAM_BLOOM_K, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+        return (h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)
+
+
 def contamination_bloom_candidates(
     spark: SparkSession, sf_dir: str, _zero_bits_frac: float = 0.0
 ) -> DataFrame:
@@ -792,25 +821,8 @@ def contamination_bloom_candidates(
             F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
         )
     ).select("fp")
-    # Size from the parquet footer (never a Spark job): docs × a
-    # generous distinct-shingle bound — oversizing wastes bits, never
-    # correctness.
-    n_items = max(
-        1024, parquet_row_count(f"{sf_dir}/documents.parquet") * 100
-    )
-    m_bits = n_items * CONTAM_BLOOM_BITS_PER_ITEM
-    n_words = (m_bits + 63) // 64
-    k = CONTAM_BLOOM_K
-
-    def positions(vals):
-        # double hashing: pos_j = (h1 + j·h2) mod m, all uint64;
-        # h2 derived from h1 by an odd-multiplier mix (|1 keeps it
-        # nonzero/odd) — the Kirsch-Mitzenmacher construction
-        h1 = pd.util.hash_array(np.ascontiguousarray(vals))
-        j = np.arange(k, dtype=np.uint64)[:, None]
-        with np.errstate(over="ignore"):
-            h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
-            return (h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)
+    m_bits, n_words = _bloom_geometry(sf_dir)
+    positions = lambda vals: _bloom_positions(vals, m_bits)  # noqa: E731
 
     def build(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
@@ -927,46 +939,127 @@ def contamination_bloom(
       sizing (the filter is deliberately oversized, footer-count ×
       100 items).
 
-    Cost note: the certificate runs BOTH kernels (exact screen +
-    bloom screen) — the same accepted policy as approx_distinct and
-    the ANN certificates: a meaningful driver-hashed row costs the
-    exact side it certifies against.
+    Cost note: ONE fused corpus pass.  The certificate needs both
+    screens per document, so its kernel fingerprints each batch ONCE
+    (:func:`~s3_manifest_spark.operators.dedup._batch_doc_fps`) and
+    tests the fingerprints against BOTH the sorted exact probe array
+    and the bloom bitset — instead of running the two standalone
+    kernels back to back (two full corpus tokenize+hash passes,
+    measured 1.26 s → ~0.8 s at sf0.1).  The bitset is rebuilt
+    driver-side from the SAME collected probe fingerprints the exact
+    screen already requires: bit positions depend only on the values
+    (:func:`_bloom_positions`), so it is identical to the distributed
+    build in :func:`contamination_bloom_candidates` — equality of the
+    flags against the standalone candidates relation stays pinned by
+    tests/test_curation.py::test_contamination_bloom_supersets_exact_screen.
     """
+    import numpy as np
+    import pandas as pd
+
+    from s3_manifest_spark.operators.dedup import (
+        _batch_doc_fps,
+        shingle_fingerprints,
+    )
     from s3_manifest_spark.registry import track_persist
 
-    # both screen relations are referenced twice (per-doc join + the
-    # broadcast total aggregates) — persist so each corpus kernel
-    # scans and fingerprints the corpus ONCE, not per reference
-    exact = track_persist(contamination_screen(spark, sf_dir))
-    bloom = track_persist(
-        contamination_bloom_candidates(
-            spark, sf_dir, _zero_bits_frac=_zero_bits_frac
+    probe = (
+        shingle_fingerprints(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
+            )
+        )
+        .select("fp")
+        .toPandas()["fp"]
+        .to_numpy()
+    )
+    probe_sorted = np.unique(probe.view(np.uint64))
+    m_bits, n_words = _bloom_geometry(sf_dir)
+    bloom_bits = np.zeros(n_words, dtype=np.uint64)
+    if len(probe_sorted):
+        pos = _bloom_positions(probe_sorted, m_bits).reshape(-1)
+        np.bitwise_or.at(
+            bloom_bits,
+            (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    if _zero_bits_frac > 0.0:
+        # test-only breakage: manufactured false negatives must flip
+        # no_false_negative_ok (test_bloom_certificate_falsifies)
+        bloom_bits[: int(n_words * _zero_bits_frac)] = 0
+    bc = spark.sparkContext.broadcast((probe_sorted, bloom_bits))
+
+    def dual(batches):
+        pr, bits = bc.value
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "n_probe_hits": np.empty(0, dtype=np.int64),
+                "bloom_hits": np.empty(0, dtype=np.int64),
+            }
+        )
+        for pdf in batches:
+            wdoc, fps = _batch_doc_fps(pdf)
+            if len(fps) == 0:
+                yield empty
+                continue
+            u = fps.view(np.uint64)
+            # exact: sorted-array membership
+            idx = np.searchsorted(pr, u)
+            idx[idx >= len(pr)] = max(len(pr) - 1, 0)
+            ex = (pr[idx] == u).astype(np.int64) if len(pr) else np.zeros(
+                len(u), dtype=np.int64
+            )
+            # bloom: all-k bit test
+            pos = _bloom_positions(u, m_bits)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            bl = (
+                ((word >> (pos & np.uint64(63))) & np.uint64(1))
+                .all(axis=0)
+                .astype(np.int64)
+            )
+            starts = np.flatnonzero(
+                np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
+            )
+            ec = np.add.reduceat(ex, starts)
+            bc_cnt = np.add.reduceat(bl, starts)
+            keep = (ec > 0) | (bc_cnt > 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"]
+                    .to_numpy()[wdoc[starts][keep]]
+                    .astype("int64"),
+                    "n_probe_hits": ec[keep],
+                    "bloom_hits": bc_cnt[keep],
+                }
+            )
+
+    both = track_persist(
+        load_table(spark, sf_dir, "documents", widen=True)
+        .filter(F.col("doc_id") % CONTAM_PROBE_STRIDE != 0)
+        .select("doc_id", "text")
+        .mapInPandas(
+            dual,
+            schema="doc_id long, n_probe_hits long, bloom_hits long",
         )
     )
-    j = exact.join(
-        bloom.select(
-            "doc_id", F.col("n_candidate_hits").alias("bloom_hits")
-        ),
-        "doc_id",
-        "left",
+    totals = both.agg(
+        F.sum("bloom_hits").alias("bloom_total"),
+        F.sum("n_probe_hits").alias("exact_total"),
     )
-    totals = j.crossJoin(
-        F.broadcast(
-            bloom.agg(F.sum("n_candidate_hits").alias("bloom_total"))
+    return (
+        both.filter(F.col("n_probe_hits") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_probe_hits",
+            (F.col("bloom_hits") >= F.col("n_probe_hits")).alias(
+                "no_false_negative_ok"
+            ),
+            (
+                F.col("bloom_total")
+                <= F.lit(1.10) * F.col("exact_total") + F.lit(10)
+            ).alias("overshoot_ok"),
         )
-    ).crossJoin(
-        F.broadcast(exact.agg(F.sum("n_probe_hits").alias("exact_total")))
-    )
-    return totals.select(
-        "doc_id",
-        "n_probe_hits",
-        F.coalesce(
-            F.col("bloom_hits") >= F.col("n_probe_hits"), F.lit(False)
-        ).alias("no_false_negative_ok"),
-        (
-            F.col("bloom_total")
-            <= F.lit(1.10) * F.col("exact_total") + F.lit(10)
-        ).alias("overshoot_ok"),
     )
 
 
