@@ -104,7 +104,6 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
     production maintainer (foreachBatch writing the snapshot delta per
     trigger); update mode also ships only keys the batch touched
     instead of the full state every time."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     out_dir = tempfile.mkdtemp(prefix="smsp-cdc-snap-", dir=scratch_base())
@@ -127,12 +126,15 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
         )
         q.awaitTermination()
     snap = spark.read.parquet(out_dir)
-    w = Window.partitionBy("key").orderBy(F.desc("batch_id"))
-    return (
-        snap.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "batch_id")
+    # latest row per key as a HASH aggregation (max_by on batch_id)
+    # instead of a window: the window form sorts every partition on
+    # (key, batch_id) just to keep row 1, while max_by is one
+    # map-side-combinable pass — same one-exchange plan, no sort.
+    value_cols = [c for c in snap.columns if c not in ("key", "batch_id")]
+    latest = snap.groupBy("key").agg(
+        F.max_by(F.struct(*value_cols), F.col("batch_id")).alias("v")
     )
+    return latest.select("key", *[F.col(f"v.{c}").alias(c) for c in value_cols])
 
 
 def run_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
