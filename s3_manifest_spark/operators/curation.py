@@ -772,7 +772,7 @@ def _bloom_positions(vals, m_bits: int):
 
 
 def contamination_bloom_candidates(
-    spark: SparkSession, sf_dir: str, _zero_bits_frac: float = 0.0
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Bloom-filter decontamination — :func:`contamination_screen`'s
     100 TB form for when even the DISTINCT probe shingle set is too
@@ -846,12 +846,6 @@ def contamination_bloom_candidates(
     bloom = np.zeros(n_words, dtype=np.uint64)
     for r in probe.mapInPandas(build, schema="bits binary").toLocalIterator():
         bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
-    if _zero_bits_frac > 0.0:
-        # test-only breakage: zeroing bits manufactures false
-        # NEGATIVES, the one failure a Bloom filter must never have —
-        # the certificate's no_false_negative_ok flag must catch it
-        # (tests/test_curation.py::test_bloom_certificate_falsifies)
-        bloom[: int(n_words * _zero_bits_frac)] = 0
     bc = spark.sparkContext.broadcast(bloom)
 
     def screen(batches):

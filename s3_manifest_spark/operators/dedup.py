@@ -1103,19 +1103,12 @@ def _assert_plant_ids_disjoint(spark: SparkSession, sf_dir: str) -> None:
     collide with real vectors.  Read from the parquet footer's
     column statistics (a metadata read, no job); falls back to a
     1-row Spark aggregate only when the writer omitted stats."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
+    from s3_manifest_spark.sources.tables import _parquet_files
+
     path = f"{sf_dir}/embeddings.parquet"
-    # Spark writes parquet as a directory of part files; the fixtures
-    # are single files — handle both.
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    files = _parquet_files(path)
     maxes = []
     for f in files:
         md = pq.ParquetFile(f).metadata

@@ -126,7 +126,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             if cache is None:
                 cache = {}
                 spark._smsp_plan_cache = cache
-            key = (name, sf_dir)
+            # The session TIMEZONE is part of the key: the manifest
+            # timestamp fusions branch on it at construction time
+            # (_utc_session), so a cached UTC plan must not be served
+            # to a session whose zone has since changed.
+            key = (
+                name,
+                sf_dir,
+                spark.conf.get("spark.sql.session.timeZone", ""),
+            )
             cached = cache.get(key)
             if cached is not None:
                 return cached

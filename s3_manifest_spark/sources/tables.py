@@ -49,17 +49,39 @@ _ROW_GROUPS: dict[str, int] = {}
 
 def _parquet_files(path: str) -> list[str]:
     """The fixture tables are single .parquet files, but Spark WRITES
-    parquet as a directory of part files — library callers pointing
-    these helpers at their own outputs get both shapes."""
+    parquet as a directory of part files — possibly NESTED under
+    partition subdirectories — so library callers pointing these
+    helpers at their own outputs get all three shapes.  An empty match
+    RAISES rather than silently summing to zero (a zero row count
+    would mis-size blooms / state stores downstream)."""
     import glob
     import os
 
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"no *.parquet files under directory {path!r}"
+            )
+        return files
     return [path]
 
 
 def parquet_row_groups(path: str) -> int:
+    import os
+
+    # Only single FILES are memoized: the fixtures are immutable, but
+    # a directory is a mutable write target — an overwrite with a
+    # different layout must not be served a stale count.
+    if os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_row_groups
+            for f in _parquet_files(path)
+        )
     if path not in _ROW_GROUPS:
         import pyarrow.parquet as pq
 
