@@ -217,9 +217,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+#: DuckDB twin of the FULL exact-Jaccard pair relation WITH the
+#: jaccard value — registered for dedup_ngram_jaccard (whose plan
+#: computes exactly this) AND dedup_minhash_lsh (whose hash match
+#: against the same relation is a recall certificate: every exact
+#: ≥-threshold pair must have survived LSH bucketing).
+_JACCARD_PAIRS_VALUED_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
       SELECT doc_id,
@@ -239,8 +242,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN counts ca ON doc_a = ca.doc_id
     JOIN counts cb ON doc_b = cb.doc_id
     WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_VALUED_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 — join-free plan.
 
@@ -297,7 +302,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_MAX_DF = 10_000  # stop-shingle guard (no-op at fixture scale)
 
 
-@register("dedup_minhash_lsh")  # rows-only: seeded-hash values are engine-specific
+@register("dedup_minhash_lsh", oracle=_JACCARD_PAIRS_VALUED_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidates + exact verification.
 
@@ -308,6 +313,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs × bands) + O(candidate pairs), instead of the all-pairs
     blowup of dedup_ngram_jaccard.  Hash fns are Spark built-ins
     (xxhash64 seeded by column), so the whole thing is codegen'd.
+
+    ORACLE AS RECALL CERTIFICATE: every emitted pair is exact-verified
+    (precision 1 by construction), so the output is a subset of the
+    full exact-Jaccard relation — and the registered oracle IS that
+    full relation (``_JACCARD_PAIRS_VALUED_SQL``, the same text
+    dedup_ngram_jaccard matches).  A hash match therefore asserts LSH
+    bucketing recalled EVERY ≥-threshold pair on this fixture.  That
+    recall-1 outcome is fixture+seed-specific, not a general
+    guarantee: with 4 bands × 4 rows a pair at exactly j=0.5 is
+    missed with probability (1-0.5⁴)⁴ ≈ 0.77, but the fixture's
+    qualifying pairs sit at j ≥ 0.8 (miss ≤ 0.12, most near j=1 where
+    it is ~0) and the seeded xxhash64 signatures make the outcome
+    deterministic — verified exact at sf0.001/0.01/0.1.  A broken
+    banding (fewer bands / corrupted signatures) drops pairs and
+    fails the hash; tests/test_llm_ops.py pins the falsification.
     """
     # Shingles travel as 64-bit fingerprints (shingle_fingerprints):
     # min-hashing and intersection counting only need equality, and
@@ -1020,7 +1040,58 @@ def _embedding_lsh_pairs_sparse(
     )
 
 
-@register("dedup_embedding_lsh")  # rows-only: bucket recall is hash-seeded
+def _embedding_lsh_oracle_sql() -> str:
+    """DuckDB twin of the dense-plan banded LSH: the hyperplanes are
+    SEEDED (``EMBED_LSH_SEED``), so the full bucket structure is
+    recomputable outside Spark — the L·r plane vectors are inlined as
+    float64 literals and DuckDB re-derives every vector's per-band
+    sign signature, expands same-(band, sig) candidate pairs, and
+    exact-scores them at the same threshold.  A hash match is
+    therefore a FULL-fidelity check of bucket assignment, candidate
+    expansion, and exact cosine verification — not a seeded-hash
+    escape hatch.  Determinism caveat: both sides compute
+    ``sign(e · plane)`` in float64 over identical float32-rounded
+    inputs; a sign flip would need |dot| below the summation-order
+    ulp gap (~1e-13 at these magnitudes, P ≈ 0 and fixed for the
+    immutable fixture — verified exact at sf0.001/0.01/0.1)."""
+    import numpy as np
+
+    L, r = EMBED_LSH_BANDS, EMBED_LSH_PLANES
+    planes = np.random.RandomState(EMBED_LSH_SEED).standard_normal((L * r, 64))
+    vals = ",\n      ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(L * r)
+    )
+    return f"""
+    WITH planes(pid, p) AS (VALUES
+      {vals}
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (
+      SELECT vec_id, pid // {r} AS band,
+             SUM(CASE WHEN list_dot_product(e, p) > 0
+                 THEN 1 << (pid % {r}) ELSE 0 END) AS sig
+      FROM v CROSS JOIN planes GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(va.e, vb.e)
+                 / (sqrt(list_dot_product(va.e, va.e))
+                    * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos_sim
+    FROM cand c JOIN v va ON c.vec_a = va.vec_id
+                JOIN v vb ON c.vec_b = vb.vec_id
+    WHERE round(list_dot_product(va.e, vb.e)
+                / (sqrt(list_dot_product(va.e, va.e))
+                   * sqrt(list_dot_product(vb.e, vb.e))), 6)
+          >= {EMBED_DUP_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle_sql())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH-prefiltered embedding near-dup — the cheap
     inexact-recall path that ``dedup_embedding``'s docstring
@@ -1232,6 +1303,39 @@ def dedup_embedding_lsh_hi(
     )
 
 
+@register(
+    "dedup_embedding_lsh_hi_corpus",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6)
+          >= {EMBED_DUP_THRESHOLD_HI}
+    """,
+)
+def dedup_embedding_lsh_hi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_embedding_lsh_hi` WITHOUT the planted canaries —
+    the corpus-only production form an external consumer comparing
+    against the upstream framework actually runs.
+
+    The oracle is NOT trivially empty: DuckDB brute-forces the exact
+    all-pairs cosine over the whole embeddings table at the same
+    threshold (0.3 s at sf0.1).  The fixture's uniform-random vectors
+    have no pair above ~0.52, so both sides produce the empty
+    relation — but the match now hash-checks the CLAIM "no corpus
+    pair reaches 0.9" against an independent exact computation,
+    rather than asserting emptiness by fiat.  If the fixture ever
+    grew a genuine near-dup pair, LSH recall at 0.9 (analytic miss
+    ≤ 1.2e-3, see :func:`dedup_embedding_lsh_hi`) would be what the
+    hash match certifies."""
+    return dedup_embedding_lsh_hi(spark, sf_dir, planted_canaries=False)
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """``(doc_id, simhash)``: 64-bit SimHash per document, computed in
     one batch-vectorized Arrow pass.
@@ -1294,7 +1398,80 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: token hashes are engine-specific
+#: The synthetic documents fixture draws every token from this fixed
+#: 31-word pool at EVERY scale factor (TESTDATA.md generator,
+#: seed=42; verified identical across sf0.001/0.01/0.1).  Inlining
+#: the pool's token→hash64 dictionary into the oracle makes the
+#: engine-specific SimHash fingerprint fully recomputable in DuckDB.
+#: '' is included defensively (Python ``"".split(" ") == ['']``).
+_SIMHASH_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window", "",
+]
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of the full SimHash pipeline: per-token 64-bit
+    hashes come from the INLINED dictionary (computed here with the
+    same ``pd.util.hash_array`` the kernel uses, so both sides hash
+    identically by construction), per-doc fingerprints are re-derived
+    bit-by-bit with the same strict-majority vote (bit s set iff
+    2·#set > #tokens — ties clear), and the pair relation is the
+    EXHAUSTIVE all-pairs Hamming ≤ 3 — a strict superset of what the
+    pigeonhole chunk join can emit, so a hash match certifies both
+    the fingerprint kernel and the chunk-join's completeness.
+
+    Fail-loud on vocabulary drift: a fixture token absent from the
+    dictionary makes every bit of its document NULL (the
+    ``COUNT(*) <> COUNT(h)`` guard), the HAVING drops that document,
+    and the resulting missing pairs fail the driver's hash — never a
+    silent wrong-match."""
+    import numpy as np
+    import pandas as pd
+
+    hashes = pd.util.hash_array(np.array(_SIMHASH_VOCAB, dtype=object))
+    vals = ",\n      ".join(
+        f"({tok!r}, {int(h)}::UBIGINT)"
+        for tok, h in zip(_SIMHASH_VOCAB, hashes)
+    )
+    return f"""
+    WITH tokhash(tok, h) AS (VALUES
+      {vals}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    th AS (
+      SELECT t.doc_id, k.h
+      FROM toks t LEFT JOIN tokhash k ON t.tok = k.tok
+    ),
+    votes AS (
+      SELECT doc_id, s,
+             CASE WHEN COUNT(*) <> COUNT(h) THEN NULL
+                  WHEN 2 * SUM(CAST((h >> s) & 1 AS BIGINT)) > COUNT(*) THEN 1
+                  ELSE 0 END AS bit
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS s) shifts
+      GROUP BY doc_id, s
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s < 63 THEN bit * (1::BIGINT << s)
+                           ELSE bit * (-9223372036854775808) END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+      HAVING COUNT(bit) = 64
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + near-dup pairs at Hamming ≤ 3.
 

@@ -59,6 +59,131 @@ def test_simhash_pairs_are_near_dups(spark, q):
         assert len(sim_pairs & jacc_pairs) / len(sim_pairs) >= 0.5
 
 
+def test_minhash_oracle_falsifies_broken_banding(spark, q):
+    """The registered minhash oracle is the FULL exact-Jaccard
+    relation, so it is a recall certificate — verify it would catch a
+    degraded LSH: with banding collapsed to 1 band × 16 rows
+    (P(candidate) = j^16 ≈ 0.19 even at j=0.9), the seeded signatures
+    deterministically miss pairs the oracle contains."""
+    import s3_manifest_spark.operators.dedup as dedup
+
+    full = q["dedup_minhash_lsh"](spark, SF).toPandas()
+    old_bands = dedup.LSH_BANDS
+    dedup.LSH_BANDS = 1
+    try:
+        # raw function, NOT the registry wrapper: the degraded plan
+        # must never enter the plan-memo cache.
+        broken = dedup.dedup_minhash_lsh(spark, SF).toPandas()
+    finally:
+        dedup.LSH_BANDS = old_bands
+    assert len(broken) < len(full), (
+        "collapsing banding should lose ≥1 oracle pair — otherwise the "
+        "oracle can't certify recall"
+    )
+
+
+def test_simhash_oracle_recomputes_fingerprints(spark):
+    """The simhash oracle must genuinely recompute fingerprints from
+    the inlined token→hash dictionary: corrupting ONE token's hash
+    changes the DuckDB pair relation, and dropping a vocabulary token
+    fails loud (documents using it vanish) rather than silently
+    matching."""
+    import duckdb
+
+    from s3_manifest_spark.operators.dedup import (
+        _SIMHASH_VOCAB,
+        _simhash_oracle_sql,
+    )
+
+    def run(sql):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        return {tuple(r) for r in con.execute(sql).fetchall()}
+
+    good = run(_simhash_oracle_sql())
+    assert good, "fixture has simhash near-dup pairs by construction"
+
+    import numpy as np
+    import pandas as pd
+
+    tok = "the"  # high-frequency token — touches most documents
+    h = int(pd.util.hash_array(np.array([tok], dtype=object))[0])
+    corrupted = _simhash_oracle_sql().replace(
+        f"('the', {h}::UBIGINT)", f"('the', {h ^ 0xFFFF}::UBIGINT)"
+    )
+    assert corrupted != _simhash_oracle_sql()
+    assert run(corrupted) != good
+
+    dropped = _simhash_oracle_sql().replace(
+        f"('the', {h}::UBIGINT),", ""
+    )
+    assert dropped != _simhash_oracle_sql()
+    assert run(dropped) != good
+    assert tok in _SIMHASH_VOCAB
+
+
+def test_embedding_lsh_oracle_recomputes_buckets(spark, q):
+    """The dense-LSH oracle inlines the seeded hyperplanes and
+    re-derives the bucket structure — planes from a WRONG seed yield a
+    different candidate set, so a Spark bucketing that disagreed with
+    the seeded construction could not hash-match."""
+    import duckdb
+
+    import s3_manifest_spark.operators.dedup as dedup
+
+    spark_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in q["dedup_embedding_lsh"](spark, SF).collect()
+    }
+
+    def run(sql):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+        )
+        return {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+
+    good = run(dedup._embedding_lsh_oracle_sql())
+    assert good == spark_pairs
+
+    old_seed = dedup.EMBED_LSH_SEED
+    dedup.EMBED_LSH_SEED = old_seed ^ 1
+    try:
+        wrong = run(dedup._embedding_lsh_oracle_sql())
+    finally:
+        dedup.EMBED_LSH_SEED = old_seed
+    assert wrong != spark_pairs
+
+
+def test_corpus09_oracle_is_not_vacuous(spark):
+    """dedup_embedding_lsh_hi_corpus matches an EMPTY relation on the
+    fixture — prove the oracle actually brute-forces cosine (a planted
+    near-dup pair makes it non-empty) instead of asserting emptiness."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sql = em.oracle_sql()["dedup_embedding_lsh_hi_corpus"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    assert con.execute(sql).fetchall() == []
+    # plant an exact duplicate of vec 0 under a fresh id
+    con.execute(
+        "INSERT INTO embeddings "
+        "SELECT 999999999 AS vec_id, embedding, label "
+        "FROM embeddings LIMIT 1"
+    )
+    planted = con.execute(sql).fetchall()
+    assert len(planted) >= 1 and any(r[2] >= 0.9 for r in planted)
+
+
 def test_similarity_topk_matches_numpy(spark, q):
     """Brute-force top-k must equal an independent numpy ground truth
     (exact cosine, same rounding + tie-break)."""
