@@ -1,12 +1,16 @@
 """Multimodal column handling (SURVEY.md §2B): opaque binary payloads
 with typed metadata, decode/feature-extract as Arrow-batched Python.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic fake (`_fake_decode`) behind the same
-seam a real decoder would fill (`decode_fn` parameter) — the Spark
-side (binary schema, mapInPandas batch shape, partition sizing) is
-real and is what matters at 100 TB: payload bytes stay in Arrow
-record batches end-to-end, never row-at-a-time Python objects.
+The container has no image/audio codec LIBRARIES, so the image format
+is binary PPM (netpbm "P6" — a real, public, uncompressed standard
+whose parsing needs only ``bytes`` + numpy): each asset is a stack of
+P6 frames, encoded and DECODED for real (:func:`decode_ppm_stack`
+parses magic, whitespace/comment-tolerant header tokens, and the
+binary pixel plane of every frame).  ``decode_fn`` stays injectable so
+a PIL/ffmpeg-backed decoder drops into the same Arrow seam.  The
+Spark side (binary schema, mapInPandas batch shape, partition sizing)
+is what matters at 100 TB: payload bytes stay in Arrow record batches
+end-to-end, never row-at-a-time Python objects.
 """
 
 from __future__ import annotations
@@ -75,29 +79,122 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """Deterministic stand-in for an image/video decoder.
+def _asset_geometry(n: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, n_frames) for a source asset of
+    ``n`` bytes — the generator's layout rule, mirrored verbatim by
+    the decode oracle's SQL arithmetic."""
+    return (n % 32) + 1, (n % 24) + 1, (n % 5) + 1
 
-    A real implementation would be, e.g.::
 
-        import PIL.Image, io
-        img = PIL.Image.open(io.BytesIO(payload))   # not in this container
+def encode_ppm_stack(payload: bytes) -> bytes:
+    """Render a source payload into a REAL multi-frame binary-PPM
+    asset: ``n_frames`` P6 images (``P6\\n{w} {h}\\n255\\n`` header +
+    w·h·3 pixel bytes each), pixels drawn by cycling the source bytes
+    through the full pixel plane (``np.resize`` — cyclic repeat).
+    Any P6-compliant reader decodes the individual frames."""
+    import numpy as np
 
-    and should raise ``NotImplementedError`` if the codec library is
-    missing.  The fake derives plausible dimensions from the payload
-    bytes so the pipeline stays testable and hashable.
-    """
-    n = len(payload)
-    width = (n % 64) + 1
-    height = (n % 48) + 1
-    n_frames = (n % 7) + 1
-    mean_byte = round(sum(payload) / n, 4) if n else 0.0
-    return width, height, n_frames, mean_byte
+    w, h, f = _asset_geometry(len(payload))
+    need = w * h * 3 * f
+    src = np.frombuffer(payload, dtype=np.uint8)
+    pix = np.resize(src, need) if len(src) else np.zeros(need, dtype=np.uint8)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    per_frame = w * h * 3
+    out = bytearray()
+    for i in range(f):
+        out += header
+        out += pix[i * per_frame : (i + 1) * per_frame].tobytes()
+    return bytes(out)
+
+
+def _ppm_token(buf: bytes, off: int) -> tuple[bytes, int]:
+    """Read one whitespace-delimited header token, skipping netpbm
+    ``#`` comment lines — the full P6 header grammar."""
+    n = len(buf)
+    while off < n and buf[off] in b" \t\r\n":
+        off += 1
+    while off < n and buf[off : off + 1] == b"#":
+        while off < n and buf[off] not in b"\n":
+            off += 1
+        while off < n and buf[off] in b" \t\r\n":
+            off += 1
+    start = off
+    while off < n and buf[off] not in b" \t\r\n":
+        off += 1
+    if start == off:
+        raise ValueError("truncated PPM header")
+    return buf[start:off], off
+
+
+def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL decoder for a stack of binary-PPM (P6) frames: parses each
+    frame's magic + header tokens (whitespace- and comment-tolerant,
+    per the netpbm spec), slices its w·h·3 pixel plane with
+    ``np.frombuffer`` (zero-copy), and accumulates exact pixel stats.
+    Returns ``(width, height, n_frames, mean_pixel_byte)``; raises
+    ``ValueError`` on a bad magic, truncated header/plane, unsupported
+    maxval, or frames that disagree on geometry — a corrupted payload
+    can never decode silently (pinned in tests)."""
+    import numpy as np
+
+    off, n = 0, len(payload)
+    frames, w, h = 0, None, None
+    tot, cnt = 0, 0
+    while off < n:
+        magic, off = _ppm_token(payload, off)
+        if magic != b"P6":
+            raise ValueError(f"bad PPM magic {magic!r} at offset {off}")
+        wt, off = _ppm_token(payload, off)
+        ht, off = _ppm_token(payload, off)
+        mt, off = _ppm_token(payload, off)
+        fw, fh, maxv = int(wt), int(ht), int(mt)
+        if maxv != 255:
+            raise ValueError(f"unsupported maxval {maxv}")
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError(f"frame geometry drift {(fw, fh)} != {(w, h)}")
+        off += 1  # single whitespace byte after maxval, then the plane
+        plane = fw * fh * 3
+        if off + plane > n:
+            raise ValueError("truncated pixel plane")
+        frame = np.frombuffer(payload, dtype=np.uint8, count=plane, offset=off)
+        tot += int(frame.sum(dtype=np.int64))
+        cnt += plane
+        off += plane
+        frames += 1
+    if frames == 0:
+        raise ValueError("empty payload")
+    return w, h, frames, tot / cnt
+
+
+def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as a REAL image-asset table: each row's
+    payload is a decodable multi-frame P6 stack (one Arrow-batched
+    encode pass — the stand-in for reading actual image files, which
+    the harness environment cannot carry)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_ppm_stack(t.encode() if t is not None else b"")
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema="doc_id long, payload binary"
+    )
 
 
 def decode_features(
     corpus: DataFrame,
-    decode_fn: Callable[[bytes], tuple[int, int, int, float]] = _fake_decode,
+    decode_fn: Callable[[bytes], tuple[int, int, int, float]] = decode_ppm_stack,
 ) -> DataFrame:
     """Decode/feature-extract payloads via Arrow-batched mapInPandas.
 
@@ -122,10 +219,55 @@ def decode_features(
     )
 
 
-@register("multimodal_decode")  # rows-only: exercises the Python decode seam
+# DuckDB twin of encode→decode: geometry from _asset_geometry's
+# arithmetic; mean pixel byte from the cyclic source fill — full
+# cycles × the text's byte-code sum plus the truncated head.  ASCII
+# caveat shared with _FRAME_SAMPLE_SQL: substring/ascii are
+# character-based vs the kernel's bytes (fixture is pure ASCII,
+# asserted in tests).  The division stays exact-IEEE on both sides
+# (int sum / int count in float64), so no rounding is needed.
+_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         octet_length(encode(coalesce(text, ''))) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t, L,
+         (L % 32) + 1 AS width,
+         (L % 24) + 1 AS height,
+         (L % 5) + 1  AS n_frames,
+         ((L % 32) + 1) * ((L % 24) + 1) * 3 * ((L % 5) + 1) AS np
+  FROM d
+),
+s AS (
+  SELECT doc_id, width, height, n_frames, np,
+         CASE WHEN L = 0 THEN 0 ELSE
+           (np // L) * list_sum(list_transform(
+               range(1, L + 1), i -> ascii(substring(t, i, 1))))
+           + coalesce(list_sum(list_transform(
+               range(1, (np % L) + 1), i -> ascii(substring(t, i, 1)))), 0)
+         END AS pix_sum
+  FROM g
+)
+SELECT doc_id,
+       CAST(width AS INTEGER)    AS width,
+       CAST(height AS INTEGER)   AS height,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       pix_sum * 1.0 / np        AS mean_byte
+FROM s
+"""
+
+
+@register("multimodal_decode", oracle=_DECODE_SQL)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = binary_corpus(spark, sf_dir)
-    return decode_features(corpus)
+    """Encode every document into a real multi-frame P6 asset, then
+    DECODE it for real — header parsing, pixel-plane slicing, exact
+    stats — and hash-check the features against a DuckDB twin that
+    predicts them from the generator's layout rule.  A decoder that
+    skipped parsing (or a corrupted payload) cannot match: the oracle
+    recomputes the pixel mean from the cyclic fill independently."""
+    return decode_features(ppm_corpus(spark, sf_dir))
 
 
 FRAME_SCHEMA = T.StructType(
@@ -144,8 +286,8 @@ def sample_frames(corpus: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame-sampling seam for video-like payloads: each asset expands
     to every ``stride``-th frame as its own row (idx, size, content
     hash).  A real implementation would seek keyframes via a codec;
-    the fake splits the payload into the n_frames equal chunks the
-    fake decoder reports.
+    this one treats the raw payload as ``(len % 7) + 1`` equal-size
+    chunks — a layout rule the oracle mirrors exactly.
 
     The expansion happens INSIDE the Arrow batch (one input frame →
     one output frame of rows), so memory per task is one batch of
@@ -160,7 +302,7 @@ def sample_frames(corpus: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n = len(payload)
-                _, _, n_frames, _ = _fake_decode(payload)
+                n_frames = (n % 7) + 1
                 step = max(n // n_frames, 1)
                 for idx in range(0, n_frames, stride):
                     chunk = payload[idx * step : (idx + 1) * step]

@@ -234,8 +234,39 @@ def test_multimodal_decode_plumbing(spark, q):
     pdf = q["multimodal_decode"](spark, SF).toPandas()
     assert len(pdf) == 500
     assert set(pdf.columns) == {"doc_id", "width", "height", "n_frames", "mean_byte"}
-    assert pdf["width"].between(1, 64).all()
+    assert pdf["width"].between(1, 32).all()
+    assert pdf["height"].between(1, 24).all()
+    assert pdf["n_frames"].between(1, 5).all()
     assert pdf["mean_byte"].between(0, 255).all()
+
+
+def test_ppm_decoder_is_real():
+    """decode_ppm_stack must PARSE, not pattern-match: round-trips the
+    generator, decodes any standards-compliant P6 (comments included),
+    and refuses corrupted payloads."""
+    import numpy as np
+    import pytest
+
+    from s3_manifest_spark.operators.multimodal import (
+        decode_ppm_stack,
+        encode_ppm_stack,
+    )
+
+    payload = b"hello multimodal world"  # 22 bytes
+    asset = encode_ppm_stack(payload)
+    w, h, f, mean = decode_ppm_stack(asset)
+    assert (w, h, f) == (23, 23, 3)
+    pix = np.resize(np.frombuffer(payload, np.uint8), w * h * 3 * f)
+    assert mean == pix.mean()
+
+    # hand-written P6 with a header comment — netpbm grammar, not
+    # just our generator's byte layout
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert decode_ppm_stack(ppm) == (2, 1, 1, 35.0)
+
+    for bad in (b"P5" + asset[2:], asset[:-1], asset + b"junk", b""):
+        with pytest.raises(ValueError):
+            decode_ppm_stack(bad)
 
 
 def test_stream_live_equals_batch_twin(spark, q):
