@@ -337,6 +337,84 @@ def _unpacked_key_string(k: F.Column) -> F.Column:
     )
 
 
+def _string_key() -> F.Column:
+    """The listing key as its literal string — the un-fused grouping
+    key the packed plan replaces.  ``concat`` nulls on any NULL
+    component, matching :func:`_packed_key`'s NULL collapse."""
+    return F.concat(
+        F.lit("data/"),
+        F.col("l_returnflag"),
+        F.lit("/"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/part-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(".parquet"),
+    )
+
+
+#: Guard verdict memo per lineitem path (immutable fixtures).
+_PACKED_DOMAIN_OK: dict[str, bool] = {}
+
+
+def _packed_domain_ok(sf_dir: str) -> bool:
+    """Footer-stats proof that :func:`_packed_key` is injective for
+    this input (ADVICE r7): the packed-long fusion silently merges
+    distinct keys if a component leaves its domain, so the plan is
+    chosen only when the parquet column statistics (a metadata read,
+    no job — the same mechanism as ``_assert_plant_ids_disjoint``)
+    bound every row: ``1 ≤ l_linenumber ≤ 7`` and ``0 ≤ l_orderkey <
+    2^42`` are SOUND proofs (numeric min/max bound all values; 2^42
+    keeps ``ok*2048`` exact under the double division in
+    ``_unpacked_key_string``); for ``l_returnflag`` the stats can only
+    show both extremes are single ASCII chars — a necessary check that
+    catches the realistic drift (long flags, non-ASCII), while a
+    mixed-length domain strictly between single-char extremes would
+    pass it, which is why failure of ANY check falls back to the
+    string-key plan rather than asserting.  Missing stats → fallback.
+    """
+    key = f"{sf_dir}/lineitem.parquet"
+    hit = _PACKED_DOMAIN_OK.get(key)
+    if hit is not None:
+        return hit
+
+    def check() -> bool:
+        import pyarrow.parquet as pq
+
+        from s3_manifest_spark.sources.tables import _parquet_files
+
+        bounds: dict[str, list] = {c: [] for c in ("l_orderkey", "l_linenumber", "l_returnflag")}
+        for f in _parquet_files(key):
+            md = pq.ParquetFile(f).metadata
+            schema = md.schema.to_arrow_schema()
+            for col, acc in bounds.items():
+                idx = schema.get_field_index(col)
+                if idx < 0:
+                    return False
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return False
+                    acc.append((st.min, st.max))
+        ln = bounds["l_linenumber"]
+        ok = bounds["l_orderkey"]
+        rf = bounds["l_returnflag"]
+        if not (ln and ok and rf):
+            return False
+        return (
+            all(1 <= lo and hi <= 7 for lo, hi in ln)
+            and all(0 <= lo and hi < 2**42 for lo, hi in ok)
+            and all(
+                len(v) == 1 and ord(v) < 128
+                for lo, hi in rf
+                for v in (lo, hi)
+            )
+        )
+
+    verdict = check()
+    _PACKED_DOMAIN_OK[key] = verdict
+    return verdict
+
+
 @register(
     "manifest_diff",
     oracle=f"""
@@ -408,10 +486,14 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   hashing almost every input row (see cdc_per_key's
     #   pre_partition note).
     # size_cents (not F.round) keeps the serial scan task free of
-    # per-row BigDecimal work — see its docstring.
+    # per-row BigDecimal work — see its docstring.  The packed-key
+    # fusion engages only when footer stats prove its domain
+    # (_packed_domain_ok); otherwise the same plan groups by the
+    # literal key string.
     li = load_table(spark, sf_dir, "lineitem")
+    keycol = _packed_key() if _packed_domain_ok(sf_dir) else _string_key()
     l = li.select(
-        _packed_key().alias("k"),
+        keycol.alias("k"),
         size_cents().alias("size"),
     )
     j = (
@@ -563,8 +645,9 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key, which is NULL for NULL components, NOT the manifest
     # projection's '' default).
     li = load_table(spark, sf_dir, "lineitem")
+    packed = _packed_domain_ok(sf_dir)
     l = li.select(
-        _packed_key().alias("k"),
+        (_packed_key() if packed else _string_key()).alias("k"),
         size_cents().alias("size"),
     )
     per = (
@@ -580,5 +663,5 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("feed_new"),
         )
     )
-    key = _unpacked_key_string(F.col("k"))
+    key = _unpacked_key_string(F.col("k")) if packed else F.col("k")
     return cdc_merge(per.select(key.alias("key"), "old_sz", "feed_new"))

@@ -257,7 +257,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": np.empty(0, dtype=np.int64),
                 "r2": np.empty(0, dtype=np.float64),
                 "r3": np.empty(0, dtype=np.float64),
-                "share": np.empty(0, dtype=np.float64),
+                # nullable Float64 like the data path — mixed dtypes
+                # across batches trip pandas' concat dtype inference
+                "share": pd.array([], dtype="Float64"),
             }
         )
 
@@ -285,8 +287,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (len(t) for t in toks), dtype=np.int64, count=len(toks)
             )
             ndocs = len(toks)
-            if ndocs == 0 or lens.sum() == 0:
+            if ndocs == 0:
                 yield empty
+                continue
+            if lens.sum() == 0:
+                # token-less docs still get a row (the oracle's CASE
+                # emits 0/0/NULL for them) — the old early-exit
+                # silently DROPPED them, latent only because the
+                # fixtures have no NULL texts.
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy().astype("int64"),
+                        "r2": np.zeros(ndocs),
+                        "r3": np.zeros(ndocs),
+                        "share": pd.array([pd.NA] * ndocs, dtype="Float64"),
+                    }
+                )
                 continue
             flat = np.concatenate(
                 [np.asarray(t, dtype=object) for t in toks if t]
@@ -308,7 +324,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             top[rdoc[dstart]] = np.maximum.reduceat(runlen, dstart)
             with np.errstate(invalid="ignore", divide="ignore"):
                 share = top / lens.astype(np.float64)
-            share[lens == 0] = np.nan
+            # token-less docs have NO top token: emit NULL, not NaN —
+            # Spark treats NaN as a distinct non-null double, which
+            # would diverge from the oracle's NULL (ADVICE r7).  The
+            # nullable Float64 extension array crosses Arrow as a
+            # double column with nulls.
+            share_out = pd.array(share, dtype="Float64")
+            share_out[lens == 0] = pd.NA
             # n-gram fingerprints (within-doc windows only)
             with np.errstate(over="ignore"):
                 B = np.uint64(1099511628211)
@@ -323,7 +345,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"].to_numpy().astype("int64"),
                     "r2": r2,
                     "r3": r3,
-                    "share": share,
+                    "share": share_out,
                 }
             )
 

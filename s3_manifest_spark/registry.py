@@ -126,14 +126,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             if cache is None:
                 cache = {}
                 spark._smsp_plan_cache = cache
-            # The session TIMEZONE is part of the key: the manifest
-            # timestamp fusions branch on it at construction time
-            # (_utc_session), so a cached UTC plan must not be served
-            # to a session whose zone has since changed.
+            # The cache key carries every piece of session state a
+            # plan CONSTRUCTION reads: the session TIMEZONE (manifest
+            # timestamp fusions branch on it via _utc_session),
+            # shuffle.partitions (widen_scan / _keyed_parts bake it
+            # into repartition widths), and defaultParallelism
+            # (row-aware widening caps at it).  A session that changes
+            # any of these gets a fresh plan, not a stale one.
+            # IMMUTABLE-FIXTURE ASSUMPTION (documented limit): plans
+            # may also capture driver-collected fixture data (e.g.
+            # similarity_topk's broadcast query matrix) and parquet
+            # footer metadata; rewriting files under sf_dir mid-
+            # session serves a stale plan — the harness fixtures are
+            # read-only by contract (TESTDATA.md), so this is safe
+            # here; an embedding application mutating its inputs must
+            # clear spark._smsp_plan_cache itself.
             key = (
                 name,
                 sf_dir,
-                spark.conf.get("spark.sql.session.timeZone", ""),
+                spark.conf.get("spark.sql.session.timeZone", "UTC"),
+                spark.conf.get("spark.sql.shuffle.partitions", "200"),
+                spark.sparkContext.defaultParallelism,
             )
             cached = cache.get(key)
             if cached is not None:

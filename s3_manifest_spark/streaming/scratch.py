@@ -28,9 +28,13 @@ def scratch_base() -> str:
     platform default temp dir."""
     # Read $TMPDIR directly: tempfile.gettempdir() caches its answer
     # process-wide at FIRST call, so an override exported after any
-    # earlier gettempdir() call would be silently ignored.
+    # earlier gettempdir() call would be silently ignored.  Validate
+    # it the way gettempdir validates its candidates (isdir + W_OK):
+    # a $TMPDIR pointing at a missing/unwritable path falls through to
+    # /dev/shm / platform default instead of making every drain's
+    # mkdtemp raise (ADVICE r7).
     tmpdir = os.environ.get("TMPDIR")
-    if tmpdir:
+    if tmpdir and os.path.isdir(tmpdir) and os.access(tmpdir, os.W_OK):
         return tmpdir
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):

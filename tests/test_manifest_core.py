@@ -435,3 +435,82 @@ def test_fused_projection_falls_back_under_non_utc_session(spark):
     finally:
         spark.conf.set(key, old)
         getattr(spark, "_smsp_plan_cache", {}).clear()
+
+
+def test_packed_domain_guard(spark, tmp_path):
+    """_packed_domain_ok: proves the fixture's domain from footer
+    stats, rejects out-of-domain inputs, and the string-key fallback
+    plan produces the identical diff/apply results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_manifest_spark.operators import manifest_queries as mq
+
+    sf = "/root/testdata/sf0.001"
+    assert mq._packed_domain_ok(sf) is True
+
+    # out-of-domain crafted inputs are rejected (linenumber 8, a
+    # two-char returnflag, an orderkey past 2^42)
+    cases = [
+        {"l_orderkey": [1], "l_linenumber": [8], "l_returnflag": ["A"]},
+        {"l_orderkey": [1], "l_linenumber": [1], "l_returnflag": ["AB"]},
+        {"l_orderkey": [2**42], "l_linenumber": [1], "l_returnflag": ["A"]},
+    ]
+    for i, data in enumerate(cases):
+        d = tmp_path / f"bad{i}"
+        d.mkdir()
+        pq.write_table(pa.table(data), d / "lineitem.parquet")
+        assert mq._packed_domain_ok(str(d)) is False, data
+
+    # fallback equivalence: force the string-key plan on the fixture
+    # (raw functions — never through the registry's plan memo)
+    key = f"{sf}/lineitem.parquet"
+    packed_diff = mq.manifest_diff(spark, sf).toPandas()
+    packed_apply = mq.manifest_apply_changes(spark, sf).toPandas()
+    mq._PACKED_DOMAIN_OK[key] = False
+    try:
+        str_diff = mq.manifest_diff(spark, sf).toPandas()
+        str_apply = mq.manifest_apply_changes(spark, sf).toPandas()
+    finally:
+        mq._PACKED_DOMAIN_OK[key] = True
+
+    def norm(pdf, cols):
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    assert norm(packed_diff, ["change_type"]).equals(
+        norm(str_diff, ["change_type"])
+    )
+    assert norm(packed_apply, ["key"]).equals(norm(str_apply, ["key"]))
+
+
+def test_text_repetition_null_text_yields_null_share(spark, tmp_path):
+    """NULL/token-less documents must emit NULL top_token_share (not
+    NaN — Spark treats NaN as a non-null double, diverging from the
+    oracle's NULL; ADVICE r7)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_manifest_spark.operators.text import text_repetition
+
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["spark spark row", None], type=pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    pdf = text_repetition(spark, str(d)).toPandas().set_index("doc_id")
+    assert pdf.loc[1, "top_token_share"] == 0.6667
+    assert pdf["top_token_share"].isna().loc[2]
+    import math
+
+    row = text_repetition(spark, str(d)).filter("doc_id = 2").collect()[0]
+    assert row["top_token_share"] is None  # NULL, not NaN
+    assert not (
+        isinstance(row["top_token_share"], float)
+        and math.isnan(row["top_token_share"])
+    )
