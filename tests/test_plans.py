@@ -123,10 +123,14 @@ def _n_exchanges(plan: str) -> int:
 
 
 def test_manifest_diff_is_single_key_shuffle(spark):
-    """The one-scan diff must shuffle twice total (per-key conditional
-    agg + the 4-row change-class rollup) — never the three shuffles of
-    the aggregate/aggregate/full-outer-join formulation."""
-    assert _n_exchanges(plan_of(spark, "manifest_diff")) <= 2
+    """Diff consumes the session-shared CDC state (one keyed exchange,
+    inside the cached InMemoryRelation build) and adds ONLY the 4-row
+    change-class rollup downstream — never the three shuffles of the
+    aggregate/aggregate/full-outer-join formulation."""
+    plan = plan_of(spark, "manifest_diff")
+    assert "InMemoryTableScan" in plan, plan
+    downstream = plan.split("InMemoryTableScan", 1)[0]
+    assert _n_exchanges(downstream) <= 1, downstream
 
 
 def test_tfidf_windows_share_doc_partitioning(spark):
@@ -238,11 +242,17 @@ def test_mix_rebalance_aggregates_before_window(spark):
 
 
 def test_apply_changes_single_key_shuffle(spark):
-    """The single-scan CDC apply is ONE conditional aggregation: one
-    keyed exchange, never the three of the two-aggregation + full-outer
-    MERGE form (that form lives in merge_change_feed for genuinely
-    independent snapshots, shuffle-free over bucketed tables)."""
-    assert _n_exchanges(plan_of(spark, "manifest_apply_changes")) <= 1
+    """Apply consumes the session-shared CDC state with ZERO further
+    exchanges — the merge cases are a narrow projection over the
+    state's per-key row.  The state build itself (inside the cached
+    InMemoryRelation) is the ONE conditional aggregation, never the
+    three shuffles of the two-aggregation + full-outer MERGE form
+    (that form lives in merge_change_feed for genuinely independent
+    snapshots, shuffle-free over bucketed tables)."""
+    plan = plan_of(spark, "manifest_apply_changes")
+    assert "InMemoryTableScan" in plan, plan
+    downstream = plan.split("InMemoryTableScan", 1)[0]
+    assert _n_exchanges(downstream) == 0, downstream
 
 
 def test_substring_rolling_single_combinable_shuffle(spark):
