@@ -150,7 +150,7 @@ def main() -> int:
 
     ceilings = {
         t: parquet_row_groups(f"{sf_dir}/{t}.parquet")
-        for t in ("lineitem", "documents", "events", "embeddings")
+        for t in ("lineitem", "documents", "events", "embeddings", "orders")
     }
     manifest_family = [
         q for q in timings

@@ -1340,10 +1340,11 @@ def dedup_embedding_lsh_hi(
     guarded by a runtime footer-stats assert that the corpus's ids
     stay below PLANT_ID_BASE — so the driver-graded result is a
     non-empty relation, exactly reproducible, and verified against
-    brute force in tests/test_llm_ops.py.  Pass
-    ``planted_canaries=False`` for the corpus-only production form
-    (the result an external consumer comparing against the upstream
-    framework gets).
+    brute force in tests/test_llm_ops.py.  The corpus-only production
+    form is itself registered and hash-graded as
+    :func:`dedup_embedding_lsh_hi_corpus` (r8), closing the "result is
+    100% synthetic" residual: its brute-force oracle checks that no
+    corpus pair reaches the threshold.
     """.format(
         thr=EMBED_DUP_THRESHOLD_HI,
         bands=EMBED_LSH_HI_BANDS,
