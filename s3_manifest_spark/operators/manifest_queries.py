@@ -637,14 +637,18 @@ def merge_change_feed(old: DataFrame, feed: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "manifest_apply_changes",
-    oracle=f"""
+#: The directly-computed NEW snapshot — shared by the batch apply and
+#: the streaming CDC drain (streaming/cdc.py): both must reconstruct
+#: exactly this relation, and every value is integer/string (max over
+#: longs), so the streaming form is deterministic bit-for-bit.
+APPLY_ORACLE_SQL = f"""
     WITH listing AS ({SYNTH_LISTING_SQL})
     SELECT key, CAST(max({_DIFF_BUMP}) AS BIGINT) AS size
     FROM listing WHERE {_DIFF_NEW_PRED} GROUP BY key
-    """,
-)
+"""
+
+
+@register("manifest_apply_changes", oracle=APPLY_ORACLE_SQL)
 def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply — ``manifest_diff``'s counterpart: reconstruct the NEW
     snapshot by applying a change feed (upserts + deletes only;

@@ -162,9 +162,20 @@ def run_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_merge(latest)
 
 
-@register("stream_cdc_apply_live")  # rows-only: streaming execution
+def _apply_oracle() -> str:
+    from s3_manifest_spark.operators.manifest_queries import APPLY_ORACLE_SQL
+
+    return APPLY_ORACLE_SQL
+
+
+@register("stream_cdc_apply_live", oracle=_apply_oracle())
 def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental manifest maintenance as a real Structured Streaming
-    job (module docstring has the design); the drained snapshot equals
-    the batch CDC apply."""
+    job (module docstring has the design).  Oracle-graded (r8) with
+    the SAME directly-computed-new-snapshot SQL as the batch apply:
+    the CDC state is two integer maxima per key — order-independent
+    exact arithmetic — so the drained snapshot is deterministic
+    bit-for-bit and the hash match proves the full streaming path
+    (state store, update-mode foreachBatch spool, latest-per-key
+    compaction, merge) reconstructs the new snapshot exactly."""
     return run_cdc_stream(spark, sf_dir)

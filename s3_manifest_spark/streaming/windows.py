@@ -60,9 +60,14 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "stream_tumbling",
-    oracle="""
+#: Shared by the batch twin AND the live drain: the drain is an
+#: availableNow replay of the same relation, so the SAME oracle grades
+#: both — the drain's hash match certifies that streaming execution
+#: (state store, watermark, memory-sink drain) reproduces the batch
+#: answer exactly.  Float-order independence comes from the round-2
+#: contract both forms share (sum re-association error ~1e-13 against
+#: a 5e-3 rounding boundary).
+_TUMBLING_ORACLE = """
     SELECT date_trunc('hour', ts)                         AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR       AS window_end,
            event_type,
@@ -70,8 +75,10 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
            round(sum(value), 2)                           AS total_value
     FROM events
     GROUP BY 1, 2, 3
-    """,
-)
+"""
+
+
+@register("stream_tumbling", oracle=_TUMBLING_ORACLE)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the tumbling-window aggregation (F.window in batch
     mode) — DuckDB checks it as an hour-truncated GROUP BY."""
@@ -202,11 +209,18 @@ def run_tumbling_stream(
     return spark.table(name)
 
 
-@register("stream_tumbling_live")  # rows-only: actual streaming execution
+@register("stream_tumbling_live", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real Structured Streaming path (readStream → watermark →
-    window agg → availableNow drain), surfaced as a batch DataFrame so
-    the driver can smoke it.  Values equal stream_tumbling's."""
+    window agg → availableNow drain), surfaced as a batch DataFrame.
+
+    Oracle-graded with the SAME SQL as the batch twin (r8): the
+    availableNow drain over the fixed spool is deterministic — complete
+    mode emits the full state table, the watermark only advances
+    between micro-batches so nothing is evicted mid-drain, and the
+    round-2 output contract absorbs state-merge float re-association —
+    so the hash match certifies streaming execution end-to-end, not
+    just row counts."""
     return run_tumbling_stream(spark, sf_dir)
 
 
@@ -282,10 +296,27 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_user_state_live")  # rows-only: custom stateful streaming op
+@register(
+    "stream_user_state_live",
+    # The custom-state profile IS a per-user GROUP BY: count and max
+    # are exact, total_value carries the shared round-2 contract, and
+    # the single-file availableNow spool drains in one micro-batch →
+    # exactly one update-mode row per user.
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(value)           AS max_value,
+           max(ts)              AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_user_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState per-user profile, drained deterministically
-    (one row per user; values equal the batch groupBy twin)."""
+    """applyInPandasWithState per-user profile, drained
+    deterministically (one row per user) and oracle-graded (r8)
+    against the equivalent batch GROUP BY — the hash match certifies
+    the custom state fold (Arrow batches → Python state tuple →
+    update-mode emit) reproduces the declarative aggregate exactly."""
     return run_user_state_stream(spark, sf_dir)
 
 
@@ -310,9 +341,9 @@ def _sliding_agg(events: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "stream_sliding",
-    oracle="""
+#: Shared by the batch twin and the live drain (same argument as
+#: _TUMBLING_ORACLE).
+_SLIDING_ORACLE = """
     -- each event belongs to 2 overlapping 1h/30min windows:
     -- window_start = its 30-min bucket minus k*30min, k in {0,1}
     WITH expanded AS (
@@ -328,8 +359,10 @@ def _sliding_agg(events: DataFrame) -> DataFrame:
            round(sum(value), 2)           AS total_value
     FROM expanded
     GROUP BY window_start, event_type
-    """,
-)
+"""
+
+
+@register("stream_sliding", oracle=_SLIDING_ORACLE)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the sliding-window aggregation.  Spark's window()
     assigns each event to window_count = size/slide overlapping windows
@@ -378,12 +411,24 @@ def _drain(df: DataFrame, name: str, mode: str) -> None:
         q.awaitTermination()
 
 
-@register("stream_dedup_live")  # rows-only: streaming execution
+@register(
+    "stream_dedup_live",
+    # Counts after exactly-once dedup of the doubled spool == the
+    # single-copy per-type counts (event_id is unique in the fixture —
+    # the oracle's count(DISTINCT event_id) stays correct even if it
+    # weren't).  Counts are integers: deterministic regardless of
+    # which physical duplicate survives.
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingestion dedup: the spool carries every event
     TWICE (duplicated delivery), and streaming ``dropDuplicates`` on
-    event_id + watermark reduces it back to one copy — verified by the
-    per-type counts equaling the batch single-copy counts (tests).
+    event_id + watermark reduces it back to one copy — oracle-graded
+    (r8): the drained per-type counts must equal the single-copy
+    distinct counts.
 
     Watermarked dedup is the 100 TB shape: state holds only event_ids
     newer than the watermark horizon, so memory is bounded by the
@@ -408,9 +453,12 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTRIB_WINDOW = "1 hour"
 
 
-@register(
-    "stream_join",
-    oracle="""
+#: Shared by the batch twin and the live drain: the interval-join
+#: result is a SET of exact values (ids + timestamps, no float
+#: aggregation), and the availableNow drain emits every matched pair
+#: (inner joins emit on match, not on watermark advance), so the live
+#: result is deterministic and the same oracle grades both.
+_SSJOIN_ORACLE = """
     SELECT c.event_id          AS click_id,
            p.event_id          AS purchase_id,
            c.user_id           AS user_id,
@@ -422,8 +470,10 @@ _ATTRIB_WINDOW = "1 hour"
      AND p.event_type = 'purchase'
      AND p.ts >= c.ts
      AND p.ts <= c.ts + INTERVAL 1 HOUR
-    """,
-)
+"""
+
+
+@register("stream_join", oracle=_SSJOIN_ORACLE)
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join: each click pairs
     with the same user's purchases within the next hour (attribution).
@@ -451,14 +501,16 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_join_live")  # rows-only: stream-stream join execution
+@register("stream_join_live", oracle=_SSJOIN_ORACLE)
 def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real watermarked stream-stream interval join (clicks ⋈
     purchases on user_id within the attribution window), drained with
     availableNow.  Both sides carry watermarks and the join has a time
     bound, so Spark can expire buffered state as the watermark
     advances — unbounded-state joins never survive production streams.
-    Result set equals the batch twin's (asserted in tests)."""
+    Oracle-graded with the batch twin's SQL (r8): the matched-pair set
+    is exact values and inner joins emit on match, so the drain is
+    deterministic."""
     stream = read_events_stream(spark, sf_dir)
     c = (
         stream.filter(F.col("event_type") == "click")
@@ -489,12 +541,13 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_sliding_live")  # rows-only: streaming execution
+@register("stream_sliding_live", oracle=_SLIDING_ORACLE)
 def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain of the sliding-window aggregation
     (watermark → 1h/30min windows → availableNow).  State in flight is
     (overlap factor × groups) — the 2× overlap costs 2× aggregation
-    state, never 2× input.  Values equal stream_sliding's batch twin."""
+    state, never 2× input.  Oracle-graded with the batch twin's SQL
+    (r8, see stream_tumbling_live for the determinism argument)."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     agg = _sliding_agg(stream)
     name = f"sliding_{abs(hash(sf_dir)) % 10_000_000}"
