@@ -91,12 +91,14 @@ def main() -> int:
     # sample pair shares one noise environment — single-sided ratios
     # on this host were ±8x; the full sample arrays ship in
     # BENCH_FULL.json so ratios are re-derivable pairwise.
+    from s3_manifest_spark.registry import clear_model_cache
+
     RUNS = 5
     spark_samples: dict[str, list] = {name: [] for name in qs}
     oracle_samples: dict[str, list] = {name: [] for name in qs if name in oracles}
     rows: dict[str, int] = {}
     model_cached: set[str] = set()
-    for _ in range(RUNS):
+    for run_i in range(RUNS):
         for name in sorted(qs):
             # Measurement integrity: drop the registry's plan memo so
             # every rep pays the FULL query path (plan construction +
@@ -107,12 +109,17 @@ def main() -> int:
             # a real API feature (prepared-statement reuse for
             # interactive callers); it just must not be what the
             # benchmark times.  The session MODEL cache (trained IVF
-            # quantizer, LSH signature planes) is deliberately KEPT
-            # warm here — that is the build-once/query-many serving
-            # shape — and the build cost is measured separately below
-            # (cold_sec), so the artifact states both numbers instead
-            # of hiding the training inside rep 1.
+            # quantizer, LSH index, CDC state, bloom filter) is KEPT
+            # warm on runs 2+ — the build-once/query-many serving
+            # shape — and dropped before EVERY query of run 1, so a
+            # query that merely CONSUMES a model another query built
+            # (manifest_diff riding apply's shared CDC state) still
+            # registers its own build and lands in model_cached /
+            # cold_sec.  The build cost is then measured explicitly
+            # below; nothing hides inside rep 1's min.
             getattr(spark, "_smsp_plan_cache", {}).clear()
+            if run_i == 0:
+                clear_model_cache(spark)
             before_models = set(getattr(spark, "_smsp_model_cache", {}))
             t0 = time.perf_counter()
             pdf = qs[name](spark, sf_dir).toPandas()
@@ -131,7 +138,7 @@ def main() -> int:
     cold_secs: dict[str, float] = {}
     for name in sorted(model_cached):
         getattr(spark, "_smsp_plan_cache", {}).clear()
-        getattr(spark, "_smsp_model_cache", {}).clear()
+        clear_model_cache(spark)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).toPandas()
         cold_secs[name] = round(time.perf_counter() - t0, 4)
@@ -160,16 +167,14 @@ def main() -> int:
         q: {"scan_ceiling_row_groups": ceilings["lineitem"]}
         for q in manifest_family
     }
-    # asof_join is scan-bound at fixture scale: its two serial
-    # single-row-group scans (events + orders) cost ~0.32 s of its
-    # ~0.50 s wall; the union/window/collect pipeline itself is
-    # ~0.18 s (decomposed r8) — the >2x-of-oracle residual is the
-    # physical scan ceiling, not the plan.
+    # asof_join reads events + orders: on single-row-group fixtures
+    # both scans serialize, which BASELINE.md's r8 decomposition
+    # measured as the bulk of its wall — record the physical ceiling
+    # it ran under (host-independent), not that run's constants.
     queries_meta["asof_join"] = {
         "scan_ceiling_row_groups": max(
             ceilings["events"], ceilings["orders"]
         ),
-        "scan_bound_sec": 0.32,
     }
 
     # Full per-query detail goes to a sidecar file; the stdout line is

@@ -993,6 +993,10 @@ def _embedding_lsh_pairs_sparse(
     mc = None
     cached = None
     if cache_key is not None:
+        # the construction parameters are folded into the stored key
+        # here — a caller-supplied tag alone must never serve an index
+        # built under different band/plane/threshold settings
+        cache_key = (*cache_key, L, r, float(thr))
         mc = getattr(spark, "_smsp_model_cache", None)
         if mc is None:
             mc = {}

@@ -316,7 +316,32 @@ def _packed_key() -> F.Column:
         + F.col("l_linenumber").cast("long") * F.lit(256)
         + F.ascii(F.col("l_returnflag")).cast("long")
     )
-    return F.when(any_null, F.lit(None).cast("long")).otherwise(packed)
+    # Defense-in-depth behind the footer-stats chooser
+    # (_packed_domain_ok): the stats check is a fast-path heuristic
+    # whose l_returnflag leg is NOT a proof (a mixed-length domain
+    # between single-char extremes passes it), so the packed plan
+    # carries an in-row guard — three codegen'd comparisons per row —
+    # that turns any out-of-domain component into a LOUD error instead
+    # of a silently merged key.
+    domain_ok = (
+        (F.length("l_returnflag") == 1)
+        & (F.ascii("l_returnflag") < 128)
+        & F.col("l_linenumber").between(1, 7)
+        & F.col("l_orderkey").between(0, 2**42 - 1)
+    )
+    return (
+        F.when(any_null, F.lit(None).cast("long"))
+        .when(domain_ok, packed)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "packed listing key domain violated "
+                    "(returnflag/linenumber/orderkey out of range); "
+                    "footer stats promised otherwise"
+                )
+            ).cast("long")
+        )
+    )
 
 
 def _unpacked_key_string(k: F.Column) -> F.Column:
@@ -339,17 +364,13 @@ def _unpacked_key_string(k: F.Column) -> F.Column:
 
 def _string_key() -> F.Column:
     """The listing key as its literal string — the un-fused grouping
-    key the packed plan replaces.  ``concat`` nulls on any NULL
-    component, matching :func:`_packed_key`'s NULL collapse."""
-    return F.concat(
-        F.lit("data/"),
-        F.col("l_returnflag"),
-        F.lit("/"),
-        F.col("l_orderkey").cast("string"),
-        F.lit("/part-"),
-        F.col("l_linenumber").cast("string"),
-        F.lit(".parquet"),
-    )
+    key the packed plan replaces.  Delegates to the canonical template
+    builder (one source of truth — a template change cannot drift the
+    fallback plan from the oracle's key).  ``concat`` nulls on any
+    NULL component, matching :func:`_packed_key`'s NULL collapse."""
+    from s3_manifest_spark.sources.tables import listing_key_column
+
+    return listing_key_column()
 
 
 #: Guard verdict memo per lineitem path (immutable fixtures).

@@ -86,6 +86,27 @@ def defer_cleanup(fn: Callable[[], None]) -> None:
     _DEFERRED_CLEANUPS.append(fn)
 
 
+def clear_model_cache(spark: SparkSession) -> None:
+    """Release the session model cache (trained quantizers, LSH
+    indexes, CDC state, broadcast filters) WITHOUT leaking its
+    payloads: cached DataFrames are unpersisted, broadcasts destroyed
+    (payloads may be bare objects, DataFrames, Broadcasts, or tuples
+    of them).  This — not ``spark._smsp_model_cache.clear()`` — is
+    the supported way to drop models (a bare ``clear()`` orphans the
+    persisted blocks in the BlockManager with no reachable handle)."""
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if not mc:
+        return
+    for value in mc.values():
+        parts = value if isinstance(value, tuple) else (value,)
+        for p in parts:
+            if isinstance(p, DataFrame):
+                p.unpersist(blocking=False)
+            elif hasattr(p, "destroy") and hasattr(p, "value"):  # Broadcast
+                p.destroy()
+    mc.clear()
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

@@ -239,21 +239,30 @@ def size_cents(col: F.Column | None = None) -> F.Column:
     )
 
 
+def listing_key_column() -> F.Column:
+    """THE canonical listing-key template
+    (``data/<rf>/<ok>/part-<ln>.parquet``) as a Column — single source
+    of truth for every consumer (:func:`listing_projection`, the
+    manifest diff/apply string-key fallback); the SQL twin lives in
+    ``SYNTH_LISTING_SQL``.  ``concat`` nulls on any NULL component."""
+    return F.concat(
+        F.lit("data/"),
+        F.col("l_returnflag"),
+        F.lit("/"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/part-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(".parquet"),
+    )
+
+
 def listing_projection(li: DataFrame) -> DataFrame:
     """The lineitem → listing column derivation shared by
     :func:`synth_listing` (batch) and the streaming listing source
     (``streaming/cdc.py``) — pure column expressions, so it applies
     identically to a batch scan and a readStream relation."""
     return li.select(
-        F.concat(
-            F.lit("data/"),
-            F.col("l_returnflag"),
-            F.lit("/"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("/part-"),
-            F.col("l_linenumber").cast("string"),
-            F.lit(".parquet"),
-        ).alias("key"),
+        listing_key_column().alias("key"),
         size_cents().alias("size"),
         F.date_format(F.col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
             "last_modified"

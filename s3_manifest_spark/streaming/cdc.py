@@ -35,6 +35,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from s3_manifest_spark.operators.manifest_queries import APPLY_ORACLE_SQL
 from s3_manifest_spark.registry import defer_cleanup, register
 from s3_manifest_spark.streaming.scratch import scratch_base
 from s3_manifest_spark.sources.tables import listing_projection, parquet_row_count
@@ -162,13 +163,7 @@ def run_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_merge(latest)
 
 
-def _apply_oracle() -> str:
-    from s3_manifest_spark.operators.manifest_queries import APPLY_ORACLE_SQL
-
-    return APPLY_ORACLE_SQL
-
-
-@register("stream_cdc_apply_live", oracle=_apply_oracle())
+@register("stream_cdc_apply_live", oracle=APPLY_ORACLE_SQL)
 def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental manifest maintenance as a real Structured Streaming
     job (module docstring has the design).  Oracle-graded (r8) with

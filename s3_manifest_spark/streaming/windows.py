@@ -414,10 +414,13 @@ def _drain(df: DataFrame, name: str, mode: str) -> None:
 @register(
     "stream_dedup_live",
     # Counts after exactly-once dedup of the doubled spool == the
-    # single-copy per-type counts (event_id is unique in the fixture —
-    # the oracle's count(DISTINCT event_id) stays correct even if it
-    # weren't).  Counts are integers: deterministic regardless of
-    # which physical duplicate survives.
+    # single-copy per-type counts.  PRECONDITION: event_id globally
+    # unique across types (holds at every fixture sf; verified r8).
+    # If an id ever appeared under two types, streaming dedup would
+    # keep one arbitrary type while this oracle counts the id under
+    # EACH type — the grading is sound only under the invariant.
+    # Counts are integers: deterministic regardless of which physical
+    # duplicate survives.
     oracle="""
     SELECT event_type, count(DISTINCT event_id) AS n_events
     FROM events GROUP BY event_type

@@ -514,3 +514,31 @@ def test_text_repetition_null_text_yields_null_share(spark, tmp_path):
         isinstance(row["top_token_share"], float)
         and math.isnan(row["top_token_share"])
     )
+
+
+def test_packed_key_raises_out_of_domain(spark):
+    """The packed plan's in-row guard: out-of-domain components (the
+    case footer stats cannot always rule out, e.g. a multi-char
+    returnflag between single-char extremes) raise instead of
+    silently merging distinct keys; NULL components still collapse to
+    the NULL key."""
+    import pytest
+
+    from s3_manifest_spark.operators.manifest_queries import _packed_key
+
+    schema = "l_returnflag string, l_orderkey long, l_linenumber int"
+    bad = spark.createDataFrame([("AB", 1, 1)], schema)
+    with pytest.raises(Exception, match="domain violated"):
+        bad.select(_packed_key().alias("k")).collect()
+    for row in ((("R", 2**42, 1),), (("R", 1, 8),)):
+        with pytest.raises(Exception, match="domain violated"):
+            spark.createDataFrame(list(row), schema).select(
+                _packed_key().alias("k")
+            ).collect()
+    ok = (
+        spark.createDataFrame([("A", 5, 3), (None, 1, 1)], schema)
+        .select(_packed_key().alias("k"))
+        .collect()
+    )
+    assert ok[0]["k"] == 5 * 2048 + 3 * 256 + ord("A")
+    assert ok[1]["k"] is None

@@ -68,12 +68,21 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "stream_dedup_live",
         "stream_join_live",
         "stream_sliding_live",
+        "stream_cdc_apply_live",
         "dedup_clusters",
         "similarity_ivf",
         "similarity_topk",
         "dedup_embedding",
         "tfidf_topterms",
         "dedup_minhash_lsh",
+        # build-once model builders: first construction materializes
+        # the session-cached artifact (LSH index, CDC state, bloom
+        # filter) by design; subsequent constructions are lazy
+        "dedup_embedding_lsh_hi",
+        "dedup_embedding_lsh_hi_corpus",
+        "manifest_diff",
+        "manifest_apply_changes",
+        "contamination_bloom",
     }
     sc = spark.sparkContext
     for name, fn in q.items():
@@ -130,3 +139,25 @@ def test_plan_memoization_serves_same_lazy_plan(spark):
     assert c is not a
     # re-serving stays executable
     assert b.count() > 0
+
+
+def test_clear_model_cache_releases_payloads(spark):
+    """clear_model_cache must unpersist cached DataFrames and destroy
+    broadcasts rather than orphaning them (a bare dict.clear() leaves
+    the blocks pinned in the BlockManager with no reachable handle)."""
+    from pyspark import StorageLevel
+
+    from s3_manifest_spark.registry import clear_model_cache
+
+    df = spark.range(10).persist()
+    df.count()
+    bc = spark.sparkContext.broadcast([1, 2, 3])
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    mc[("t_df",)] = df
+    mc[("t_tuple",)] = (spark.range(5).persist(), bc)
+    clear_model_cache(spark)
+    assert mc == {}
+    assert df.storageLevel == StorageLevel.NONE
