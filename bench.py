@@ -176,6 +176,16 @@ def main() -> int:
             ceilings["events"], ceilings["orders"]
         ),
     }
+    # The live drains are oracle-graded for CORRECTNESS (r8) against
+    # their batch-equivalent SQL, but their wall clock deliberately
+    # includes Structured Streaming machinery (checkpoint commits,
+    # state-store snapshots, micro-batch scheduling) that no batch
+    # engine pays — a wall/oracle ratio for these rows compares a
+    # streaming runtime to a batch query and should be read with this
+    # flag, not against the 2x-of-batch bar.
+    for q in timings:
+        if q.endswith("_live"):
+            queries_meta.setdefault(q, {})["streaming_drain"] = True
 
     # Full per-query detail goes to a sidecar file; the stdout line is
     # kept under ~1900 chars because the driver records only a
