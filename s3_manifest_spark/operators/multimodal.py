@@ -1,16 +1,23 @@
 """Multimodal column handling (SURVEY.md §2B): opaque binary payloads
 with typed metadata, decode/feature-extract as Arrow-batched Python.
 
-The container has no image/audio codec LIBRARIES, so the image format
-is binary PPM (netpbm "P6" — a real, public, uncompressed standard
-whose parsing needs only ``bytes`` + numpy): each asset is a stack of
-P6 frames, encoded and DECODED for real (:func:`decode_ppm_stack`
-parses magic, whitespace/comment-tolerant header tokens, and the
-binary pixel plane of every frame).  ``decode_fn`` stays injectable so
-a PIL/ffmpeg-backed decoder drops into the same Arrow seam.  The
-Spark side (binary schema, mapInPandas batch shape, partition sizing)
-is what matters at 100 TB: payload bytes stay in Arrow record batches
-end-to-end, never row-at-a-time Python objects.
+The container has no image/audio codec LIBRARIES, so the formats are
+real, public, UNCOMPRESSED standards whose parsing needs only
+``struct``/``bytes`` + numpy:
+
+- images/video: binary PPM (netpbm "P6") — each asset is a stack of
+  P6 frames, encoded and DECODED for real (:func:`decode_ppm_stack`
+  parses magic, whitespace/comment-tolerant header tokens, and the
+  binary pixel plane of every frame);
+- audio: RIFF/WAVE PCM — :func:`decode_wav_pcm` walks the RIFF chunk
+  list (fmt/data plus any extra chunks), validates the PCM header,
+  and computes exact sample stats from the int16 plane.
+
+``decode_fn`` stays injectable so a PIL/ffmpeg-backed decoder drops
+into the same Arrow seam.  The Spark side (binary schema, mapInPandas
+batch shape, partition sizing) is what matters at 100 TB: payload
+bytes stay in Arrow record batches end-to-end, never row-at-a-time
+Python objects.
 """
 
 from __future__ import annotations
@@ -360,3 +367,212 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked: the fake decoder's stride arithmetic and sha256
     content hash are reproduced exactly in ANSI SQL."""
     return sample_frames(binary_corpus(spark, sf_dir))
+
+
+# --------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM — the second real uncompressed container.
+# --------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def _audio_geometry(n: int) -> tuple[int, int, int]:
+    """Deterministic (channels, sample_rate, frame_count) for a source
+    asset of ``n`` bytes — the audio generator's layout rule, mirrored
+    verbatim by the decode oracle's SQL arithmetic."""
+    return (n % 2) + 1, 8000 * ((n % 3) + 1), 2 * n + 1
+
+
+def encode_wav_pcm(payload: bytes) -> bytes:
+    """Render a source payload into a REAL RIFF/WAVE PCM file: a
+    canonical 44-byte header (RIFF size, ``fmt `` chunk with PCM
+    format tag / channels / rate / byte-rate / block-align / 16-bit
+    width, ``data`` chunk) followed by little-endian int16 samples
+    drawn by cycling ``(byte - 128) << 8`` through the full
+    frames × channels plane.  Any standards-compliant WAV reader
+    plays it."""
+    import struct
+
+    import numpy as np
+
+    c, rate, frames = _audio_geometry(len(payload))
+    total = frames * c
+    src = np.frombuffer(payload, dtype=np.uint8)
+    if len(src):
+        samples = np.resize((src.astype(np.int16) - 128) * 256, total)
+    else:
+        samples = np.zeros(total, dtype=np.int16)
+    data = samples.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, c, rate, rate * c * 2, c * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL decoder for RIFF/WAVE PCM: validates the RIFF/WAVE magic,
+    WALKS the chunk list (tolerating extra chunks like LIST/INFO and
+    the RIFF odd-size pad byte), checks the ``fmt `` chunk promises
+    uncompressed 16-bit PCM, then computes exact stats over the int16
+    sample plane.  Returns ``(channels, sample_rate, n_frames,
+    rms)``; raises ``ValueError`` on bad magic, truncated chunks,
+    compressed/non-16-bit formats, a data size that misaligns with
+    the block size, or a missing fmt/data chunk — corrupted payloads
+    never decode silently (pinned in tests)."""
+    import struct
+
+    import numpy as np
+
+    n = len(payload)
+    if n < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > n:
+        raise ValueError("RIFF size exceeds payload")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= n:
+        cid = payload[off : off + 4]
+        (csize,) = struct.unpack_from("<I", payload, off + 4)
+        body = off + 8
+        if body + csize > n:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", payload, body)
+        elif cid == b"data":
+            data = (body, csize)
+        off = body + csize + (csize & 1)  # RIFF pads chunks to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported format (tag={audio_format}, bits={bits})")
+    if block_align != channels * 2 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt chunk")
+    body, csize = data
+    if csize % block_align:
+        raise ValueError("data size misaligned with block size")
+    samples = np.frombuffer(payload, dtype="<i2", count=csize // 2, offset=body)
+    total = len(samples)
+    if total == 0:
+        raise ValueError("empty data chunk")
+    sumsq = int(np.sum(samples.astype(np.int64) ** 2))
+    import math
+
+    return channels, rate, total // channels, math.sqrt(sumsq / total)
+
+
+def wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as a REAL audio-asset table: each row's
+    payload is a playable PCM WAV (one Arrow-batched encode pass)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pcm(t.encode() if t is not None else b"")
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema="doc_id long, payload binary"
+    )
+
+
+def decode_audio_features(
+    corpus: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int, float]] = decode_wav_pcm,
+) -> DataFrame:
+    """Audio decode/feature seam — same Arrow contract as
+    :func:`decode_features` (payloads stay in record batches; a
+    soundfile/ffmpeg-backed ``decode_fn`` drops in unchanged)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_fn(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded, columns=["channels", "sample_rate", "n_frames", "rms"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return corpus.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_SCHEMA
+    )
+
+
+# DuckDB twin of audio encode→decode: geometry from _audio_geometry's
+# arithmetic; RMS from the cyclic int16 fill — full cycles × the
+# text's squared-sample sum plus the truncated head, then ONE
+# division + sqrt in float64 on both sides (exact IEEE).  Same ASCII
+# caveat as _DECODE_SQL.
+_AUDIO_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         octet_length(encode(coalesce(text, ''))) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t, L,
+         (L % 2) + 1            AS channels,
+         8000 * ((L % 3) + 1)   AS sample_rate,
+         2 * L + 1              AS frames,
+         ((L % 2) + 1) * (2 * L + 1) AS total
+  FROM d
+),
+s AS (
+  SELECT doc_id, channels, sample_rate, frames, total,
+         CASE WHEN L = 0 THEN 0 ELSE
+           (total // L) * list_sum(list_transform(
+               range(1, L + 1),
+               i -> CAST((ascii(substring(t, i, 1)) - 128) * 256 AS BIGINT)
+                    * CAST((ascii(substring(t, i, 1)) - 128) * 256 AS BIGINT)))
+           + coalesce(list_sum(list_transform(
+               range(1, (total % L) + 1),
+               i -> CAST((ascii(substring(t, i, 1)) - 128) * 256 AS BIGINT)
+                    * CAST((ascii(substring(t, i, 1)) - 128) * 256 AS BIGINT))), 0)
+         END AS sumsq
+  FROM g
+)
+SELECT doc_id,
+       CAST(channels AS INTEGER)    AS channels,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(frames AS BIGINT)       AS n_frames,
+       sqrt(sumsq * 1.0 / total)    AS rms
+FROM s
+"""
+
+
+@register("multimodal_audio_decode", oracle=_AUDIO_DECODE_SQL)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document into a real PCM WAV, then DECODE it for
+    real — RIFF chunk walk, fmt validation, int16 sample stats — and
+    hash-check (channels, sample_rate, n_frames, rms) against a
+    DuckDB twin that predicts them from the generator's layout rule.
+    With :func:`multimodal_decode` (images) and
+    :func:`multimodal_frame_sample` (video-style sampling) this
+    completes the image/audio/video triad of SURVEY.md §2B's
+    multimodal family, each over a genuine public container format."""
+    return decode_audio_features(wav_corpus(spark, sf_dir))

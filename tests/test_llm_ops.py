@@ -606,3 +606,46 @@ def test_ann_certificates_detect_broken_ann(spark, q):
         membership,
     ).toPandas()
     assert not broken_ivf["ann_complete_ok"].all()
+
+
+def test_wav_decoder_is_real():
+    """decode_wav_pcm must WALK the RIFF chunk list, not pattern-match
+    our generator: round-trips the encoder, decodes a hand-written WAV
+    with an extra (odd-sized, padded) chunk before data, and refuses
+    corrupted/compressed payloads."""
+    import math
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from s3_manifest_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    payload = b"hello audio"  # 11 bytes -> c=2, rate=24000, frames=23
+    asset = encode_wav_pcm(payload)
+    c, rate, frames, rms = decode_wav_pcm(asset)
+    assert (c, rate, frames) == (2, 24000, 23)
+    src = (np.frombuffer(payload, np.uint8).astype(np.int64) - 128) * 256
+    samples = np.resize(src, frames * c)
+    assert rms == math.sqrt(int((samples**2).sum()) / (frames * c))
+
+    # hand-written WAV with an extra odd-sized LIST chunk (padded per
+    # RIFF) between fmt and data — a standards feature our generator
+    # never emits
+    data = struct.pack("<4h", 100, -100, 200, -200)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+    body = b"WAVE" + b"fmt " + fmt + extra + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    c2, r2, f2, rms2 = decode_wav_pcm(wav)
+    assert (c2, r2, f2) == (1, 8000, 4)
+    assert rms2 == math.sqrt((100**2 + 100**2 + 200**2 + 200**2) / 4)
+
+    bad_fmt = asset.replace(b"fmt " + struct.pack("<IHH", 16, 1, 2),
+                            b"fmt " + struct.pack("<IHH", 16, 85, 2), 1)
+    for bad in (b"RIFX" + asset[4:], asset[:-1], bad_fmt):
+        with pytest.raises(ValueError):
+            decode_wav_pcm(bad)
