@@ -175,11 +175,12 @@ def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
     return w, h, frames, tot / cnt
 
 
-def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents rendered as a REAL image-asset table: each row's
-    payload is a decodable multi-frame P6 stack (one Arrow-batched
-    encode pass — the stand-in for reading actual image files, which
-    the harness environment cannot carry)."""
+def _encoded_corpus(
+    spark: SparkSession, sf_dir: str, encode_fn: Callable[[bytes], bytes]
+) -> DataFrame:
+    """Shared Arrow-batched encode pass: documents rendered into real
+    binary assets via ``encode_fn`` (the stand-in for reading actual
+    media files, which the harness environment cannot carry)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,7 +188,7 @@ def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        encode_ppm_stack(t.encode() if t is not None else b"")
+                        encode_fn(t.encode() if t is not None else b"")
                         for t in pdf["text"]
                     ],
                 }
@@ -199,11 +200,13 @@ def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_features(
+def _decoded_features(
     corpus: DataFrame,
-    decode_fn: Callable[[bytes], tuple[int, int, int, float]] = decode_ppm_stack,
+    decode_fn: Callable[[bytes], tuple],
+    columns: list[str],
+    schema: T.StructType,
 ) -> DataFrame:
-    """Decode/feature-extract payloads via Arrow-batched mapInPandas.
+    """Shared decode/feature seam via Arrow-batched mapInPandas.
 
     Batches arrive as pandas DataFrames (Arrow transfer — no per-row
     pickling); each worker decodes its partition's payloads and emits a
@@ -214,15 +217,32 @@ def decode_features(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_fn(p) for p in pdf["payload"]]
             out = pd.DataFrame(
-                decoded, columns=["width", "height", "n_frames", "mean_byte"]
+                [decode_fn(p) for p in pdf["payload"]], columns=columns
             )
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out
 
     return corpus.select("doc_id", "payload").mapInPandas(
-        decode_batches, schema=FEATURE_SCHEMA
+        decode_batches, schema=schema
+    )
+
+
+def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as a REAL image-asset table: each row's
+    payload is a decodable multi-frame P6 stack."""
+    return _encoded_corpus(spark, sf_dir, encode_ppm_stack)
+
+
+def decode_features(
+    corpus: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int, float]] = decode_ppm_stack,
+) -> DataFrame:
+    """Image decode/feature seam (see :func:`_decoded_features` for
+    the shared Arrow contract); ``decode_fn`` injectable."""
+    return _decoded_features(
+        corpus, decode_fn, ["width", "height", "n_frames", "mean_byte"],
+        FEATURE_SCHEMA,
     )
 
 
@@ -441,16 +461,23 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
     if n < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
-    if riff_size + 8 > n:
+    end = riff_size + 8  # the RIFF chunk's declared extent
+    if end > n:
         raise ValueError("RIFF size exceeds payload")
+    if end < n:
+        # fail-loud contract: appended bytes beyond the declared RIFF
+        # extent are corruption here, never silently skipped
+        raise ValueError("trailing bytes beyond the RIFF chunk")
     off = 12
     fmt = None
     data = None
-    while off + 8 <= n:
+    # walk to the DECLARED boundary, not len(payload): chunk sizes and
+    # the RIFF size must agree exactly
+    while off + 8 <= end:
         cid = payload[off : off + 4]
         (csize,) = struct.unpack_from("<I", payload, off + 4)
         body = off + 8
-        if body + csize > n:
+        if body + csize > end:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
             if csize < 16:
@@ -459,6 +486,10 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
         elif cid == b"data":
             data = (body, csize)
         off = body + csize + (csize & 1)  # RIFF pads chunks to even
+    if off not in (end, end + 1):
+        # end+1 tolerated: a final odd-sized chunk whose pad byte the
+        # writer omitted (spec-sloppy but common in real files)
+        raise ValueError("stray bytes inside the RIFF chunk")
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, rate, byte_rate, block_align, bits = fmt
@@ -476,50 +507,29 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
     sumsq = int(np.sum(samples.astype(np.int64) ** 2))
     import math
 
-    return channels, rate, total // channels, math.sqrt(sumsq / total)
+    # float(sumsq) FIRST: DuckDB's `sumsq * 1.0 / total` rounds the
+    # integer to double before dividing, so the kernel performs the
+    # same two-step rounding — bit-identical RMS at ANY payload size,
+    # not just while sumsq stays under 2^53.
+    return channels, rate, total // channels, math.sqrt(float(sumsq) / total)
 
 
 def wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rendered as a REAL audio-asset table: each row's
-    payload is a playable PCM WAV (one Arrow-batched encode pass)."""
-
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        encode_wav_pcm(t.encode() if t is not None else b"")
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select("doc_id", "text").mapInPandas(
-        encode_batches, schema="doc_id long, payload binary"
-    )
+    payload is a playable PCM WAV."""
+    return _encoded_corpus(spark, sf_dir, encode_wav_pcm)
 
 
 def decode_audio_features(
     corpus: DataFrame,
     decode_fn: Callable[[bytes], tuple[int, int, int, float]] = decode_wav_pcm,
 ) -> DataFrame:
-    """Audio decode/feature seam — same Arrow contract as
-    :func:`decode_features` (payloads stay in record batches; a
-    soundfile/ffmpeg-backed ``decode_fn`` drops in unchanged)."""
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = [decode_fn(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                decoded, columns=["channels", "sample_rate", "n_frames", "rms"]
-            )
-            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-            yield out
-
-    return corpus.select("doc_id", "payload").mapInPandas(
-        decode_batches, schema=AUDIO_SCHEMA
+    """Audio decode/feature seam (shared Arrow contract,
+    :func:`_decoded_features`); a soundfile/ffmpeg-backed
+    ``decode_fn`` drops in unchanged."""
+    return _decoded_features(
+        corpus, decode_fn, ["channels", "sample_rate", "n_frames", "rms"],
+        AUDIO_SCHEMA,
     )
 
 
