@@ -1,0 +1,80 @@
+"""Property tests for the real multimodal codecs (no Spark needed):
+encode→decode round-trips over arbitrary byte payloads, and the
+fail-loud truncation contracts.  Complements the fixture-level oracle
+parity (test_oracle_parity) with adversarial inputs the fixtures
+never produce — empty payloads, NUL bytes, high bytes, long runs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3_manifest_spark.operators.multimodal import (
+    _asset_geometry,
+    _audio_geometry,
+    decode_ppm_stack,
+    decode_wav_pcm,
+    encode_ppm_stack,
+    encode_wav_pcm,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_ppm_roundtrip(payload):
+    w, h, f, mean = decode_ppm_stack(encode_ppm_stack(payload))
+    ew, eh, ef = _asset_geometry(len(payload))
+    assert (w, h, f) == (ew, eh, ef)
+    need = ew * eh * 3 * ef
+    src = np.frombuffer(payload, dtype=np.uint8)
+    pix = np.resize(src, need) if len(src) else np.zeros(need, dtype=np.uint8)
+    assert mean == pix.sum(dtype=np.int64) / need
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_wav_roundtrip(payload):
+    c, rate, frames, rms = decode_wav_pcm(encode_wav_pcm(payload))
+    ec, er, ef = _audio_geometry(len(payload))
+    assert (c, rate, frames) == (ec, er, ef)
+    total = ef * ec
+    src = (np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128) * 256
+    samples = np.resize(src, total) if len(src) else np.zeros(total, np.int64)
+    sumsq = int((samples**2).sum())
+    assert rms == math.sqrt(float(sumsq) / total)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=120))
+def test_wav_every_strict_prefix_raises(payload):
+    """A WAV's RIFF size covers the whole chunk, so EVERY strict
+    prefix is detectably truncated — the fail-loud contract holds at
+    every cut point, not just the ones a unit test picks."""
+    asset = encode_wav_pcm(payload)
+    for cut in range(len(asset)):
+        with pytest.raises(ValueError):
+            decode_wav_pcm(asset[:cut])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=120))
+def test_ppm_prefix_raises_except_frame_boundaries(payload):
+    """PPM stacks are self-delimiting per frame: cutting at a frame
+    boundary yields a VALID shorter stack (fewer frames, same
+    geometry); cutting anywhere else must raise."""
+    asset = encode_ppm_stack(payload)
+    w, h, f, _ = decode_ppm_stack(asset)
+    frame_len = len(asset) // f
+    assert frame_len * f == len(asset)
+    boundaries = {i * frame_len for i in range(1, f)}
+    for cut in range(1, len(asset)):
+        if cut in boundaries:
+            bw, bh, bf, _ = decode_ppm_stack(asset[:cut])
+            assert (bw, bh) == (w, h) and bf == cut // frame_len
+        else:
+            with pytest.raises(ValueError):
+                decode_ppm_stack(asset[:cut])
