@@ -133,20 +133,15 @@ def _ppm_token(buf: bytes, off: int) -> tuple[bytes, int]:
     return buf[start:off], off
 
 
-def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL decoder for a stack of binary-PPM (P6) frames: parses each
-    frame's magic + header tokens (whitespace- and comment-tolerant,
-    per the netpbm spec), slices its w·h·3 pixel plane with
-    ``np.frombuffer`` (zero-copy), and accumulates exact pixel stats.
-    Returns ``(width, height, n_frames, mean_pixel_byte)``; raises
-    ``ValueError`` on a bad magic, truncated header/plane, unsupported
-    maxval, or frames that disagree on geometry — a corrupted payload
-    can never decode silently (pinned in tests)."""
+def _iter_ppm_frames(payload: bytes):
+    """Walk a P6 stack frame by frame, yielding ``(w, h, plane)``
+    where ``plane`` is the frame's zero-copy uint8 pixel view.
+    Raises ``ValueError`` on bad magic, truncated header/plane, or an
+    unsupported maxval; geometry-consistency across frames is the
+    CALLER's contract (the stack decoder enforces it)."""
     import numpy as np
 
     off, n = 0, len(payload)
-    frames, w, h = 0, None, None
-    tot, cnt = 0, 0
     while off < n:
         magic, off = _ppm_token(payload, off)
         if magic != b"P6":
@@ -157,22 +152,63 @@ def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
         fw, fh, maxv = int(wt), int(ht), int(mt)
         if maxv != 255:
             raise ValueError(f"unsupported maxval {maxv}")
-        if w is None:
-            w, h = fw, fh
-        elif (fw, fh) != (w, h):
-            raise ValueError(f"frame geometry drift {(fw, fh)} != {(w, h)}")
         off += 1  # single whitespace byte after maxval, then the plane
         plane = fw * fh * 3
         if off + plane > n:
             raise ValueError("truncated pixel plane")
-        frame = np.frombuffer(payload, dtype=np.uint8, count=plane, offset=off)
-        tot += int(frame.sum(dtype=np.int64))
-        cnt += plane
+        yield fw, fh, np.frombuffer(
+            payload, dtype=np.uint8, count=plane, offset=off
+        )
         off += plane
+
+
+def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL decoder for a stack of binary-PPM (P6) frames: parses each
+    frame's magic + header tokens (whitespace- and comment-tolerant,
+    per the netpbm spec), slices its w·h·3 pixel plane with
+    ``np.frombuffer`` (zero-copy), and accumulates exact pixel stats.
+    Returns ``(width, height, n_frames, mean_pixel_byte)``; raises
+    ``ValueError`` on a bad magic, truncated header/plane, unsupported
+    maxval, or frames that disagree on geometry — a corrupted payload
+    can never decode silently (pinned in tests)."""
+    frames, w, h = 0, None, None
+    tot, cnt = 0, 0
+    for fw, fh, plane in _iter_ppm_frames(payload):
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError(f"frame geometry drift {(fw, fh)} != {(w, h)}")
+        import numpy as np
+
+        tot += int(plane.sum(dtype=np.int64))
+        cnt += plane.size
         frames += 1
     if frames == 0:
         raise ValueError("empty payload")
     return w, h, frames, tot / cnt
+
+
+def ppm_thumbnail(payload: bytes) -> tuple[int, int, float]:
+    """REAL image resize: decode the stack's FIRST frame (the
+    thumbnail-extraction shape of a media pipeline), downsample it
+    nearest-neighbor to half resolution (floored, min 1) by index
+    slicing — ``src_row = (r·h)//th``, ``src_col = (c·w)//tw`` — and
+    return ``(thumb_width, thumb_height, thumb_mean)`` over the
+    resized pixels.  Raises like :func:`decode_ppm_stack` on any
+    corrupt frame."""
+    import numpy as np
+
+    for w, h, plane in _iter_ppm_frames(payload):
+        frame = plane.reshape(h, w, 3)
+        tw, th = max(w // 2, 1), max(h // 2, 1)
+        rows = (np.arange(th) * h) // th
+        cols = (np.arange(tw) * w) // tw
+        thumb = frame[rows][:, cols]
+        sumv = int(thumb.sum(dtype=np.int64))
+        # float(sum) first — the oracle's `sum * 1.0 / n` two-step
+        # rounding, bit-identical at any size (same as decode_wav_pcm)
+        return tw, th, float(sumv) / thumb.size
+    raise ValueError("empty payload")
 
 
 def _encoded_corpus(
@@ -387,6 +423,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked: the fake decoder's stride arithmetic and sha256
     content hash are reproduced exactly in ANSI SQL."""
     return sample_frames(binary_corpus(spark, sf_dir))
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("thumb_width", T.IntegerType(), False),
+        T.StructField("thumb_height", T.IntegerType(), False),
+        T.StructField("thumb_mean", T.DoubleType(), False),
+    ]
+)
+
+
+# DuckDB twin of encode→decode→resize: enumerate the thumbnail's
+# (row, col, channel) grid, map each cell through the SAME
+# nearest-neighbor index arithmetic the kernel uses
+# (src_row = r·h // th, src_col = c·w // tw), and read the source
+# byte from the generator's cyclic fill.  Same ASCII caveat and
+# two-step float rounding as _DECODE_SQL / the WAV oracle.
+_THUMBNAIL_SQL = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         octet_length(encode(coalesce(text, ''))) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t, L,
+         (L % 32) + 1 AS w,
+         (L % 24) + 1 AS h,
+         greatest(((L % 32) + 1) // 2, 1) AS tw,
+         greatest(((L % 24) + 1) // 2, 1) AS th
+  FROM d
+),
+s AS (
+  SELECT doc_id, tw, th,
+         CASE WHEN L = 0 THEN 0 ELSE
+           list_sum(list_transform(range(0, th * tw * 3), k ->
+             ascii(substring(t,
+               CAST((((((k // (tw * 3)) * h) // th) * w
+                      + (((k % (tw * 3)) // 3) * w) // tw) * 3
+                     + (k % 3)) % L AS BIGINT) + 1, 1))))
+         END AS sumv
+  FROM g
+)
+SELECT doc_id,
+       CAST(tw AS INTEGER)          AS thumb_width,
+       CAST(th AS INTEGER)          AS thumb_height,
+       sumv * 1.0 / (tw * th * 3)   AS thumb_mean
+FROM s
+"""
+
+
+@register("multimodal_thumbnail", oracle=_THUMBNAIL_SQL)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's RESIZE stage as a real operator: decode each
+    asset's first P6 frame and downsample it nearest-neighbor to half
+    resolution inside the Arrow batch (:func:`ppm_thumbnail` — index
+    slicing over the parsed pixel plane, the thumbnail-extraction
+    pass of an image-training pipeline).  Hash-checked: the oracle
+    re-derives every thumbnail pixel through the same index
+    arithmetic from the generator's cyclic fill, so a resize that
+    sampled wrong pixels (or skipped real decoding) cannot match."""
+    return _decoded_features(
+        ppm_corpus(spark, sf_dir), ppm_thumbnail,
+        ["thumb_width", "thumb_height", "thumb_mean"], THUMB_SCHEMA,
+    )
 
 
 # --------------------------------------------------------------------

@@ -20,6 +20,7 @@ from s3_manifest_spark.operators.multimodal import (
     decode_wav_pcm,
     encode_ppm_stack,
     encode_wav_pcm,
+    ppm_thumbnail,
 )
 
 
@@ -78,3 +79,34 @@ def test_ppm_prefix_raises_except_frame_boundaries(payload):
         else:
             with pytest.raises(ValueError):
                 decode_ppm_stack(asset[:cut])
+
+
+def test_ppm_thumbnail_known_image():
+    """Nearest-neighbor mapping checked against a hand-built P6: a
+    4x2 image downsampled to 2x1 must sample source columns 0 and 2
+    of row 0."""
+    pixels = bytes(range(24))  # (h=2, w=4, 3): values 0..23
+    asset = b"P6\n4 2\n255\n" + pixels
+    tw, th, mean = ppm_thumbnail(asset)
+    assert (tw, th) == (2, 1)
+    # row 0, cols 0 and 2 -> bytes (0,1,2) and (6,7,8)
+    assert mean == (0 + 1 + 2 + 6 + 7 + 8) / 6
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_ppm_thumbnail_roundtrip(payload):
+    """Thumbnail over the generated asset equals an independent numpy
+    resize of the generator's frame-0 pixel plane."""
+    asset = encode_ppm_stack(payload)
+    tw, th, mean = ppm_thumbnail(asset)
+    w, h, _ = _asset_geometry(len(payload))
+    assert (tw, th) == (max(w // 2, 1), max(h // 2, 1))
+    need = w * h * 3
+    src = np.frombuffer(payload, dtype=np.uint8)
+    pix = np.resize(src, need) if len(src) else np.zeros(need, dtype=np.uint8)
+    frame = pix.reshape(h, w, 3)
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    thumb = frame[rows][:, cols]
+    assert mean == float(int(thumb.sum(dtype=np.int64))) / thumb.size
