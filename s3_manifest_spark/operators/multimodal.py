@@ -152,6 +152,12 @@ def _iter_ppm_frames(payload: bytes):
         fw, fh, maxv = int(wt), int(ht), int(mt)
         if maxv != 255:
             raise ValueError(f"unsupported maxval {maxv}")
+        if fw <= 0 or fh <= 0:
+            # also the loop-progress guard: a negative dimension would
+            # make the plane size negative, pass the truncation check,
+            # and move the cursor BACKWARDS — an infinite loop on one
+            # crafted header
+            raise ValueError(f"non-positive frame dimensions {(fw, fh)}")
         off += 1  # single whitespace byte after maxval, then the plane
         plane = fw * fh * 3
         if off + plane > n:
@@ -171,6 +177,8 @@ def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
     ``ValueError`` on a bad magic, truncated header/plane, unsupported
     maxval, or frames that disagree on geometry — a corrupted payload
     can never decode silently (pinned in tests)."""
+    import numpy as np
+
     frames, w, h = 0, None, None
     tot, cnt = 0, 0
     for fw, fh, plane in _iter_ppm_frames(payload):
@@ -178,8 +186,6 @@ def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
             w, h = fw, fh
         elif (fw, fh) != (w, h):
             raise ValueError(f"frame geometry drift {(fw, fh)} != {(w, h)}")
-        import numpy as np
-
         tot += int(plane.sum(dtype=np.int64))
         cnt += plane.size
         frames += 1
@@ -189,26 +195,36 @@ def decode_ppm_stack(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def ppm_thumbnail(payload: bytes) -> tuple[int, int, float]:
-    """REAL image resize: decode the stack's FIRST frame (the
-    thumbnail-extraction shape of a media pipeline), downsample it
-    nearest-neighbor to half resolution (floored, min 1) by index
-    slicing — ``src_row = (r·h)//th``, ``src_col = (c·w)//tw`` — and
-    return ``(thumb_width, thumb_height, thumb_mean)`` over the
-    resized pixels.  Raises like :func:`decode_ppm_stack` on any
-    corrupt frame."""
+    """REAL image resize: resize the stack's FIRST frame (the
+    thumbnail-extraction shape of a media pipeline) nearest-neighbor
+    to half resolution (floored, min 1) by index slicing —
+    ``src_row = (r·h)//th``, ``src_col = (c·w)//tw`` — and return
+    ``(thumb_width, thumb_height, thumb_mean)`` over the resized
+    pixels.  The WHOLE stack is still parsed and geometry-checked
+    (fail-loud contract: trailing garbage or a corrupt later frame
+    raises exactly as :func:`decode_ppm_stack` would, even though
+    only frame 0 contributes pixels)."""
     import numpy as np
 
-    for w, h, plane in _iter_ppm_frames(payload):
-        frame = plane.reshape(h, w, 3)
-        tw, th = max(w // 2, 1), max(h // 2, 1)
-        rows = (np.arange(th) * h) // th
-        cols = (np.arange(tw) * w) // tw
-        thumb = frame[rows][:, cols]
-        sumv = int(thumb.sum(dtype=np.int64))
-        # float(sum) first — the oracle's `sum * 1.0 / n` two-step
-        # rounding, bit-identical at any size (same as decode_wav_pcm)
-        return tw, th, float(sumv) / thumb.size
-    raise ValueError("empty payload")
+    first = None
+    w = h = None
+    for fw, fh, plane in _iter_ppm_frames(payload):
+        if first is None:
+            w, h = fw, fh
+            first = plane
+        elif (fw, fh) != (w, h):
+            raise ValueError(f"frame geometry drift {(fw, fh)} != {(w, h)}")
+    if first is None:
+        raise ValueError("empty payload")
+    frame = first.reshape(h, w, 3)
+    tw, th = max(w // 2, 1), max(h // 2, 1)
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    thumb = frame[rows][:, cols]
+    sumv = int(thumb.sum(dtype=np.int64))
+    # float(sum) first — the oracle's `sum * 1.0 / n` two-step
+    # rounding, bit-identical at any size (same as decode_wav_pcm)
+    return tw, th, float(sumv) / thumb.size
 
 
 def _encoded_corpus(

@@ -110,3 +110,24 @@ def test_ppm_thumbnail_roundtrip(payload):
     cols = (np.arange(tw) * w) // tw
     thumb = frame[rows][:, cols]
     assert mean == float(int(thumb.sum(dtype=np.int64))) / thumb.size
+
+
+def test_ppm_rejects_crafted_headers_and_trailing_garbage():
+    """Regression pins for the review findings: a negative dimension
+    must raise (it previously moved the cursor backwards — an
+    infinite loop), and the thumbnail must parse the WHOLE stack, so
+    trailing garbage after frame 0 raises instead of decoding
+    silently."""
+    neg = b"P6\n4 -1\n255\nabcdefghijkl"
+    with pytest.raises(ValueError):
+        decode_ppm_stack(neg)
+    with pytest.raises(ValueError):
+        ppm_thumbnail(neg)
+    with pytest.raises(ValueError):
+        decode_ppm_stack(b"P6\n0 1\n255\n")
+    good = b"P6\n2 1\n255\n" + bytes(range(6))
+    assert ppm_thumbnail(good) == (1, 1, sum(range(3)) / 3)
+    with pytest.raises(ValueError):
+        ppm_thumbnail(good + b"GARBAGE_TRAILING")
+    with pytest.raises(ValueError):
+        ppm_thumbnail(good + b"P6\n3 1\n255\n" + bytes(9))  # drift
