@@ -152,12 +152,20 @@ def test_clear_model_cache_releases_payloads(spark):
     df = spark.range(10).persist()
     df.count()
     bc = spark.sparkContext.broadcast([1, 2, 3])
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
-    mc[("t_df",)] = df
-    mc[("t_tuple",)] = (spark.range(5).persist(), bc)
-    clear_model_cache(spark)
-    assert mc == {}
-    assert df.storageLevel == StorageLevel.NONE
+    # swap in an isolated cache: clearing the session's REAL cache
+    # here would destroy models (broadcasts) that other tests' plan-
+    # memoized queries still reference
+    saved = getattr(spark, "_smsp_model_cache", None)
+    mc = {}
+    spark._smsp_model_cache = mc
+    try:
+        mc[("t_df",)] = df
+        mc[("t_tuple",)] = (spark.range(5).persist(), bc)
+        clear_model_cache(spark)
+        assert mc == {}
+        assert df.storageLevel == StorageLevel.NONE
+    finally:
+        if saved is None:
+            del spark._smsp_model_cache
+        else:
+            spark._smsp_model_cache = saved
