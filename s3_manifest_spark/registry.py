@@ -93,7 +93,11 @@ def clear_model_cache(spark: SparkSession) -> None:
     (payloads may be bare objects, DataFrames, Broadcasts, or tuples
     of them).  This — not ``spark._smsp_model_cache.clear()`` — is
     the supported way to drop models (a bare ``clear()`` orphans the
-    persisted blocks in the BlockManager with no reachable handle)."""
+    persisted blocks in the BlockManager with no reachable handle).
+    The plan memo is dropped WITH the models: memoized plans may
+    reference the destroyed broadcasts/persisted frames, and serving
+    one after this call would fail at evaluation time."""
+    getattr(spark, "_smsp_plan_cache", {}).clear()
     mc = getattr(spark, "_smsp_model_cache", None)
     if not mc:
         return
