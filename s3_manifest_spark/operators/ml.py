@@ -1,0 +1,286 @@
+"""Trained-model document quality scoring (SURVEY.md §2B extension).
+
+The engine's other text-quality operators (``text_quality``,
+``lang_id`` — operators/text.py) are RULE-based; production curation
+pipelines score documents with LEARNED weights (a fastText/logistic
+classifier distilled from a labeled seed set).  This module adds that
+capability Spark-first:
+
+- **Featurize** — one narrow JVM projection (length / literal-replace
+  counts / ratios), no Python in the row path, no shuffle.
+- **Train** — full-batch logistic-regression gradient descent over the
+  labeled split (``doc_id % TRAIN_MOD == 0``).  Two physical
+  strategies behind one gradient definition:
+
+  * *driver path* (training split fits the documented cap): collect
+    the compact featurized matrix (7 doubles/row) once and iterate in
+    numpy — zero Spark jobs per step.  This is the realistic shape:
+    labels are expensive, so the labeled set is small even when the
+    corpus is 100 TB.
+  * *distributed path* (cap exceeded): per-iteration
+    ``mapInPandas`` partial gradients (Σ(σ(z)−y)·xⱼ and n per
+    partition — ≤ partitions short rows to the driver), combined
+    driver-side — the same Lloyd-partials pattern as
+    ``similarity_ivf`` (operators/similarity.py).  The training
+    features are persisted once, so each round is one narrow pass.
+
+  Both paths round the weight vector to :data:`LR_WROUND` decimals
+  after every step, which makes the trained weights BIT-IDENTICAL
+  regardless of partition layout or summation order (per-step float
+  noise is ~1e-14, five orders below the rounding quantum) — the
+  equality is pinned by ``tests/test_ml.py``.
+- **Score** — one codegen'd projection over the full corpus with the
+  trained weights as literals (broadcast-free: six doubles fold into
+  the plan).  No shuffle anywhere in the operator.
+
+The DuckDB oracle RECOMPUTES THE TRAINING (not just the scoring) via a
+recursive-CTE gradient descent with the same per-step rounding, so a
+hash match certifies featurization, the optimizer trajectory, and the
+scoring pass end-to-end.  The reference has no ML surface (its whole
+engine is /root/reference/src/main.rs, a listing→manifest pipeline);
+this extends the declared training-data-pipeline surface.
+
+Numerics contract (why the hash match is deterministic):
+- every feature is an exact integer count or a correctly-rounded
+  double division of exact integers → bit-identical in Spark, numpy,
+  and DuckDB;
+- z is evaluated strictly left-associatively (``w0*f0 + w1*f1 + …``)
+  on all three sides;
+- per-step weight rounding (8 dp) absorbs summation-order and libm
+  last-ulp noise (~1e-14 per step) between the engines;
+- final scores round to 6 dp before the 0.5 decision, so the
+  prediction column is a pure function of the rounded score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table, parquet_row_count
+
+#: gradient-descent steps / learning rate — fixed hyperparameters, part
+#: of the operator's definition (the oracle iterates the same schedule).
+LR_ITERS = 60
+LR_RATE = 1.5
+#: weights round to this many decimals after EVERY step (determinism
+#: contract above); scores round to SCORE_ROUND before the 0.5 cut.
+LR_WROUND = 8
+SCORE_ROUND = 6
+#: labeled split: every TRAIN_MOD-th document carries a label.
+TRAIN_MOD = 5
+#: driver-path bound: above this many training rows the trainer
+#: switches to distributed per-round gradient partials.  65536 rows ×
+#: 7 doubles ≈ 3.5 MB — same order as similarity.MAX_QUERIES' bound.
+TRAIN_DRIVER_CAP = 65536
+
+_N_FEATURES = 6
+
+#: the six features + heuristic label, as (name, SQL expression) —
+#: shared verbatim between the Spark projection (via F.expr) and the
+#: DuckDB oracle, so the two sides cannot drift.  All counts are exact
+#: integers; every division is a correctly-rounded double op on exact
+#: inputs (see module docstring).  `replace` is the literal
+#: (non-regex) function in BOTH engines, with identical
+#: leftmost-non-overlapping semantics.
+#: NO decimal literals anywhere: a bare ``600.0`` parses as DECIMAL in
+#: both engines, and Spark's decimal division TRUNCATES at decimal
+#: scale while DuckDB's promotes differently — the resulting ~1e-10
+#: feature skew compounds through 60 GD steps into 1e-7 weight drift
+#: (observed).  Every division is int / CAST(… AS DOUBLE): a single
+#: correctly-rounded IEEE op, bit-identical in Spark, numpy and DuckDB.
+_SPACES = "(length(text) - length(replace(text, ' ', '')))"
+_THE3 = "(length(text) - length(replace(text, 'the', '')))"
+_ECNT = "(length(text) - length(replace(text, 'e', '')))"
+_FEATURE_SQL: tuple[tuple[str, str], ...] = (
+    ("f0", "CAST(1 AS DOUBLE)"),
+    ("f1", "least(length(text), 600) / CAST(600 AS DOUBLE)"),
+    ("f2", f"{_SPACES} / CAST(length(text) AS DOUBLE)"),
+    ("f3", f"({_THE3} / CAST(3 AS DOUBLE)) / CAST({_SPACES} + 1 AS DOUBLE)"),
+    ("f4", f"{_ECNT} / CAST(length(text) AS DOUBLE)"),
+    ("f5", "CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"),
+)
+#: heuristic label the classifier distills: "long enough and not
+#: 'the'-stuffed" (≥55 words, ≤1 'the' per 10 words) — ~50% positive
+#: rate on the fixture, linearly learnable from the features (test
+#: pins ≥90% train accuracy so the operator can't silently degenerate).
+#: Pure integer arithmetic ((the_cnt/3)·10 ≤ words ⟺ the_cnt·10 ≤
+#: 3·words), so the label is exact by construction in every engine.
+_LABEL_SQL = (
+    f"CASE WHEN {_SPACES} + 1 >= 55 "
+    f"AND {_THE3} * 10 <= ({_SPACES} + 1) * 3 "
+    "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, f0..f5, y): one narrow JVM projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    cols = [F.col("doc_id")]
+    cols += [F.expr(sql).alias(name) for name, sql in _FEATURE_SQL]
+    cols.append(F.expr(_LABEL_SQL).alias("y"))
+    return docs.select(*cols)
+
+
+def _gd_step(w, X_cols, y, n):
+    """One full-batch GD step given feature columns as numpy arrays.
+
+    z is built strictly left-associatively (see numerics contract).
+    """
+    import numpy as np
+
+    z = X_cols[0] * w[0]
+    for j in range(1, _N_FEATURES):
+        z = z + X_cols[j] * w[j]
+    r = 1.0 / (1.0 + np.exp(-z)) - y
+    g = np.array([(r * X_cols[j]).sum() for j in range(_N_FEATURES)])
+    return np.round(w - LR_RATE * (g / n), LR_WROUND)
+
+
+def train_quality_lr(
+    spark: SparkSession, sf_dir: str, force_distributed: bool = False
+):
+    """Train the logistic quality classifier; returns the weight
+    vector (numpy, length 6), session-cached per ``sf_dir``.
+
+    Driver vs distributed strategy chosen by the documented cap (see
+    module docstring); ``force_distributed`` exists for the
+    path-equivalence test."""
+    import numpy as np
+
+    model_cache = getattr(spark, "_smsp_model_cache", None)
+    if model_cache is None:
+        model_cache = {}
+        spark._smsp_model_cache = model_cache
+    key = ("lr_quality", sf_dir)
+    if not force_distributed:
+        cached = model_cache.get(key)
+        if cached is not None:
+            return cached
+
+    feat = _featurized(spark, sf_dir)
+    train = feat.filter(F.col("doc_id") % TRAIN_MOD == 0)
+    # footer-metadata row count (no job): corpus rows / TRAIN_MOD
+    # bounds the training split size for the strategy choice.
+    approx_train = parquet_row_count(f"{sf_dir}/documents.parquet") // TRAIN_MOD
+    w = np.zeros(_N_FEATURES)
+
+    if approx_train <= TRAIN_DRIVER_CAP and not force_distributed:
+        tpdf = train.toPandas()
+        X = [tpdf[f"f{j}"].to_numpy("float64") for j in range(_N_FEATURES)]
+        y = tpdf["y"].to_numpy("float64")
+        n = len(y)
+        for _ in range(LR_ITERS):
+            w = _gd_step(w, X, y, n)
+    else:
+        import pandas as pd
+
+        train = train.persist()
+        try:
+            n = train.count()  # also materializes the persist
+
+            def partials(w_now):
+                def gen(batches):
+                    for b in batches:
+                        X = [
+                            b[f"f{j}"].to_numpy("float64")
+                            for j in range(_N_FEATURES)
+                        ]
+                        yv = b["y"].to_numpy("float64")
+                        z = X[0] * w_now[0]
+                        for j in range(1, _N_FEATURES):
+                            z = z + X[j] * w_now[j]
+                        r = 1.0 / (1.0 + np.exp(-z)) - yv
+                        yield pd.DataFrame(
+                            {
+                                f"g{j}": [float((r * X[j]).sum())]
+                                for j in range(_N_FEATURES)
+                            }
+                        )
+
+                return gen
+
+            gschema = ", ".join(f"g{j} double" for j in range(_N_FEATURES))
+            for _ in range(LR_ITERS):
+                rows = train.mapInPandas(partials(w), schema=gschema).collect()
+                g = np.zeros(_N_FEATURES)
+                for row in rows:  # ≤ partitions short rows
+                    for j in range(_N_FEATURES):
+                        g[j] += row[f"g{j}"]
+                w = np.round(w - LR_RATE * (g / n), LR_WROUND)
+        finally:
+            train.unpersist(blocking=False)
+
+    if not force_distributed:
+        model_cache[key] = w
+    return w
+
+
+def _oracle_sql() -> str:
+    feat_cols = ",\n         ".join(
+        f"{sql} AS {name}" for name, sql in _FEATURE_SQL
+    )
+    z = " + ".join(f"w{j}*f{j}" for j in range(_N_FEATURES))
+    steps = ",\n    ".join(
+        f"round(w{j} - {LR_RATE} * (SELECT avg((1/(1+exp(-({z}))) - y) * f{j})"
+        f" FROM tfeat), {LR_WROUND})"
+        for j in range(_N_FEATURES)
+    )
+    anchor = ", ".join("CAST(0 AS DOUBLE)" for _ in range(_N_FEATURES))
+    wcols = ", ".join(f"w{j}" for j in range(_N_FEATURES))
+    return f"""
+WITH RECURSIVE feat AS MATERIALIZED (
+  SELECT doc_id,
+         {feat_cols},
+         {_LABEL_SQL} AS y
+  FROM documents
+),
+tfeat AS MATERIALIZED (SELECT * FROM feat WHERE doc_id % {TRAIN_MOD} = 0),
+gd(t, {wcols}) AS (
+  SELECT 0, {anchor}
+  UNION ALL
+  SELECT t+1,
+    {steps}
+  FROM gd WHERE t < {LR_ITERS}
+),
+w AS (SELECT * FROM gd WHERE t = {LR_ITERS})
+SELECT doc_id,
+       round(1/(1+exp(-({z}))), {SCORE_ROUND}) AS quality_score,
+       round(1/(1+exp(-({z}))), {SCORE_ROUND}) >= 0.5 AS pred_quality,
+       CAST(y AS BOOLEAN) AS label_quality
+FROM feat, w
+"""
+
+
+def score_with_weights(
+    spark: SparkSession, sf_dir: str, weights
+) -> DataFrame:
+    """Score the full corpus with an explicit weight vector — one
+    codegen'd projection, weights folded into the plan as literals."""
+    feat = _featurized(spark, sf_dir)
+    z: Column = F.lit(float(weights[0])) * F.col("f0")
+    for j in range(1, _N_FEATURES):
+        z = z + F.lit(float(weights[j])) * F.col(f"f{j}")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), SCORE_ROUND)
+    return feat.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("pred_quality"),
+        F.col("y").cast("boolean").alias("label_quality"),
+    )
+
+
+@register("quality_classifier_trained", oracle=_oracle_sql())
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned document-quality scores for the whole corpus.
+
+    Train (driver GD on the bounded labeled split — distributed
+    partial-gradient path above the cap), session-cache the weights,
+    score via one shuffle-free codegen'd projection.  The oracle
+    re-trains from scratch in SQL (recursive-CTE GD with the same
+    per-step rounding), so the hash match certifies the whole
+    trajectory, not just the scoring pass.
+    """
+    w = train_quality_lr(spark, sf_dir)
+    return score_with_weights(spark, sf_dir, w)

@@ -210,6 +210,7 @@ def load_all() -> None:
         text,
         multimodal,
         joins_advanced,
+        ml,
         analytics,
         timeseries,
         curation,
