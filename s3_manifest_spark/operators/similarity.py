@@ -707,3 +707,401 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, with_membership=True, exact=exact
     )
     return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's memory story, SURVEY.md §2B extension)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8             # subspaces (dim 64 -> 8 dims each)
+PQ_K = 16            # centroids per subspace -> 1 byte/code, 8 B/vector
+PQ_TRAIN_STRIDE = 2  # deterministic 1-in-N training sample (as IVF)
+PQ_LLOYD_STEPS = 4   # per-subspace k-means rounds
+PQ_REFINE = 32       # ADC candidates kept per query for exact re-scoring
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train per-subspace k-means codebooks over the unit-normalized
+    corpus sample — the same distributed-Lloyd machinery as the IVF
+    coarse quantizer, but ALL {PQ_M} subspaces learn in each single
+    pass (one mapInPandas job per round emits ≤ M·K·partitions short
+    partial rows).  Returns (M, K, dim/M) float64, session-cached per
+    ``sf_dir`` (a PQ index is trained once and queried many times —
+    FAISS lifecycle, same argument as the IVF cache).
+
+    Seeding/determinism: round 0 assigns cell = vec_id % K in every
+    subspace; argmin ties take the lowest cell; empty cells keep their
+    previous centroid.  Codebooks are deterministic for a fixed scan
+    partitioning; everything DOWNSTREAM (codes, ADC ranks, the
+    certificate) is derived from this one cached array, so the emitted
+    relation is self-consistent in any environment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from s3_manifest_spark.registry import track_persist
+
+    model_cache = getattr(spark, "_smsp_model_cache", None)
+    if model_cache is None:
+        model_cache = {}
+        spark._smsp_model_cache = model_cache
+    cached = model_cache.get(("pq", sf_dir))
+    if cached is not None:
+        return cached
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tr = track_persist(v.filter(F.col("vec_id") % PQ_TRAIN_STRIDE == 0))
+    books: np.ndarray | None = None  # (M, K, dsub); None -> seed round
+
+    def partials(cur):
+        def gen(batches):
+            for b in batches:
+                ids = b["vec_id"].to_numpy(dtype="int64")
+                e = np.stack(b["embedding"].to_numpy()).astype("float64")
+                en = e / np.linalg.norm(e, axis=1, keepdims=True)
+                dim = en.shape[1]
+                if dim % PQ_M:
+                    raise ValueError(
+                        f"embedding dim {dim} not divisible by PQ_M={PQ_M}"
+                    )
+                dsub = dim // PQ_M
+                out_m, out_c, out_n, out_s = [], [], [], []
+                for m in range(PQ_M):
+                    xm = en[:, m * dsub : (m + 1) * dsub]
+                    if cur is None:
+                        cells = (ids % PQ_K).astype("int64")
+                    else:
+                        cm = cur[m]  # (K, dsub)
+                        # argmin ||x-c||^2 = argmin(-2 x·c + ||c||^2);
+                        # ties -> lowest cell (np.argmin)
+                        d = -2.0 * (xm @ cm.T) + (cm * cm).sum(axis=1)
+                        cells = np.argmin(d, axis=1)
+                    counts = np.bincount(cells, minlength=PQ_K)
+                    sums = np.zeros((PQ_K, dsub))
+                    np.add.at(sums, cells, xm)
+                    uniq = np.nonzero(counts)[0]
+                    out_m.append(np.full(len(uniq), m))
+                    out_c.append(uniq)
+                    out_n.append(counts[uniq])
+                    out_s.extend(sums[c].tolist() for c in uniq)
+                yield pd.DataFrame(
+                    {
+                        "m": np.concatenate(out_m).astype("int32"),
+                        "cell": np.concatenate(out_c).astype("int32"),
+                        "n": np.concatenate(out_n).astype("int64"),
+                        "s": out_s,
+                    }
+                )
+
+        return gen
+
+    for _ in range(PQ_LLOYD_STEPS):
+        rows = tr.mapInPandas(
+            partials(books), schema="m int, cell int, n long, s array<double>"
+        ).collect()  # <= M * K * partitions short rows
+        dsub = len(rows[0]["s"])
+        sums = np.zeros((PQ_M, PQ_K, dsub))
+        counts = np.zeros((PQ_M, PQ_K))
+        for r in rows:
+            sums[r["m"], r["cell"]] += np.asarray(r["s"])
+            counts[r["m"], r["cell"]] += r["n"]
+        new_books = (
+            np.zeros((PQ_M, PQ_K, dsub)) if books is None else books.copy()
+        )
+        nz = counts > 0
+        new_books[nz] = sums[nz] / counts[nz][:, None]
+        books = new_books
+    model_cache[("pq", sf_dir)] = books
+    return books
+
+
+def _pq_encode(en, books):
+    """codes[i, m] = nearest codebook cell of row i's m-th subvector
+    (ties -> lowest cell).  ``en`` must already be unit-normalized."""
+    import numpy as np
+
+    dsub = books.shape[2]
+    codes = np.empty((en.shape[0], PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        xm = en[:, m * dsub : (m + 1) * dsub]
+        cm = books[m]
+        d = -2.0 * (xm @ cm.T) + (cm * cm).sum(axis=1)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def _pq_adc(codes, lut_q):
+    """ADC score of every coded row against ONE query's LUT
+    ((M, K) table): Σ_m lut[m, code_m], summed in fixed subspace order
+    so the float result is independent of batching/partitioning."""
+    s = lut_q[0, codes[:, 0]]
+    for m in range(1, PQ_M):
+        s = s + lut_q[m, codes[:, m]]
+    return s
+
+
+def similarity_pq_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    with_membership: bool = False,
+    exact: DataFrame | None = None,
+    corrupt_lut: bool = False,
+):
+    """ANN top-k via product quantization + asymmetric distance.
+
+    1. TRAIN: per-subspace codebooks (:func:`_pq_codebooks`) — the
+       index stores {PQ_M} single-byte codes per vector instead of the
+       full float vector (8 B vs 512 B at dim 64: the memory story
+       IVF-Flat lacks at 100 TB).
+    2. SCAN (one distributed pass): queries' ADC lookup tables
+       (Q × M × K doubles) are broadcast; each Arrow batch encodes its
+       rows once, scores all queries by table lookups (no float
+       vector math per candidate), and keeps its local top-{PQ_REFINE}
+       per query under (adc desc, id asc) — sound for the global
+       top-{PQ_REFINE} because the order is total.
+    3. REFINE: the ≤ {PQ_REFINE}·Q global candidates (window merge)
+       are re-scored EXACTLY against the broadcast query matrix
+       (corpus joined to the broadcast candidate list — candidate-
+       bounded, never a corpus shuffle) and the final top-{TOP_K} per
+       query is emitted with exact rounded cosine.
+
+    ``corrupt_lut=True`` is the deliberate BROKEN mode for the
+    certificate test: negated lookup tables rank the WORST candidates
+    first, so probed exact members drop out and ann_complete_ok must
+    falsify.  ``with_membership`` returns the canonical (query,
+    member) → should_find relation: member's ADC rank < {PQ_REFINE}
+    under the UNCORRUPTED tables — computed by one candidate-bounded
+    member pass plus one corpus count pass (predecessor counting under
+    the same total order the scan uses).
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_codebooks(spark, sf_dir)
+    qpdf = _query_pdf(v)
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    # ADC lookup tables: lut[q, m, c] = q_m · books[m, c]
+    lut = np.stack(
+        [qm[:, m * dsub : (m + 1) * dsub] @ books[m].T for m in range(PQ_M)],
+        axis=1,
+    )  # (Q, M, K)
+    scan_lut = -lut if corrupt_lut else lut
+    bc = spark.sparkContext.broadcast((qids, qm, books, scan_lut))
+    r_keep = PQ_REFINE
+
+    def scan(batches):
+        ids_q, _, bks, tables = bc.value
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            codes = _pq_encode(en, bks)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                adc = _pq_adc(codes, tables[j])
+                keep = nids != qid
+                cand_ids, cand_adc = nids[keep], adc[keep]
+                order = np.lexsort((cand_ids, -cand_adc))[:r_keep]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_adc[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cands = v.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    global_cands = (
+        cands.select("*", F.row_number().over(w_adc).alias("rn"))
+        .filter(F.col("rn") <= r_keep)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine: corpus rows joined to the BROADCAST candidate list
+    refine_src = v.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(global_cands), "neighbor_id"
+    )
+
+    def refine(batches):
+        ids_q, queries, _, _ = bc.value
+        qrow = {int(q): i for i, q in enumerate(ids_q)}
+        for b in batches:
+            if not len(b):
+                continue
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            qi = np.array(
+                [qrow[int(q)] for q in b["query_id"].to_numpy()], dtype=np.int64
+            )
+            sims = np.round(np.einsum("ij,ij->i", queries[qi], en), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy().astype("int64"),
+                    "neighbor_id": b["neighbor_id"].to_numpy().astype("int64"),
+                    "cos_sim": sims,
+                }
+            )
+
+    refined = refine_src.mapInPandas(
+        refine, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        refined.select("*", F.row_number().over(w_cos).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+    if not with_membership:
+        return topk
+
+    def membership(exact_df):
+        return _pq_membership(spark, sf_dir, bc, exact_df)
+
+    return topk, membership
+
+
+def _pq_membership(spark, sf_dir, bc, exact):
+    """(query_id, neighbor_id, should_find) for the PQ ANN: the exact
+    member's canonical ADC rank (predecessors under (adc desc, id
+    asc), self-query excluded) is below PQ_REFINE.  Two bounded
+    passes: member ADC thresholds from the candidate-filtered corpus
+    (O(k·queries) rows), then one corpus pass counting predecessors
+    per (query, member) — partial counts combine by SUM, so the rank
+    is exact and partition-independent."""
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact_ids = exact.select("query_id", "neighbor_id")
+    memb_src = v.join(
+        F.broadcast(
+            exact_ids.select(F.col("neighbor_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    )
+
+    def member_adc(batches):
+        ids_q, _, bks, _ = bc.value
+        # canonical (UNcorrupted) tables, rebuilt from the codebooks
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            codes = _pq_encode(en, bks)
+            _, queries, _, _ = bc.value
+            dsub = bks.shape[2]
+            out = []
+            for j, qid in enumerate(ids_q):
+                lut_q = np.stack(
+                    [
+                        queries[j, m * dsub : (m + 1) * dsub] @ bks[m].T
+                        for m in range(PQ_M)
+                    ]
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(nids), qid),
+                            "neighbor_id": nids,
+                            "madc": _pq_adc(codes, lut_q),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    madc = (
+        memb_src.mapInPandas(
+            member_adc, schema="query_id long, neighbor_id long, madc double"
+        )
+        # keep only the (query, member) pairs the certificate checks
+        .join(F.broadcast(exact_ids), ["query_id", "neighbor_id"])
+    )
+    thresholds = madc.toPandas()  # <= k·queries rows, bounded
+    bc_thr = spark.sparkContext.broadcast(
+        (
+            thresholds["query_id"].to_numpy("int64"),
+            thresholds["neighbor_id"].to_numpy("int64"),
+            thresholds["madc"].to_numpy("float64"),
+        )
+    )
+
+    def count_predecessors(batches):
+        ids_q, queries, bks, _ = bc.value
+        tq, tn, tm = bc_thr.value
+        dsub = bks.shape[2]
+        qrow = {int(q): j for j, q in enumerate(ids_q)}
+        tj = np.array([qrow[int(q)] for q in tq], dtype=np.int64)
+        # thresholds grouped by query: each query's ADC is computed
+        # ONCE per batch, then compared against its ≤ k thresholds
+        by_query: dict[int, np.ndarray] = {}
+        for i, j in enumerate(tj):
+            by_query.setdefault(int(j), []).append(i)
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            codes = _pq_encode(en, bks)
+            cnts = np.empty(len(tq), dtype=np.int64)
+            for j, idxs in by_query.items():
+                lut_q = np.stack(
+                    [
+                        queries[j, m * dsub : (m + 1) * dsub] @ bks[m].T
+                        for m in range(PQ_M)
+                    ]
+                )
+                adc = _pq_adc(codes, lut_q)
+                not_self = nids != ids_q[j]
+                for i in idxs:
+                    better = (adc > tm[i]) | ((adc == tm[i]) & (nids < tn[i]))
+                    better &= not_self & (nids != tn[i])
+                    cnts[i] = int(better.sum())
+            yield pd.DataFrame(
+                {"query_id": tq, "neighbor_id": tn, "cnt": cnts}
+            )
+
+    counts = (
+        v.mapInPandas(
+            count_predecessors,
+            schema="query_id long, neighbor_id long, cnt long",
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("cnt").alias("rank"))
+    )
+    return counts.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("rank") < PQ_REFINE).alias("should_find"),
+    )
+
+
+@register("similarity_pq", oracle=_ANN_CERT_SQL)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness certificate for :func:`similarity_pq_neighbors`
+    (product-quantization ADC scan + exact refine) — see
+    :func:`_ann_certificate` for what each column certifies.  The raw
+    neighbor relation stays available as ``similarity_pq_neighbors``.
+    """
+    from s3_manifest_spark.registry import track_persist
+
+    exact = track_persist(similarity_topk(spark, sf_dir))
+    ann, membership = similarity_pq_neighbors(
+        spark, sf_dir, with_membership=True, exact=exact
+    )
+    return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)

@@ -649,3 +649,36 @@ def test_wav_decoder_is_real():
     for bad in (b"RIFX" + asset[4:], asset[:-1], bad_fmt):
         with pytest.raises(ValueError):
             decode_wav_pcm(bad)
+
+
+def test_pq_certificate_and_falsification(spark, q):
+    """similarity_pq is the same completeness-certificate shape as the
+    LSH/IVF ANNs: flag must be TRUE for the working PQ scan and must
+    FALSIFY with negated ADC tables (worst candidates ranked first, so
+    canonically-findable exact members drop out of the refine set)."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.similarity import (
+        PQ_M,
+        _ann_certificate,
+        _pq_codebooks,
+        similarity_pq_neighbors,
+        similarity_topk,
+    )
+
+    cert = q["similarity_pq"](spark, SF).toPandas()
+    assert set(cert.columns) == {"query_id", "exact_kth_sim", "ann_complete_ok"}
+    assert len(cert) > 0
+    assert cert["ann_complete_ok"].all()
+
+    ann, membership = similarity_pq_neighbors(
+        spark, SF, with_membership=True, corrupt_lut=True
+    )
+    broken = _ann_certificate(spark, SF, ann, membership).toPandas()
+    assert not broken["ann_complete_ok"].all()
+
+    # the trained codebooks must be a real quantizer: M subspace
+    # tables, all-finite, and not collapsed to a single centroid
+    books = _pq_codebooks(spark, SF)
+    assert books.shape[0] == PQ_M and np.isfinite(books).all()
+    assert np.unique(books.round(6), axis=1).shape[1] > 1
