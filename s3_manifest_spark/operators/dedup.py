@@ -1785,3 +1785,199 @@ def min_label_components(spark: SparkSession, edges: DataFrame):
         labels.unpersist(blocking=False)
         raise
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot dedup (the daily crawl-refresh shape)
+# ---------------------------------------------------------------------------
+
+#: snapshot split: every SNAPSHOT_MOD-th doc is the "incoming batch",
+#: the rest are the already-ingested corpus the index covers.
+SNAPSHOT_MOD = 10
+
+
+def _minhash_index(spark: SparkSession, sf_dir: str):
+    """Session-persisted MinHash band index over the EXISTING snapshot
+    (``doc_id % SNAPSHOT_MOD != 0``): the state a daily dedup job
+    keeps between runs so incoming batches never rescan the corpus.
+
+    Two persisted relations, both keyed for the incremental probe:
+
+    - ``buckets`` — (band, bh, doc_old, n_old): id-only band rows
+      (the banded-LSH state; O(corpus × bands) longs, no shingles or
+      text ride the index);
+    - ``shingles`` — (doc_old, fp, n_old): the fingerprint relation
+      the exact-verify step filters to candidates.
+
+    Built ONCE per (session, sf_dir) with the same seeded signature
+    pipeline as ``dedup_minhash_lsh`` (identical constants, so the
+    index is exactly the batch query's bucket state restricted to the
+    old snapshot).  Cached via the session model cache — released by
+    ``registry.clear_model_cache`` (which unpersists both frames); at
+    production scale this state lives in a bucketed table / state
+    store and is UPDATED by the listing change feed (streaming/cdc.py
+    maintains the manifest twin of that feed), not rebuilt.
+    """
+    model_cache = getattr(spark, "_smsp_model_cache", None)
+    if model_cache is None:
+        model_cache = {}
+        spark._smsp_model_cache = model_cache
+    cached = model_cache.get(("minhash_index", sf_dir))
+    if cached is not None:
+        return cached
+
+    old_docs = load_table(spark, sf_dir, "documents", widen=True).filter(
+        F.col("doc_id") % SNAPSHOT_MOD != 0
+    )
+    raw_sh = shingle_fingerprints(old_docs, with_count=True)
+    n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
+    if MINHASH_MAX_DF < n_docs:
+        raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
+    shingles = raw_sh.select(
+        F.col("doc_id").alias("doc_old"), "fp", F.col("n").alias("n_old")
+    ).persist()
+    sig = shingles.groupBy("doc_old").agg(
+        F.first("n_old").alias("n_old"),
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("fp"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    buckets = (
+        sig.select("doc_old", "n_old", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            "doc_old",
+            "n_old",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bh").alias("bh"),
+        )
+        .persist()
+    )
+    value = (buckets, shingles)
+    model_cache[("minhash_index", sf_dir)] = value
+    return value
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM toks
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE a.doc_id % {SNAPSHOT_MOD} = 0 AND b.doc_id % {SNAPSHOT_MOD} <> 0
+      GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_old,
+           round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+    FROM pairs
+    JOIN counts ca ON doc_new = ca.doc_id
+    JOIN counts cb ON doc_old = cb.doc_id
+    WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which INCOMING docs near-duplicate the EXISTING corpus — answered
+    from the persisted band index, never by rescanning the corpus.
+
+    The incoming batch (``doc_id % SNAPSHOT_MOD == 0``) is shingled and
+    signed with the index's seeded pipeline; its band rows BROADCAST
+    against the persisted bucket relation (the batch is small relative
+    to the corpus by construction — a day's crawl vs the archive — so
+    candidate generation is a broadcast-hash join against index state:
+    no corpus shuffle, no corpus scan).  Candidates verify exactly on
+    fingerprints filtered to candidate docs on BOTH sides.  Output is
+    (doc_new, doc_old, jaccard ≥ {JACCARD_THRESHOLD}).
+
+    ORACLE AS RECALL CERTIFICATE: precision 1 by construction (every
+    emitted pair exact-verified), and the registered oracle is the
+    full exact new×old relation — a hash match asserts the index
+    recalled every qualifying pair, same argument (and same fixture
+    precondition, pinned by the regen-guard test) as
+    ``dedup_minhash_lsh``.
+    """
+    buckets_old, sh_old = _minhash_index(spark, sf_dir)
+    new_docs = load_table(spark, sf_dir, "documents", widen=True).filter(
+        F.col("doc_id") % SNAPSHOT_MOD == 0
+    )
+    raw_new = shingle_fingerprints(new_docs, with_count=True)
+    n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
+    if MINHASH_MAX_DF < n_docs:
+        raw_new = cap_document_frequency(raw_new, MINHASH_MAX_DF, col="fp")
+    sh_new = track_persist(
+        raw_new.select(
+            F.col("doc_id").alias("doc_new"), "fp", F.col("n").alias("n_new")
+        )
+    )
+    sig_new = sh_new.groupBy("doc_new").agg(
+        F.first("n_new").alias("n_new"),
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("fp"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    new_bands = sig_new.select(
+        "doc_new", "n_new", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_new",
+        "n_new",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
+    candidates = (
+        buckets_old.join(F.broadcast(new_bands), ["band", "bh"])
+        .select("doc_new", "n_new", "doc_old", "n_old")
+        .distinct()
+    )
+    # exact verify on candidate docs only, both sides prefiltered
+    sa = sh_new.join(
+        F.broadcast(candidates.select("doc_new").distinct()), "doc_new"
+    ).select("doc_new", "fp")
+    sb = sh_old.join(
+        F.broadcast(candidates.select("doc_old").distinct()), "doc_old"
+    ).select("doc_old", "fp")
+    # attach candidate pairs to the new side FIRST, then join the old
+    # fingerprints by (doc_old, fp): shared-fp rows materialize only
+    # for candidate PAIRS, never for the cross of shared-fp docs
+    # (same shape as dedup_minhash_lsh's verify).
+    inter = (
+        sa.join(F.broadcast(candidates), "doc_new")
+        .join(sb, ["doc_old", "fp"])
+        .groupBy("doc_new", "doc_old")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_new").alias("n_new"),
+            F.first("n_old").alias("n_old"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_new") + F.col("n_old") - F.col("inter"))
+    return inter.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_new", "doc_old", F.round(jac, 4).alias("jaccard")
+    )

@@ -682,3 +682,64 @@ def test_pq_certificate_and_falsification(spark, q):
     books = _pq_codebooks(spark, SF)
     assert books.shape[0] == PQ_M and np.isfinite(books).all()
     assert np.unique(books.round(6), axis=1).shape[1] > 1
+
+
+def test_minhash_recall_certificate_precondition():
+    """The minhash-family oracles (dedup_minhash_lsh, dedup_incremental)
+    register the FULL exact-Jaccard relation, so their hash match is a
+    recall certificate — valid only while every qualifying pair sits
+    well above the banding's miss zone (4×4 banding misses a pair at
+    exactly j=0.5 with p≈0.77).  Guard the precondition instead of
+    assuming it: every ≥-threshold pair in the fixture must have
+    j ≥ 0.75 (miss ≤ 0.12 per pair, and the seeded signatures make the
+    observed recall-1 deterministic).  A fixture regen that plants a
+    near-threshold pair fails HERE with a readable message, not as an
+    opaque driver hash mismatch."""
+    import duckdb
+
+    from s3_manifest_spark.operators.dedup import (
+        _JACCARD_PAIRS_VALUED_SQL,
+        JACCARD_THRESHOLD,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        pairs = con.execute(_JACCARD_PAIRS_VALUED_SQL).df()
+        assert len(pairs) > 0, f"{sf}: no qualifying pairs — oracle vacuous"
+        floor = pairs["jaccard"].min()
+        assert floor >= 0.75, (
+            f"{sf}: qualifying pair at j={floor} is inside the LSH miss zone "
+            f"(threshold {JACCARD_THRESHOLD}, recall-safe floor 0.75) — the "
+            "recall-certificate oracles are no longer sound for this fixture"
+        )
+
+
+def test_dedup_incremental_uses_index_and_falsifies(spark, q):
+    """dedup_incremental must (a) answer from the session-persisted
+    band index (second call reuses it — the model cache holds the two
+    persisted frames), (b) emit only new×old pairs, and (c) lose
+    oracle pairs when the banding degrades — the recall certificate is
+    load-bearing for the incremental path too."""
+    import s3_manifest_spark.operators.dedup as dedup
+    from s3_manifest_spark.registry import clear_model_cache
+
+    clear_model_cache(spark)
+    full = q["dedup_incremental"](spark, SF).toPandas()
+    assert ("minhash_index", SF) in spark._smsp_model_cache
+    assert len(full) > 0
+    assert (full["doc_new"] % dedup.SNAPSHOT_MOD == 0).all()
+    assert (full["doc_old"] % dedup.SNAPSHOT_MOD != 0).all()
+
+    clear_model_cache(spark)
+    old_bands = dedup.LSH_BANDS
+    dedup.LSH_BANDS = 1
+    try:
+        broken = dedup.dedup_incremental(spark, SF).toPandas()
+    finally:
+        dedup.LSH_BANDS = old_bands
+        clear_model_cache(spark)  # drop the degraded index
+    assert len(broken) < len(full)
