@@ -1728,10 +1728,16 @@ def min_label_components(spark: SparkSession, edges: DataFrame):
         # Convergence check: min-label propagation is monotone — each
         # node's label only ever decreases — so sum(lab) is strictly
         # decreasing until the fixpoint, and an unchanged sum is an
-        # EXACT (not probabilistic) convergence certificate.  One tiny
-        # scalar aggregation per round, accumulated in unbounded
-        # decimal (a long sum would overflow, which ANSI sessions —
-        # the driver's default — turn into a runtime error).
+        # EXACT (not probabilistic) convergence certificate.
+        # Accumulated in unbounded decimal (a long sum would overflow,
+        # which ANSI sessions — the driver's default — turn into a
+        # runtime error).  The per-round sum rides the checkpoint
+        # materialization job via ``observe`` (verified: eager
+        # localCheckpoint fires the observed-metrics listener), so
+        # each round costs ONE driver job, not propagation + a second
+        # convergence collect (ADVICE r8 #8).
+        from pyspark.sql import Observation
+
         def label_sum(lbl: DataFrame):
             row = lbl.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]
             return row["s"]
@@ -1772,8 +1778,11 @@ def min_label_components(spark: SparkSession, edges: DataFrame):
             # Eager → materialized now, in executor storage; on a real
             # cluster prefer reliable checkpoint() + a checkpoint dir
             # if executor loss during the loop must be survivable.
-            new_labels = halved.localCheckpoint(eager=True)
-            new_sum = label_sum(new_labels)
+            obs = Observation()
+            new_labels = halved.observe(
+                obs, F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+            ).localCheckpoint(eager=True)
+            new_sum = obs.get["s"]
             merged.unpersist(blocking=False)
             labels.unpersist(blocking=False)
             labels = new_labels

@@ -274,6 +274,16 @@ _DIFF_NEW_PRED = "size % 5 != 0"
 _DIFF_BUMP = "CASE WHEN size % 7 = 0 THEN size + 1 ELSE size END"
 
 
+def _keyed_parts_conf(spark: SparkSession) -> tuple:
+    """Every piece of session conf :func:`_keyed_parts` reads — and
+    the EXACT tuple :func:`_cdc_state` folds into its model-cache key.
+    One source of truth so the exchange sizing and the cached-state
+    key can never drift: if ``_keyed_parts`` grows a new conf
+    dependency (say defaultParallelism, which the registry plan-cache
+    key already tracks), add it HERE and both move together."""
+    return (spark.conf.get("spark.sql.shuffle.partitions", "200"),)
+
+
 def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
     """Right-size the diff/apply keyed exchange from the parquet
     footer's row count (a cached metadata read, no job): ~40k packed
@@ -286,7 +296,7 @@ def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
     from s3_manifest_spark.sources.tables import parquet_row_count
 
     rows = parquet_row_count(f"{sf_dir}/lineitem.parquet")
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cap = int(_keyed_parts_conf(spark)[0])
     return max(1, min(cap, rows // 40_000))
 
 
@@ -457,12 +467,9 @@ def _cdc_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool]:
         mc = {}
         spark._smsp_model_cache = mc
     packed = _packed_domain_ok(sf_dir)
-    key = (
-        "cdc_state",
-        sf_dir,
-        packed,
-        spark.conf.get("spark.sql.shuffle.partitions", "200"),
-    )
+    # conf part of the key comes from the ONE helper _keyed_parts
+    # reads, so the sizing and the cache key cannot drift (ADVICE r8)
+    key = ("cdc_state", sf_dir, packed, *_keyed_parts_conf(spark))
     hit = mc.get(key)
     if hit is not None:
         return hit, packed

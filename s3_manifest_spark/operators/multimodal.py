@@ -280,10 +280,37 @@ def _decoded_features(
     )
 
 
+def _cached_corpus(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session-cache an encoded-asset corpus (persisted DataFrame in
+    the model cache, released by ``registry.clear_model_cache``).  The
+    three image queries (decode / frame_sample / thumbnail) and the
+    audio query each consume the same encode pass; without the cache
+    every query re-paid the full corpus encode (the r8 bench showed
+    multimodal_thumbnail spending most of its wall re-encoding what
+    multimodal_decode had just built).  Same lifecycle argument as the
+    LSH/IVF indexes: an asset table is materialized once and decoded
+    many ways — and bench.py's model-cache detection prices the cold
+    build into ``cold_sec`` per consumer, so nothing hides in rep 1."""
+    model_cache = getattr(spark, "_smsp_model_cache", None)
+    if model_cache is None:
+        model_cache = {}
+        spark._smsp_model_cache = model_cache
+    cached = model_cache.get(key)
+    if cached is None:
+        cached = build().persist()
+        model_cache[key] = cached
+    return cached
+
+
 def ppm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rendered as a REAL image-asset table: each row's
-    payload is a decodable multi-frame P6 stack."""
-    return _encoded_corpus(spark, sf_dir, encode_ppm_stack)
+    payload is a decodable multi-frame P6 stack (session-cached — see
+    :func:`_cached_corpus`)."""
+    return _cached_corpus(
+        spark,
+        ("ppm_corpus", sf_dir),
+        lambda: _encoded_corpus(spark, sf_dir, encode_ppm_stack),
+    )
 
 
 def decode_features(
@@ -597,10 +624,16 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
         if body + csize > end:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
+            if fmt is not None:
+                # fail-loud contract: a second fmt/data chunk is a
+                # malformed (or crafted) file, not a later override
+                raise ValueError("duplicate fmt chunk")
             if csize < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", payload, body)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = (body, csize)
         off = body + csize + (csize & 1)  # RIFF pads chunks to even
     if off not in (end, end + 1):
@@ -633,8 +666,13 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, float]:
 
 def wav_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rendered as a REAL audio-asset table: each row's
-    payload is a playable PCM WAV."""
-    return _encoded_corpus(spark, sf_dir, encode_wav_pcm)
+    payload is a playable PCM WAV (session-cached — see
+    :func:`_cached_corpus`)."""
+    return _cached_corpus(
+        spark,
+        ("wav_corpus", sf_dir),
+        lambda: _encoded_corpus(spark, sf_dir, encode_wav_pcm),
+    )
 
 
 def decode_audio_features(

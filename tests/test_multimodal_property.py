@@ -131,3 +131,55 @@ def test_ppm_rejects_crafted_headers_and_trailing_garbage():
         ppm_thumbnail(good + b"GARBAGE_TRAILING")
     with pytest.raises(ValueError):
         ppm_thumbnail(good + b"P6\n3 1\n255\n" + bytes(9))  # drift
+
+
+def test_wav_rejects_duplicate_chunks():
+    """Fail-loud contract: a crafted file with two fmt or two data
+    chunks must raise, never decode using the second silently."""
+    import struct
+
+    import pytest
+
+    from s3_manifest_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    asset = bytearray(encode_wav_pcm(b"hello audio"))
+    fmt_chunk = bytes(asset[12:36])   # 'fmt ' + size + 16-byte body
+    data_off = 36
+
+    def with_extra(chunk: bytes) -> bytes:
+        out = bytearray(asset)
+        out[data_off:data_off] = chunk
+        struct.pack_into("<I", out, 4, len(out) - 8)  # fix RIFF size
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="duplicate fmt"):
+        decode_wav_pcm(with_extra(fmt_chunk))
+    dup_data = b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav_pcm(with_extra(dup_data))
+
+
+def test_documents_fixture_is_pure_ascii():
+    """The multimodal oracles (_DECODE_SQL/_THUMBNAIL_SQL/
+    _AUDIO_DECODE_SQL) do character-based ascii(substring(...))
+    arithmetic against the kernel's BYTE math — sound only while
+    byte == char, i.e. the documents fixture is pure ASCII.  Assert
+    the precondition at every fixture sf so a regenerated non-ASCII
+    fixture fails here with a readable message, not as an opaque
+    driver hash mismatch."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = (
+            pq.read_table(
+                f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+            )
+            .column("text")
+            .to_pandas()
+        )
+        assert all(t.isascii() for t in texts), (
+            f"{sf}: non-ASCII text in fixture"
+        )
