@@ -83,6 +83,9 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "manifest_diff",
         "manifest_apply_changes",
         "contamination_bloom",
+        "quality_classifier_trained",
+        "similarity_pq",
+        "dedup_incremental",
     }
     sc = spark.sparkContext
     for name, fn in q.items():
