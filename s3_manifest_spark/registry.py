@@ -206,6 +206,7 @@ def load_all() -> None:
         manifest_queries,
         relational,
         dedup,
+        semdedup,
         similarity,
         text,
         multimodal,
