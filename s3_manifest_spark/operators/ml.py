@@ -284,3 +284,169 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = train_quality_lr(spark, sf_dir)
     return score_with_weights(spark, sf_dir, w)
+
+
+# ---------------------------------------------------------------------------
+# Trained bigram language-model perplexity (CCNet-style corpus filter)
+# ---------------------------------------------------------------------------
+
+#: LM training split: every LM_TRAIN_MOD-th document is "held-out
+#: clean" training text (CCNet trains its n-gram LM on a trusted
+#: subset, then scores the whole crawl by perplexity).
+LM_TRAIN_MOD = 4
+#: mean-log-prob rounds to this many decimals before exp (absorbs
+#: engine summation-order noise, ~1e-15 — same contract as LR_WROUND).
+LM_LP_ROUND = 8
+#: perplexity rounds to this many decimals (exp of identical rounded
+#: inputs differs by <= 1 ulp between libm builds).
+LM_PPL_ROUND = 4
+#: model-size policy: the bigram count table broadcast-joins while it
+#: fits comfortably in an executor (rows, not bytes — ~40 B/row);
+#: above the cap the score join falls back to a shuffle hash join,
+#: which is the 100 TB shape (AQE handles the frequent-bigram skew).
+LM_BROADCAST_CAP = 1 << 20
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent token pairs, JVM-only.
+
+    Tokens are the non-empty pieces of a single-space split (the
+    documents fixture is single-spaced lowercase ASCII; the empty
+    filter makes leading/trailing/double spaces harmless and matches
+    the oracle's ``tok <> ''`` filter).  Pairs come from zipping the
+    token array against itself shifted by one — no window, no Python.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, F.lit(1), n1).alias("w1"),
+        F.slice(toks, F.lit(2), n1).alias("w2"),
+    )
+    return docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def train_bigram_lm(spark: SparkSession, sf_dir: str):
+    """Count-based bigram LM with add-one smoothing over the training
+    split; returns (bigram_counts_df, unigram_counts_df, vocab_size,
+    bigram_rows), all session-cached per ``sf_dir``.
+
+    The model IS a pair of persisted DataFrames — counts never route
+    through the driver (at 100 TB the bigram table is itself big
+    data); only the two scalars (V, row count) are collected.
+    """
+    from s3_manifest_spark.registry import track_cleanup
+
+    model_cache = getattr(spark, "_smsp_model_cache", None)
+    if model_cache is None:
+        model_cache = {}
+        spark._smsp_model_cache = model_cache
+    key = ("bigram_lm", sf_dir)
+    cached = model_cache.get(key)
+    if cached is not None:
+        return cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    uni = (
+        train.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+        .persist()
+    )
+    bi = (
+        _lm_bigrams(train)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .persist()
+    )
+    vocab = uni.count()  # materializes uni; V = distinct train tokens
+    bigram_rows = bi.count()  # materializes bi; drives the join policy
+    model = (bi, uni, vocab, bigram_rows)
+    model_cache[key] = model
+    # cache entries are (frames..., scalars...) tuples; clear_model_cache
+    # unpersists DataFrame members — keep them registry-tracked too so a
+    # NEXT registry query releases them if the cache is never cleared.
+    track_cleanup(bi)
+    track_cleanup(uni)
+    return model
+
+
+def _lm_oracle() -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents) u(doc_id, tok, pos)
+  WHERE u.tok <> ''
+),
+bigrams AS MATERIALIZED (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+  QUALIFY w2 IS NOT NULL
+),
+cu AS (SELECT w1, count(*) AS cu FROM (
+         SELECT doc_id, tok AS w1 FROM tok) WHERE doc_id % {LM_TRAIN_MOD} = 0
+       GROUP BY w1),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bigrams
+       WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY w1, w2),
+vocab AS (SELECT count(*) AS v FROM cu)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-round(avg(ln((coalesce(cb.cb, 0) + 1)
+                               / CAST(coalesce(cu.cu, 0) + vocab.v AS DOUBLE))),
+                        {LM_LP_ROUND})), {LM_PPL_ROUND}) AS ppl
+FROM bigrams b
+LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+LEFT JOIN cu ON b.w1 = cu.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
+@register("lm_perplexity", oracle=_lm_oracle())
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity over the whole corpus —
+    the learned fluency filter real curation pipelines run (CCNet
+    scores every crawl document against an n-gram LM trained on a
+    trusted subset; high perplexity → junk candidate).
+
+    Train once (two narrow count aggregations over the split,
+    persisted DataFrames — the model never routes through the driver),
+    then score: explode each document into adjacent token pairs, join
+    the count tables (broadcast under :data:`LM_BROADCAST_CAP` rows,
+    shuffle hash join above — the 100 TB fallback), and aggregate one
+    rounded mean log-probability per document.  Output
+    (doc_id, n_bigrams, ppl) for every document with ≥ 1 bigram.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) — add-one smoothing,
+    V = distinct training tokens; OOV contexts fall back to 1/V
+    exactly, in both engines.  The oracle recounts the model from
+    scratch in SQL, so the hash certifies training and scoring.
+    """
+    bi, uni, vocab, bigram_rows = train_bigram_lm(spark, sf_dir)
+    if bigram_rows <= LM_BROADCAST_CAP:
+        bi, uni = F.broadcast(bi), F.broadcast(uni)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = _lm_bigrams(docs)
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1))
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab)).cast("double")
+    )
+    return (
+        b.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.exp(-F.round(F.avg(logp), LM_LP_ROUND)), LM_PPL_ROUND
+            ).alias("ppl"),
+        )
+    )

@@ -68,3 +68,41 @@ def test_scoring_plan_is_shuffle_free(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+# --- bigram LM perplexity ---
+
+
+def test_lm_nondegenerate_and_train_split_scores_lower(spark):
+    """The LM must actually model its training split: docs the model
+    saw score lower mean perplexity than unseen docs, every ppl is a
+    finite value > 1, and n_bigrams matches tokens-1."""
+    res = ml.lm_perplexity(spark, SF).toPandas()
+    assert len(res) == 500
+    assert (res["ppl"] > 1.0).all() and np.isfinite(res["ppl"]).all()
+    seen = res[res["doc_id"] % ml.LM_TRAIN_MOD == 0]["ppl"].mean()
+    unseen = res[res["doc_id"] % ml.LM_TRAIN_MOD != 0]["ppl"].mean()
+    assert seen < unseen, (seen, unseen)
+
+
+def test_lm_n_bigrams_matches_tokenization(spark):
+    from s3_manifest_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .toPandas()
+    )
+    res = ml.lm_perplexity(spark, SF).toPandas().set_index("doc_id")
+    for _, row in docs.iterrows():
+        ntok = len([t for t in row["text"].split(" ") if t])
+        assert res.loc[row["doc_id"], "n_bigrams"] == ntok - 1
+
+
+def test_lm_model_session_cached(spark):
+    a = ml.train_bigram_lm(spark, SF)
+    b = ml.train_bigram_lm(spark, SF)
+    assert a is b
+    bi, uni, vocab, bigram_rows = a
+    assert vocab > 0 and bigram_rows > 0
