@@ -206,6 +206,7 @@ def load_all() -> None:
         manifest_queries,
         relational,
         dedup,
+        retrieval,
         semdedup,
         similarity,
         text,

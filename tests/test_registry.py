@@ -86,6 +86,8 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "quality_classifier_trained",
         "similarity_pq",
         "dedup_incremental",
+        "semdedup",
+        "lm_perplexity",
     }
     sc = spark.sparkContext
     for name, fn in q.items():
