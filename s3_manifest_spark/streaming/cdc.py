@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from s3_manifest_spark.operators.manifest_queries import APPLY_ORACLE_SQL
 from s3_manifest_spark.registry import defer_cleanup, register
+from s3_manifest_spark.streaming.metrics import record_progress
 from s3_manifest_spark.streaming.scratch import scratch_base
 from s3_manifest_spark.sources.tables import listing_projection, parquet_row_count
 
@@ -126,6 +127,7 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
             .start()
         )
         q.awaitTermination()
+        record_progress(q, family="cdc_apply")
     snap = spark.read.parquet(out_dir)
     # latest row per key as a HASH aggregation (max_by on batch_id)
     # instead of a window: the window form sorts every partition on

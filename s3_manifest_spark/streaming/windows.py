@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from s3_manifest_spark.registry import register
+from s3_manifest_spark.streaming.metrics import record_progress
 from s3_manifest_spark.streaming.scratch import scratch_base
 from s3_manifest_spark.sources.tables import load_table, normalize_event_ts
 
@@ -206,6 +207,7 @@ def run_tumbling_stream(
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)
 
 
@@ -293,6 +295,7 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)
 
 
@@ -409,6 +412,7 @@ def _drain(df: DataFrame, name: str, mode: str) -> None:
             .start()
         )
         q.awaitTermination()
+        record_progress(q)
 
 
 @register(
