@@ -88,6 +88,8 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "dedup_incremental",
         "semdedup",
         "lm_perplexity",
+        "bpe_train",
+        "bpe_tokenize",
     }
     sc = spark.sparkContext
     for name, fn in q.items():
