@@ -1990,3 +1990,82 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_new", "doc_old", F.round(jac, 4).alias("jaccard")
     )
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE p AS (SELECT * FROM ({_JACCARD_PAIRS_SQL})),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION
+      SELECT doc_b, doc_a FROM p
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lab) AS component_id
+      FROM reach GROUP BY node
+    ),
+    whole AS (
+      SELECT d.doc_id,
+             coalesce(c.component_id, d.doc_id) AS component_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    canon AS (
+      SELECT component_id,
+             arg_max(doc_id, n_chars * 4294967296 - doc_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS component_size
+      FROM whole GROUP BY component_id
+    )
+    SELECT w.doc_id, w.component_id, canonical_id, component_size,
+           w.doc_id = canonical_id AS keep
+    FROM whole w JOIN canon USING (component_id)
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE end of the dedup family: per near-dup component,
+    elect one canonical keeper and emit the corpus-wide keep/drop list
+    ``(doc_id, component_id, canonical_id, component_size, keep)``.
+
+    ``dedup_clusters`` stops at component labels; a real pipeline then
+    has to CHOOSE which duplicate survives.  The policy here is the
+    common one (keep the longest document — most content — tying to
+    the smallest doc_id), encoded as one monotone BIGINT so a single
+    ``max_by`` aggregation picks the winner identically in Spark and
+    DuckDB (``n_chars·2³² − doc_id``; doc_id < 2³² at every fixture
+    sf, same bound style as argmax_per_group's encode).  Docs outside
+    the pair graph are their own singleton component (left join +
+    coalesce), so the output covers the WHOLE corpus — filterable to
+    ``keep`` for the surviving set.
+
+    Plan shape at 100 TB: the label relation (graph nodes only, far
+    smaller than the corpus) left-joins the documents scan, the
+    canonical election is one map-side-combinable aggregation keyed by
+    component, and the winner list joins back keyed the same way — two
+    co-keyed exchanges over (corpus + components) rows beyond the
+    clusters labeling itself; no windows, no driver state.
+    """
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "component_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    whole = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "n_chars",
+    )
+    key = F.col("n_chars").cast("long") * F.lit(4294967296) - F.col("doc_id")
+    canon = whole.groupBy("component_id").agg(
+        F.max_by("doc_id", key).alias("canonical_id"),
+        F.count(F.lit(1)).alias("component_size"),
+    )
+    return whole.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        "canonical_id",
+        "component_size",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )

@@ -743,3 +743,37 @@ def test_dedup_incremental_uses_index_and_falsifies(spark, q):
         dedup.LSH_BANDS = old_bands
         clear_model_cache(spark)  # drop the degraded index
     assert len(broken) < len(full)
+
+
+def test_dedup_canonical_invariants(spark):
+    """Exactly one keeper per component; the keeper is the longest doc
+    (smallest doc_id on ties) of its component; singletons keep
+    themselves; coverage is the whole corpus."""
+    from s3_manifest_spark.operators.dedup import dedup_canonical, dedup_clusters
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    res = dedup_canonical(spark, sf).toPandas()
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars").toPandas()
+    assert len(res) == len(docs)
+    assert res["doc_id"].is_unique
+    # one keeper per component, and it is a member of the component
+    per_comp = res.groupby("component_id")
+    assert (per_comp["keep"].sum() == 1).all()
+    for comp, grp in per_comp:
+        cid = grp["canonical_id"].iloc[0]
+        assert (grp["canonical_id"] == cid).all()
+        assert cid in set(grp["doc_id"])
+        # the elected doc maximizes (n_chars, -doc_id)
+        sizes = docs.set_index("doc_id").loc[grp["doc_id"], "n_chars"]
+        best = sorted(zip(-sizes.to_numpy(), sizes.index))[0][1]
+        assert cid == best, comp
+        assert (grp["component_size"] == len(grp)).all()
+    # every clustered doc keeps its cluster label; singletons label themselves
+    labels = dedup_clusters(spark, sf).toPandas().set_index("doc_id")
+    merged = res.set_index("doc_id")
+    for d, row in labels.iterrows():
+        assert merged.loc[d, "component_id"] == row["component_id"]
+    singles = merged[~merged.index.isin(labels.index)]
+    assert (singles["component_id"] == singles.index).all()
+    assert singles["keep"].all()

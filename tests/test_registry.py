@@ -70,6 +70,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "stream_sliding_live",
         "stream_cdc_apply_live",
         "dedup_clusters",
+        "dedup_canonical",
         "similarity_ivf",
         "similarity_topk",
         "dedup_embedding",
