@@ -1,0 +1,167 @@
+"""Graph centrality over the near-dup document graph (SURVEY.md §2B
+extension): PageRank by driver-controlled power iteration.
+
+Why a data-curation engine ranks graph nodes: crawl pipelines
+prioritize their frontier by link centrality (CommonCrawl publishes
+exactly this ranking), and within a near-dup corpus the same iteration
+gives a structure-aware alternative to ``dedup_canonical``'s
+longest-doc policy — the most-connected member of a duplicate cluster
+is the best canonical representative when length is unreliable.
+
+The graph here is the engine's own near-dup pair relation
+(``dedup_ngram_jaccard``), symmetrized; every node therefore has
+in- and out-degree ≥ 1, so there is no dangling-mass term and the
+plain iteration
+
+    pr₍ₖ₊₁₎(v) = (1-d)/N + d · Σ_{u→v} prₖ(u)/deg(u)
+
+is complete.  Spark side: :data:`PR_ITERS` rounds, each ONE keyed
+exchange (contributions grouped by destination) — the Pregel-on-
+DataFrames shape shared with ``dedup_clusters``'s label loop, with
+per-round persist + release so lineage stays flat.  Edges and degrees
+are computed once and persisted; driver traffic per round is zero
+(the loop is fixed-length, no convergence collect needed — PageRank's
+iteration count is a hyperparameter, not a data property).
+
+Determinism contract (the ml.py recipe): d and (1-d) enter both
+engines as the literal decimals 0.85 / 0.15 (never computed); per-node
+sums round to :data:`PR_ROUND` (12) decimals after every round, which
+absorbs summation-order last-ulp noise (~1e-18 against a 5e-13
+quantum) so the iterates are bit-identical across engines; the output
+rounds to 6 dp.  All other quantities (N, degrees) are exact integers.
+The DuckDB oracle re-runs the IDENTICAL unrolled iteration
+(materialized CTE per round — inlined CTEs would re-expand the pair
+relation exponentially).
+
+At 100 TB: the pair graph is candidate-bounded (banded LSH upstream),
+edges/degrees partition by node key, every round shuffles |E|
+contribution rows — never the corpus — and K is fixed.  The reference
+(/root/reference/src/main.rs) has no graph surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register, track_persist
+from s3_manifest_spark.operators.dedup import (
+    _JACCARD_PAIRS_SQL,
+    dedup_ngram_jaccard,
+)
+
+PR_ITERS = 4
+PR_ROUND = 12
+_D = "0.85"
+_ONE_MINUS_D = "0.15"
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"p AS MATERIALIZED (SELECT * FROM ({_JACCARD_PAIRS_SQL}))",
+        """edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+)""",
+        """deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+)""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+        f"""pr0 AS MATERIALIZED (
+  SELECT node, round(1.0 / (SELECT n FROM nn), {PR_ROUND}) AS pr FROM deg
+)""",
+    ]
+    for k in range(PR_ITERS):
+        parts.append(
+            f"""pr{k + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         round({_ONE_MINUS_D} / (SELECT n FROM nn)
+               + {_D} * sum(p.pr / d.deg), {PR_ROUND}) AS pr
+  FROM edges e
+  JOIN pr{k} p ON p.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT d.node AS doc_id, d.deg AS degree,
+       round(p.pr, 6) AS pagerank
+FROM deg d JOIN pr{PR_ITERS} p ON p.node = d.node
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, degree, pagerank)`` over the symmetric near-dup pair
+    graph after :data:`PR_ITERS` power-iteration rounds (d = 0.85).
+
+    The oracle re-runs the identical unrolled iteration in SQL, so a
+    hash match certifies graph construction, degree normalization, and
+    every iterate — see the module docstring for the rounding contract
+    that makes the float trajectory engine-independent."""
+    pairs = track_persist(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    edges = track_persist(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    deg = track_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
+    n = deg.count()  # also materializes the persists above
+    if n == 0:
+        return deg.select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.lit(0.0).alias("pagerank"),
+        )
+
+    d_lit = F.expr(f"CAST({_D} AS DOUBLE)")
+    base = F.expr(f"CAST({_ONE_MINUS_D} AS DOUBLE)") / F.lit(n)
+    # distinct column names per role: pr rounds derive from deg, so a
+    # shared "node" name would be an ambiguous self-join
+    outdeg = deg.select(F.col("node").alias("src_node"), "deg")
+    pr = deg.select(
+        F.col("node").alias("pr_node"),
+        F.round(F.lit(1.0) / F.lit(n), PR_ROUND).alias("pr"),
+    ).persist()
+    try:
+        for _ in range(PR_ITERS):
+            contribs = (
+                edges.join(pr, F.col("pr_node") == F.col("src"))
+                .join(outdeg, F.col("src_node") == F.col("src"))
+                .select(
+                    F.col("dst"), (F.col("pr") / F.col("deg")).alias("c")
+                )
+            )
+            nxt = (
+                contribs.groupBy(F.col("dst").alias("pr_node"))
+                .agg(
+                    F.round(base + d_lit * F.sum("c"), PR_ROUND).alias("pr")
+                )
+            ).persist()
+            nxt.count()  # materialize before releasing the parent
+            pr.unpersist(blocking=False)
+            pr = nxt
+    finally:
+        # the last round's frame backs the returned plan: register it
+        # with the registry sweeper instead of unpersisting here
+        track_persist(pr)
+
+    return deg.join(pr, F.col("node") == F.col("pr_node")).select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.round("pr", 6).alias("pagerank"),
+    )

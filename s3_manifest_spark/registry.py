@@ -207,6 +207,7 @@ def load_all() -> None:
         relational,
         bpe,
         dedup,
+        graph,
         retrieval,
         semdedup,
         similarity,

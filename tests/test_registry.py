@@ -71,6 +71,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "stream_cdc_apply_live",
         "dedup_clusters",
         "dedup_canonical",
+        "graph_pagerank",
         "similarity_ivf",
         "similarity_topk",
         "dedup_embedding",
