@@ -202,6 +202,16 @@ def main() -> int:
     ):
         if q in timings:
             queries_meta.setdefault(q, {})["ann_certificate"] = True
+    # Trained-model scoring queries whose plan is explode-corpus →
+    # model join(s) → per-doc aggregate: the warm wall is dominated by
+    # the token-level exchange constants Spark pays per stage (the r7
+    # floor decomposition), while the in-process oracle fuses the same
+    # joins into one pipeline.  Their 10x behavior rides the same
+    # amortization as the text kernels (SCALE.md); cold train cost is
+    # priced separately in cold_sec.
+    for q in ("lm_perplexity", "semdedup", "dedup_incremental"):
+        if q in timings:
+            queries_meta.setdefault(q, {})["model_scoring_floor"] = True
 
     # The honest work-class segmentation (VERDICT r8 ask #7): floor
     # rows are dominated by per-query engine constants (~0.2 s of job

@@ -133,6 +133,14 @@ def probe(sf_dir: str, tag: str) -> dict:
         "dedup_clusters (pairs + labeling)": lambda: dedup_clusters(
             spark, sf_dir
         ),
+        # r9 trained-model scorers (mid-class bench rows): measured
+        # here to back their model_scoring_floor annotation
+        "lm_perplexity (bigram-LM scoring)": lambda: registry.QUERIES[
+            "lm_perplexity"
+        ](spark, sf_dir),
+        "semdedup (cluster-then-prune)": lambda: registry.QUERIES[
+            "semdedup"
+        ](spark, sf_dir),
     }
     for name, fn in cases.items():
         registry.clear_model_cache(spark)
