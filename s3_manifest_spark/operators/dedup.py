@@ -1960,7 +1960,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.bh").alias("bh"),
     )
-    candidates = (
+    # persisted: the candidate relation feeds THREE broadcast builds
+    # (pair attach + two side prefilters) — without the persist each
+    # broadcast re-runs the bucket join + distinct
+    candidates = track_persist(
         buckets_old.join(F.broadcast(new_bands), ["band", "bh"])
         .select("doc_new", "n_new", "doc_old", "n_old")
         .distinct()
