@@ -1105,3 +1105,80 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, with_membership=True, exact=exact
     )
     return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (the embedding STORAGE story at 100 TB)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+               AS codes
+      FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 12) AS scale,
+           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
+             AS n_saturated,
+           round(list_sum(list_transform(range(1, len(e) + 1),
+                                         i -> pow(e[i] - codes[i] * scale, 2)))
+                 / len(e), 12) AS mse
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization accounting:
+    ``(vec_id, scale, n_saturated, mse)``.
+
+    The storage-side counterpart to ``similarity_pq``: int8 codes keep
+    the embedding column 4× smaller than float32 (64 B vs 256 B at
+    dim 64) while staying directly dot-product-able (int8 GEMM), which
+    is how production vector stores hold billion-scale corpora in
+    executor memory.  The operator emits the quantization audit a
+    pipeline runs before committing to the format: per-vector scale
+    (max-abs symmetric), saturation count, and exact reconstruction
+    MSE.
+
+    One shuffle-free codegen projection — array higher-order functions
+    only, no Python, no joins.  Determinism: scale is one double
+    division of a float32 max (bit-identical both engines); codes use
+    ``floor(x/scale + 0.5)`` (half-up in BOTH engines — SQL ``round``
+    differs between them at .5 for negatives, ``floor`` does not);
+    mse rounds at 12 dp, absorbing fold-order noise (~1e-19).
+    Zero-vectors (scale = 0) are excluded on both sides rather than
+    emitting NaN codes.
+    """
+    v = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    )
+    q = v.selectExpr(
+        "vec_id",
+        "e",
+        "array_max(transform(e, x -> abs(x))) / 127.0 AS scale",
+    ).filter("scale > 0")
+    c = q.selectExpr(
+        "vec_id",
+        "e",
+        "scale",
+        "transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS codes",
+    )
+    return c.selectExpr(
+        "vec_id",
+        "round(scale, 12) AS scale",
+        "CAST(size(filter(codes, c -> abs(c) = 127)) AS BIGINT)"
+        " AS n_saturated",
+        "round(aggregate(zip_with(e, codes, (x, c) -> pow(x - c * scale, 2)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d) / size(e), 12) AS mse",
+    )

@@ -777,3 +777,30 @@ def test_dedup_canonical_invariants(spark):
     singles = merged[~merged.index.isin(labels.index)]
     assert (singles["component_id"] == singles.index).all()
     assert singles["keep"].all()
+
+
+def test_embedding_quantize_int8_invariants(spark):
+    """numpy recompute equality + analytic bounds: the max-abs element
+    always saturates (x_max/scale == 127 exactly), codes stay in
+    [-127, 127], and per-dim squared error is bounded by (scale/2)^2."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.similarity import embedding_quantize_int8
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    res = embedding_quantize_int8(spark, sf).toPandas().set_index("vec_id")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
+    assert len(res) == len(emb)  # no zero vectors in the fixture
+    for _, row in emb.iterrows():
+        e = np.asarray(row["embedding"], dtype=np.float64)
+        scale = np.abs(e).max() / 127.0
+        codes = np.floor(e / scale + 0.5).astype(int)
+        got = res.loc[row["vec_id"]]
+        assert abs(got["scale"] - scale) < 1e-12
+        assert np.abs(codes).max() <= 127
+        assert got["n_saturated"] == int((np.abs(codes) == 127).sum())
+        assert got["n_saturated"] >= 1
+        mse = float(((e - codes * scale) ** 2).mean())
+        assert abs(got["mse"] - mse) < 1e-11
+        assert got["mse"] <= (scale / 2) ** 2 + 1e-15
