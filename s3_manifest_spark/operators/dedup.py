@@ -1877,9 +1877,9 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
     return value
 
 
-@register(
-    "dedup_incremental",
-    oracle=f"""
+#: full exact new-vs-old relation — the recall certificate shared by
+#: dedup_incremental and the streaming index maintainer.
+INCREMENTAL_ORACLE_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
       SELECT doc_id,
@@ -1900,8 +1900,10 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
     JOIN counts ca ON doc_new = ca.doc_id
     JOIN counts cb ON doc_old = cb.doc_id
     WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("dedup_incremental", oracle=INCREMENTAL_ORACLE_SQL)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which INCOMING docs near-duplicate the EXISTING corpus — answered
     from the persisted band index, never by rescanning the corpus.
@@ -1923,6 +1925,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh``.
     """
     buckets_old, sh_old = _minhash_index(spark, sf_dir)
+    return probe_incremental(spark, sf_dir, buckets_old, sh_old)
+
+
+def probe_incremental(
+    spark: SparkSession, sf_dir: str, buckets_old: DataFrame, sh_old: DataFrame
+) -> DataFrame:
+    """The incremental probe against an EXPLICIT index state —
+    ``dedup_incremental``'s body, shared with the streaming index
+    maintainer (streaming/index_update.py), which answers the same
+    question from an index it built by draining a document feed."""
     new_docs = load_table(spark, sf_dir, "documents", widen=True).filter(
         F.col("doc_id") % SNAPSHOT_MOD == 0
     )

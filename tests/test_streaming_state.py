@@ -322,3 +322,44 @@ def test_cdc_stream_under_rocksdb_state_store(spark):
     d = default[cols].sort_values(cols).reset_index(drop=True)
     r = rocks[cols].sort_values(cols).reset_index(drop=True)
     assert d.equals(r)
+
+
+def test_streamed_minhash_index_equals_batch_index(spark):
+    """The streaming maintainer's index (union of per-micro-batch
+    appends) must be EXACTLY the batch-built index: same bucket rows,
+    same fingerprint rows — per-doc closure makes batch boundaries
+    invisible."""
+    import pandas as pd
+
+    from s3_manifest_spark.operators.dedup import _minhash_index
+    from s3_manifest_spark.streaming import index_update as iu
+
+    sf = "/root/testdata/sf0.001"
+    spool = iu._spool_old_docs(spark, sf)
+    docs = spark.read.parquet(spool)
+    streamed_b, streamed_s = iu._index_rows(docs)
+    batch_b, batch_s = _minhash_index(spark, sf)
+
+    def norm(df, cols):
+        pdf = df.toPandas()[cols]
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    bcols = ["doc_old", "n_old", "band", "bh"]
+    scols = ["doc_old", "fp", "n_old"]
+    pd.testing.assert_frame_equal(norm(streamed_b, bcols), norm(batch_b, bcols))
+    pd.testing.assert_frame_equal(norm(streamed_s, scols), norm(batch_s, scols))
+    # and the full streaming drain reproduces the batch probe rows
+    got = (
+        spark._smsp_plan_cache.clear()
+        if hasattr(spark, "_smsp_plan_cache")
+        else None
+    )
+    from s3_manifest_spark.registry import QUERIES
+
+    live = QUERIES["stream_index_update_live"](spark, sf).toPandas()
+    batch = QUERIES["dedup_incremental"](spark, sf).toPandas()
+    cols = ["doc_new", "doc_old", "jaccard"]
+    pd.testing.assert_frame_equal(
+        live[cols].sort_values(cols).reset_index(drop=True),
+        batch[cols].sort_values(cols).reset_index(drop=True),
+    )
