@@ -719,3 +719,129 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = state.withColumnRenamed("new_sz", "feed_new")
     key = _unpacked_key_string(F.col("k")) if packed else F.col("k")
     return cdc_merge(per.select(key.alias("key"), "old_sz", "feed_new"))
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (lakehouse OPTIMIZE over the manifest)
+# ---------------------------------------------------------------------------
+
+#: target bytes per compacted output file group.  (Real engines use
+#: 128 MB-1 GB; 1 "GB" of the synthetic cent-sized listing yields a
+#: few thousand bins at sf0.1 — non-trivial at every fixture sf.)
+COMPACTION_TARGET_BYTES = 1_000_000_000
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+    WITH listing AS ({{SYNTH}}),
+    pf AS (
+      SELECT split_part(key, '/', 1) || '/' || split_part(key, '/', 2)
+               AS prefix,
+             key, size
+      FROM listing
+    ),
+    c AS (
+      SELECT prefix, key, size,
+             coalesce(sum(size) OVER (
+               PARTITION BY prefix ORDER BY key, size
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM pf
+    )
+    SELECT prefix,
+           CAST(cum // {COMPACTION_TARGET_BYTES} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)         AS n_files,
+           CAST(sum(size) AS BIGINT)        AS total_bytes,
+           min(key)                         AS first_key,
+           max(key)                         AS last_key
+    FROM c
+    GROUP BY prefix, bin_id
+    """.replace("{SYNTH}", SYNTH_LISTING_SQL),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the listing manifest — the
+    lakehouse OPTIMIZE planning step: within each top-level prefix,
+    files are packed in key order into :data:`COMPACTION_TARGET_BYTES`
+    groups (``bin_id = exclusive-cumulative-bytes // target`` — an
+    oversized file gets its own bin, both engines share the integer
+    formula).  Listing keys are NOT unique in the fixture (duplicate
+    (orderkey, linenumber) rows), so the pack order is (key, size) —
+    total up to fully-identical rows, which are interchangeable.  Output is one row per planned output group:
+    ``(prefix, bin_id, n_files, total_bytes, first_key, last_key)`` —
+    exactly what a rewrite job consumes.
+
+    The per-prefix running byte total is computed WITHOUT a window
+    over a handful of giant prefix partitions (at 100 TB a prefix can
+    hold billions of rows — ``sum() OVER (PARTITION BY prefix)`` would
+    sort-buffer each prefix on one task): instead the shuffle_epoch /
+    percentile_dist_exact metadata pattern — ONE range sort on
+    (prefix, key) with the layout pinned, a per-(partition, prefix)
+    byte-total metadata collect (≤ partitions × live prefixes short
+    rows), and an Arrow pass adding offset-corrected exclusive
+    cumsums.  All arithmetic is exact int64, so the plan is
+    bit-deterministic."""
+    import numpy as np
+
+    from s3_manifest_spark.registry import pin_partitions
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    li = synth_listing(spark, sf_dir, widen=False)
+    pf = li.select(
+        F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
+    )
+    data = pin_partitions(
+        pf.repartitionByRange(parts, "prefix", "key", "size")
+        .sortWithinPartitions("prefix", "key", "size"),
+        eager_cleanup=False,
+    )
+    meta = (
+        data.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "prefix")
+        .agg(F.sum("size").alias("b"))
+        .collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(meta, key=lambda r: r["pid"]):
+        offsets[(r["pid"], r["prefix"])] = totals.get(r["prefix"], 0)
+        totals[r["prefix"]] = totals.get(r["prefix"], 0) + r["b"]
+    b_off = spark.sparkContext.broadcast(offsets)
+    target = COMPACTION_TARGET_BYTES
+
+    def binner(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running: dict[str, int] = {}
+        for pdf in batches:
+            sizes = pdf["size"].to_numpy(dtype="int64")
+            prefixes = pdf["prefix"].to_numpy()
+            bins = np.empty(len(pdf), dtype="int64")
+            # rows arrive sorted by (prefix, key): segment boundaries
+            # are where the prefix changes (a handful per batch)
+            starts = np.flatnonzero(
+                np.concatenate(([True], prefixes[1:] != prefixes[:-1]))
+            )
+            bounds = np.append(starts, len(pdf))
+            for i, j in zip(bounds[:-1], bounds[1:]):
+                p = prefixes[i]
+                base = running.get(p)
+                if base is None:
+                    base = b_off.value.get((pid, p), 0)
+                seg = sizes[i:j]
+                excl = np.cumsum(seg) - seg + base
+                bins[i:j] = excl // target
+                running[p] = int(excl[-1] + seg[-1])
+            out = pdf[["prefix", "key", "size"]].copy()
+            out["bin_id"] = bins
+            yield out
+
+    binned = data.mapInPandas(
+        binner, schema="prefix string, key string, size long, bin_id long"
+    )
+    return binned.groupBy("prefix", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size").alias("total_bytes"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+    )

@@ -542,3 +542,41 @@ def test_packed_key_raises_out_of_domain(spark):
     )
     assert ok[0]["k"] == 5 * 2048 + 3 * 256 + ord("A")
     assert ok[1]["k"] is None
+
+
+def test_compaction_plan_invariants(spark):
+    """Python recompute equality + packing bounds: bins are contiguous
+    per prefix, cover every file exactly once, and only ever exceed
+    the target by less than their last file."""
+    import collections
+
+    from s3_manifest_spark.operators.manifest_queries import (
+        COMPACTION_TARGET_BYTES,
+        compaction_plan,
+    )
+    from s3_manifest_spark.sources.tables import synth_listing
+
+    sf = "/root/testdata/sf0.001"
+    res = compaction_plan(spark, sf).toPandas()
+    listing = synth_listing(spark, sf, widen=False).toPandas()
+    assert res["n_files"].sum() == len(listing)
+
+    # reference recompute
+    listing["prefix"] = listing["key"].str.split("/").str[:2].str.join("/")
+    want = collections.defaultdict(lambda: [0, 0])  # (prefix,bin) -> [files, bytes]
+    for prefix, grp in listing.groupby("prefix"):
+        cum = 0
+        for _, row in grp.sort_values(["key", "size"]).iterrows():
+            b = cum // COMPACTION_TARGET_BYTES
+            want[(prefix, b)][0] += 1
+            want[(prefix, b)][1] += row["size"]
+            cum += row["size"]
+    got = {
+        (r["prefix"], r["bin_id"]): [r["n_files"], r["total_bytes"]]
+        for _, r in res.iterrows()
+    }
+    assert got == dict(want)
+
+    for prefix, grp in res.groupby("prefix"):
+        bins = sorted(grp["bin_id"])
+        assert bins == list(range(len(bins)))  # contiguous from 0

@@ -73,6 +73,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "dedup_clusters",
         "dedup_canonical",
         "graph_pagerank",
+        "compaction_plan",
         "similarity_ivf",
         "similarity_topk",
         "dedup_embedding",
