@@ -21,17 +21,41 @@ JSON, DataFrame-backed models (bigram count tables, the band index) as
 parquet subdirectories.  ``load_models`` reconstructs each value in
 the exact shape its trainer caches — persisted DataFrames persisted
 again, broadcast payloads re-broadcast — so trainers find a cache hit
-and never re-run.
+and never re-run (tests/test_models.py pins the zero-jobs cache-hit
+and output-hash equality per kind).
+
+Contracts this file enforces rather than assumes:
+
+- ``save_models`` MERGES into an existing ``MODELS.json`` — a second
+  save with a ``keys`` subset must not orphan previously saved models
+  (the loader reads only the manifest).
+- Slugs key on a hash of the FULL ``sf_dir`` path, not its basename —
+  two fixture dirs sharing a basename must not overwrite each other.
+- Frame-backed kinds record their exact frame count in the manifest
+  and the loader reads exactly that many, failing loudly on a missing
+  frame — an ``os.path.exists`` probe would silently load zero frames
+  from a non-local ``store_dir`` that ``df.write.parquet`` happily
+  wrote to.
+- ``frames+scalars`` tuples must be frames-first (every DataFrame
+  before every scalar, the shape ``train_bigram_lm`` caches);
+  ``save_models`` raises on any other ordering instead of silently
+  reconstructing a permuted tuple.
 
 Scope: the TRAINED artifacts above.  Derived session caches (the
-multimodal encoded corpus, CDC state, the plan memo) are rebuilt from
-data by design and are deliberately not stored.  Unknown cache entries
-are skipped and reported, never silently dropped on a future trainer's
-behalf.
+multimodal encoded corpus, CDC state, the plan memo, the contamination
+bloom bitset — rebuilt from data by design) are skipped and reported,
+never silently dropped on a future trainer's behalf.
+
+The reference (/root/reference/src/main.rs) has no model surface; this
+backs the engine's trained-operator extension (SURVEY.md §2B).
+bench.py is the resident caller: every run round-trips the trained
+models through a scratch store and times the warm-started queries
+(``warm_start_sec`` vs ``cold_sec`` in BENCH_FULL.json).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Any
@@ -50,10 +74,14 @@ _KINDS = {
     "minhash_index": "frames",
 }
 
+_MANIFEST = "MODELS.json"
+
 
 def _slug(key: tuple) -> str:
     name, sf_dir = key
-    return f"{name}__{os.path.basename(str(sf_dir).rstrip('/'))}"
+    path = str(sf_dir).rstrip("/")
+    digest = hashlib.sha256(path.encode()).hexdigest()[:12]
+    return f"{name}__{os.path.basename(path)}__{digest}"
 
 
 def save_models(
@@ -61,13 +89,19 @@ def save_models(
 ) -> dict[str, list]:
     """Persist cached models to ``store_dir``; returns
     ``{"saved": [...], "skipped": [...]}`` (skipped = cache entries of
-    kinds this store does not cover — derived caches)."""
+    kinds this store does not cover — derived caches).  Merges into an
+    existing store: models already on disk but absent from this call's
+    cache (or filtered out by ``keys``) stay in the manifest."""
     import numpy as np
 
     mc = getattr(spark, "_smsp_model_cache", {}) or {}
     os.makedirs(store_dir, exist_ok=True)
-    saved, skipped = [], []
+    manifest_path = os.path.join(store_dir, _MANIFEST)
     manifest: dict[str, Any] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    saved, skipped = [], []
     for key, value in mc.items():
         if keys is not None and key not in keys:
             continue
@@ -80,6 +114,7 @@ def save_models(
             continue
         slug = _slug(key)
         base = os.path.join(store_dir, slug)
+        entry: dict[str, Any] = {"key": list(key), "kind": kind}
         if kind == "npy":
             np.save(base + ".npy", np.asarray(value))
         elif kind == "json":
@@ -88,19 +123,32 @@ def save_models(
         elif kind == "broadcast_json":
             with open(base + ".json", "w") as f:
                 json.dump(dict(value.value), f, sort_keys=True)
-        elif kind == "frames":
-            for i, df in enumerate(value):
-                df.write.mode("overwrite").parquet(f"{base}__f{i}.parquet")
-        elif kind == "frames+scalars":
+        elif kind in ("frames", "frames+scalars"):
             frames = [v for v in value if isinstance(v, DataFrame)]
             scalars = [v for v in value if not isinstance(v, DataFrame)]
+            if kind == "frames" and scalars:
+                raise ValueError(
+                    f"{slug}: kind 'frames' cache entry holds non-frame "
+                    f"members {scalars!r}"
+                )
+            # trainers cache (frames..., scalars...) tuples — the load
+            # path reconstructs in that order, so any interleaving
+            # would silently permute the tuple.  Fail loudly instead.
+            if list(value) != frames + scalars:
+                raise ValueError(
+                    f"{slug}: cache tuple must be frames-first "
+                    f"(got member types "
+                    f"{[type(v).__name__ for v in value]})"
+                )
             for i, df in enumerate(frames):
                 df.write.mode("overwrite").parquet(f"{base}__f{i}.parquet")
-            with open(base + ".json", "w") as f:
-                json.dump(scalars, f)
-        manifest[slug] = {"key": list(key), "kind": kind}
+            entry["n_frames"] = len(frames)
+            if kind == "frames+scalars":
+                with open(base + ".json", "w") as f:
+                    json.dump(scalars, f)
+        manifest[slug] = entry
         saved.append(slug)
-    with open(os.path.join(store_dir, "MODELS.json"), "w") as f:
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return {"saved": sorted(saved), "skipped": sorted(skipped)}
 
@@ -113,7 +161,7 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
     had been trained in-session."""
     import numpy as np
 
-    with open(os.path.join(store_dir, "MODELS.json")) as f:
+    with open(os.path.join(store_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     mc = getattr(spark, "_smsp_model_cache", None)
     if mc is None:
@@ -134,24 +182,21 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
         elif kind == "broadcast_json":
             with open(base + ".json") as f:
                 value = spark.sparkContext.broadcast(json.load(f))
-        elif kind == "frames":
-            i, frames = 0, []
-            while os.path.exists(f"{base}__f{i}.parquet"):
-                frames.append(
-                    spark.read.parquet(f"{base}__f{i}.parquet").persist()
-                )
-                i += 1
+        elif kind in ("frames", "frames+scalars"):
+            # the saved frame count is the source of truth: a missing
+            # frame directory is store corruption (or a non-local
+            # store_dir the save path wrote through Hadoop), never
+            # "fewer frames" — spark.read raises AnalysisException.
+            n_frames = meta["n_frames"]
+            frames = [
+                spark.read.parquet(f"{base}__f{i}.parquet").persist()
+                for i in range(n_frames)
+            ]
             value = tuple(frames)
-        elif kind == "frames+scalars":
-            i, frames = 0, []
-            while os.path.exists(f"{base}__f{i}.parquet"):
-                frames.append(
-                    spark.read.parquet(f"{base}__f{i}.parquet").persist()
-                )
-                i += 1
-            with open(base + ".json") as f:
-                scalars = json.load(f)
-            value = tuple(frames) + tuple(scalars)
+            if kind == "frames+scalars":
+                with open(base + ".json") as f:
+                    scalars = json.load(f)
+                value = value + tuple(scalars)
         else:  # pragma: no cover - manifest written by save_models
             raise ValueError(f"unknown model kind {kind!r} for {slug}")
         mc[key] = value

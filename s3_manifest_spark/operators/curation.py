@@ -1458,26 +1458,16 @@ def global_ordinal(
     a localCheckpoint (lineage truncated, nothing routed through the
     driver, blocks freed on GC).
     """
-    from s3_manifest_spark.registry import pin_partitions
+    from s3_manifest_spark.operators.sort_offsets import (
+        exclusive_offsets,
+        partition_weights,
+        pinned_range_sort,
+    )
 
     spark = df.sparkSession
-    data = pin_partitions(
-        df.repartitionByRange(SHUFFLE_PARTITIONS, *sort_cols)
-        .sortWithinPartitions(*sort_cols),
-        eager_cleanup,
-    )
-
-    counts = (
-        data.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in sorted(counts, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = acc
-        acc += r["count"]
+    data = pinned_range_sort(df, SHUFFLE_PARTITIONS, sort_cols, eager_cleanup)
+    meta = partition_weights(data, [], F.count(F.lit(1)))
+    offsets, _ = exclusive_offsets(meta)
     b_off = spark.sparkContext.broadcast(offsets)
 
     out_schema = ", ".join(

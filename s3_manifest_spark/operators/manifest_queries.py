@@ -773,38 +773,33 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-prefix running byte total is computed WITHOUT a window
     over a handful of giant prefix partitions (at 100 TB a prefix can
     hold billions of rows — ``sum() OVER (PARTITION BY prefix)`` would
-    sort-buffer each prefix on one task): instead the shuffle_epoch /
-    percentile_dist_exact metadata pattern — ONE range sort on
-    (prefix, key) with the layout pinned, a per-(partition, prefix)
-    byte-total metadata collect (≤ partitions × live prefixes short
-    rows), and an Arrow pass adding offset-corrected exclusive
-    cumsums.  All arithmetic is exact int64, so the plan is
-    bit-deterministic."""
+    sort-buffer each prefix on one task): instead the shared
+    sort_offsets machinery (also behind ``percentile_dist_exact`` and
+    ``shuffle_epoch``) — ONE range sort on (prefix, key) with the
+    layout pinned, a per-(partition, prefix) byte-total metadata
+    collect (≤ partitions × live prefixes short rows), and an Arrow
+    pass adding offset-corrected exclusive cumsums.  All arithmetic is
+    exact int64, so the plan is bit-deterministic.  Fixture cost is
+    the pattern's two-job floor (sort materializes during the metadata
+    job; the binning+agg collect is the second) — annotated
+    ``metadata_offset_pattern`` in bench queries_meta, 10× probed in
+    SCALE.md via tools/probe_sort_offsets_scale.py."""
     import numpy as np
 
-    from s3_manifest_spark.registry import pin_partitions
+    from s3_manifest_spark.operators.sort_offsets import (
+        exclusive_offsets,
+        partition_weights,
+        pinned_range_sort,
+    )
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     li = synth_listing(spark, sf_dir, widen=False)
     pf = li.select(
         F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
     )
-    data = pin_partitions(
-        pf.repartitionByRange(parts, "prefix", "key", "size")
-        .sortWithinPartitions("prefix", "key", "size"),
-        eager_cleanup=False,
-    )
-    meta = (
-        data.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "prefix")
-        .agg(F.sum("size").alias("b"))
-        .collect()
-    )
-    offsets: dict[tuple[int, str], int] = {}
-    totals: dict[str, int] = {}
-    for r in sorted(meta, key=lambda r: r["pid"]):
-        offsets[(r["pid"], r["prefix"])] = totals.get(r["prefix"], 0)
-        totals[r["prefix"]] = totals.get(r["prefix"], 0) + r["b"]
+    data = pinned_range_sort(pf, parts, ["prefix", "key", "size"])
+    meta = partition_weights(data, ["prefix"], F.sum("size"))
+    offsets, _totals = exclusive_offsets(meta, "prefix")
     b_off = spark.sparkContext.broadcast(offsets)
     target = COMPACTION_TARGET_BYTES
 

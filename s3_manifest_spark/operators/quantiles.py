@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import pin_partitions, register
+from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import load_table
 
 PCTS = (0.5, 0.95)
@@ -70,24 +70,23 @@ def group_percentiles(
     import numpy as np
     import pandas as pd
 
+    from s3_manifest_spark.operators.sort_offsets import (
+        partition_weights,
+        pinned_range_sort,
+    )
+
     spark = df.sparkSession
-    data = pin_partitions(
-        df.select("g", F.col("v").cast("double").alias("v"))
-        .repartitionByRange(partitions, "g", "v")
-        .sortWithinPartitions("g", "v"),
+    data = pinned_range_sort(
+        df.select("g", F.col("v").cast("double").alias("v")),
+        partitions,
+        ["g", "v"],
         eager_cleanup,
     )
 
     # ---- metadata pass: per-(partition, group) counts → target picks
-    counts = (
-        data.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "g")
-        .count()
-        .collect()
-    )
     per_group: dict[str, list[tuple[int, int]]] = defaultdict(list)
-    for r in counts:
-        per_group[r["g"]].append((r["pid"], r["count"]))
+    for r in partition_weights(data, ["g"], F.count(F.lit(1))):
+        per_group[r["g"]].append((r["pid"], r["w"]))
 
     # want[pid] = [(g, partition-local ordinal, p, role)], role ∈ lo/hi
     want: dict[int, list[tuple[str, int, float, str]]] = defaultdict(list)

@@ -10,8 +10,8 @@ maintainer (streaming/cdc.py) maintains the listing snapshot.  This
 module is that maintainer as a Structured Streaming drain:
 
 - the EXISTING corpus (``doc_id % SNAPSHOT_MOD != 0``) replays as a
-  multi-file parquet spool (``maxFilesPerTrigger=1`` → one micro-batch
-  per file — a day's ingest per trigger);
+  multi-file parquet spool drained in multiple micro-batches (a day's
+  ingest per trigger);
 - ``foreachBatch`` computes each batch's band rows + fingerprints with
   THE SAME seeded pipeline the batch index uses and appends them to
   the index store (executor→parquet, no driver hop — the cdc.py sink
@@ -110,10 +110,24 @@ def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     """Stage the existing-corpus split as a multi-file parquet spool
     (one micro-batch per file under maxFilesPerTrigger=1).  Built once
     per (sf, layout); content is deterministic and per-doc closure
-    makes the file assignment irrelevant to index content."""
+    makes the file assignment irrelevant to index content.
+
+    The scratch key carries a CONTENT fingerprint of the source table
+    (full sf_dir path hash + parquet row count + mtime), not just its
+    basename — a stale spool from a different run, or a different
+    fixture tree whose leaf dir shares a name, must never be reused
+    (ADVICE r9: the oracle mismatch would catch it, but only as a
+    confusing downstream failure)."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    stat_mtime = int(os.stat(src).st_mtime)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{parquet_row_count(src)}|{stat_mtime}".encode()
+    ).hexdigest()[:12]
     spool = os.path.join(
         scratch_base(),
-        f"smsp-docfeed-x{files}-{os.path.basename(sf_dir)}",
+        f"smsp-docfeed-x{files}-{os.path.basename(sf_dir)}-{fp}",
     )
     done = os.path.join(spool, "_SPOOL_READY")
     if not os.path.exists(done):
@@ -147,9 +161,13 @@ def stream_index_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = os.path.join(idx_dir, "shingles")
 
     schema = spark.read.parquet(spool).schema
+    # 2 files/trigger over the 4-file spool → 2 micro-batches: still
+    # proves multi-batch maintenance (per-doc closure makes the oracle
+    # indifferent to batching), at half the trigger+commit machinery
+    # and half the parquet append jobs of the r9 1-file/trigger drain.
     feed = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .format("parquet")
         .load(spool)
     )

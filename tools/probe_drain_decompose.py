@@ -57,6 +57,7 @@ DRAINS = [
     "stream_dedup_live",
     "stream_join_live",
     "stream_cdc_apply_live",
+    "stream_index_update_live",
 ]
 
 
