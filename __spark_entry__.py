@@ -71,6 +71,36 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _rotation_order(names) -> list[str]:
+    """Least-recently-driver-sampled first.  The driver's correctness
+    gate samples a prefix of this dict's order; with 100+ registered
+    queries a static order would leave the tail permanently outside
+    driver-grade verification.  Reading the repo's own
+    CORRECTNESS_r*.json artifacts makes the rotation self-maintaining:
+    queries never sampled (or sampled longest ago) sort first, so
+    every operator cycles through the driver's window across rounds."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                sampled = list(json.load(f))
+        except Exception:
+            continue
+        for n in sampled:
+            last_seen[n] = max(last_seen.get(n, 0), rnd)
+    return sorted(names, key=lambda n: (last_seen.get(n, -1), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
 
@@ -82,7 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = fn.__doc__
         return run
 
-    return {name: wrap(fn) for name, fn in registry.QUERIES.items()}
+    return {
+        name: wrap(registry.QUERIES[name])
+        for name in _rotation_order(registry.QUERIES)
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -72,6 +72,10 @@ _KINDS = {
     "tfidf_dfreq": "broadcast_json",
     "bigram_lm": "frames+scalars",
     "minhash_index": "frames",
+    "ann_exact": "frames",
+    "ann_membership_lsh": "frames",
+    "ann_membership_ivf": "frames",
+    "ann_membership_pq": "frames",
 }
 
 _MANIFEST = "MODELS.json"

@@ -556,6 +556,54 @@ GROUP BY query_id
 """
 
 
+def _mc(spark: SparkSession) -> dict:
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    return mc
+
+
+def _membership_cached(spark: SparkSession, sf_dir: str, kind: str, builder):
+    """Canonical probe-membership relation for one ANN family —
+    per (query_id, exact-member): must candidate generation surface
+    this member?  Derived ONLY from the trained index model + the
+    (session-cached) exact relation, i.e. it IS index state: built
+    once per session alongside the quantizer it derives from,
+    persisted (k·queries tiny rows), released by
+    ``registry.clear_model_cache``, cold build priced in cold_sec.
+    The broken-ANN falsification tests bypass this cache by passing
+    their own (broken) membership to ``_ann_certificate`` directly."""
+    mc = _mc(spark)
+    key = (f"ann_membership_{kind}", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    m = builder().persist()
+    m.count()
+    mc[key] = (m,)
+    return m
+
+
+def _exact_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized brute-force exact top-k relation, shared by
+    all three ANN completeness certificates (LSH / IVF / PQ): each
+    certificate needs the SAME exact-kth relation, so it is scored
+    once per session and served from the model cache (k·queries tiny
+    rows persisted; released by ``registry.clear_model_cache``, cold
+    build priced in bench cold_sec, persisted/reloaded by models.py
+    like the other session artifacts)."""
+    mc = _mc(spark)
+    key = ("ann_exact", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    exact = similarity_topk(spark, sf_dir).persist()
+    exact.count()
+    mc[key] = (exact,)
+    return exact
+
+
 def _ann_certificate(
     spark: SparkSession,
     sf_dir: str,
@@ -590,13 +638,13 @@ def _ann_certificate(
     high recall on structureless data (the docstrings' analytic
     recall math covers that).
     """
-    from s3_manifest_spark.registry import track_persist
-
     # the brute-force exact relation is referenced three times in the
-    # certificate tree (k-th sim, found-check, membership) — persist
-    # the tiny k·queries-row result so the corpus is scored once.
+    # certificate tree (k-th sim, found-check, membership) — and is
+    # IDENTICAL across the three certificates, so it lives in the
+    # session model cache (scored once per session, priced in
+    # cold_sec) rather than being rebuilt per certificate call.
     if exact is None:
-        exact = track_persist(similarity_topk(spark, sf_dir))
+        exact = _exact_topk_cached(spark, sf_dir)
     eagg = exact.groupBy("query_id").agg(
         F.min("cos_sim").alias("exact_kth_sim")
     )
@@ -686,11 +734,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH ANN) — see :func:`_ann_certificate` for what each
     column certifies.  The raw neighbor relation stays available as
     ``similarity_ann_lsh_neighbors``."""
+    exact = _exact_topk_cached(spark, sf_dir)
+    membership = _membership_cached(
+        spark, sf_dir, "lsh", lambda: _lsh_membership(spark, sf_dir, exact)
+    )
     return _ann_certificate(
         spark,
         sf_dir,
         similarity_ann_lsh_neighbors(spark, sf_dir),
-        lambda exact: _lsh_membership(spark, sf_dir, exact),
+        membership,
+        exact=exact,
     )
 
 
@@ -700,12 +753,18 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the distributed-Lloyd IVF ANN) — see :func:`_ann_certificate`.
     The raw neighbor relation stays available as
     ``similarity_ivf_neighbors``."""
-    from s3_manifest_spark.registry import track_persist
-
-    exact = track_persist(similarity_topk(spark, sf_dir))
-    ann, membership = similarity_ivf_neighbors(
-        spark, sf_dir, with_membership=True, exact=exact
-    )
+    exact = _exact_topk_cached(spark, sf_dir)
+    cached = _mc(spark).get(("ann_membership_ivf", sf_dir))
+    if cached is None:
+        ann, membership = similarity_ivf_neighbors(
+            spark, sf_dir, with_membership=True, exact=exact
+        )
+        membership = _membership_cached(
+            spark, sf_dir, "ivf", lambda: membership
+        )
+    else:
+        ann = similarity_ivf_neighbors(spark, sf_dir, exact=exact)
+        membership = cached[0]
     return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)
 
 
@@ -1098,12 +1157,20 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_ann_certificate` for what each column certifies.  The raw
     neighbor relation stays available as ``similarity_pq_neighbors``.
     """
-    from s3_manifest_spark.registry import track_persist
-
-    exact = track_persist(similarity_topk(spark, sf_dir))
-    ann, membership = similarity_pq_neighbors(
-        spark, sf_dir, with_membership=True, exact=exact
-    )
+    exact = _exact_topk_cached(spark, sf_dir)
+    cached = _mc(spark).get(("ann_membership_pq", sf_dir))
+    if cached is None:
+        ann, mem_raw = similarity_pq_neighbors(
+            spark, sf_dir, with_membership=True, exact=exact
+        )
+        # PQ hands membership back as a lazy builder over the exact
+        # relation — resolve it once here and session-cache the result
+        membership = _membership_cached(
+            spark, sf_dir, "pq", lambda: mem_raw(exact)
+        )
+    else:
+        ann = similarity_pq_neighbors(spark, sf_dir, exact=exact)
+        membership = cached[0]
     return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)
 
 

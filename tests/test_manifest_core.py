@@ -577,6 +577,12 @@ def test_compaction_plan_invariants(spark):
     }
     assert got == dict(want)
 
+    # bin ids are sorted/unique per prefix and match the recompute
+    # exactly (via `got == want` above).  NOT asserted contiguous:
+    # a file larger than COMPACTION_TARGET_BYTES legitimately skips
+    # bin ids (the oversized file owns its exclusive-cumsum bin), so
+    # contiguity is a fixture artifact, not an operator property.
     for prefix, grp in res.groupby("prefix"):
         bins = sorted(grp["bin_id"])
-        assert bins == list(range(len(bins)))  # contiguous from 0
+        assert len(set(bins)) == len(bins)
+        assert bins == sorted({b for (p, b) in want if p == prefix})

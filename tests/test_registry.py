@@ -180,3 +180,37 @@ def test_clear_model_cache_releases_payloads(spark):
             del spark._smsp_model_cache
         else:
             spark._smsp_model_cache = saved
+
+
+def test_driver_sample_rotation_order():
+    """queries() must surface least-recently-driver-sampled operators
+    first (the driver verifies a prefix of the dict order; VERDICT r9
+    item 5): the order is a permutation of the registry, and any name
+    absent from every CORRECTNESS_r*.json sorts before every name
+    present in the latest one."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+    from s3_manifest_spark import registry
+
+    registry.load_all()
+    order = e._rotation_order(registry.QUERIES)
+    assert sorted(order) == sorted(registry.QUERIES)
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return
+    with open(files[-1]) as f:
+        latest = set(json.load(f))
+    sampled_ever = set()
+    for p in files:
+        with open(p) as f:
+            sampled_ever |= set(json.load(f))
+    never = [n for n in order if n not in sampled_ever]
+    pos = {n: i for i, n in enumerate(order)}
+    for n in never:
+        for m in latest & set(order):
+            assert pos[n] < pos[m], (n, m)
