@@ -262,7 +262,12 @@ def main() -> int:
     # the single-pass window the in-process oracle fuses BECAUSE the
     # window form buffers whole groups on one task at 100 TB.  10×
     # scaling measured in SCALE.md (tools/probe_sort_offsets_scale.py).
-    for q in ("compaction_plan", "percentile_dist_exact", "shuffle_epoch"):
+    for q in (
+        "compaction_plan",
+        "percentile_dist_exact",
+        "shuffle_epoch",
+        "partition_advisor",
+    ):
         if q in timings:
             queries_meta.setdefault(q, {})["metadata_offset_pattern"] = True
 

@@ -204,6 +204,7 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from s3_manifest_spark.operators import (  # noqa: F401
         manifest_queries,
+        lakehouse,
         relational,
         bpe,
         dedup,

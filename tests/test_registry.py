@@ -89,6 +89,10 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "contamination_bloom",
         "quality_classifier_trained",
         "similarity_pq",
+        # r10: the shared exact-topk + per-family membership relations
+        # are session-cached models now — first construction
+        # materializes them by design
+        "similarity_ann_lsh",
         "dedup_incremental",
         "semdedup",
         "lm_perplexity",
