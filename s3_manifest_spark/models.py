@@ -76,6 +76,7 @@ _KINDS = {
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",
+    "pagerank_graph": "frames+scalars",
 }
 
 _MANIFEST = "MODELS.json"

@@ -32,6 +32,9 @@ TRAINED = {
     "broadcast_json": ("tfidf_dfreq", "tfidf_topterms"),
     "frames": ("minhash_index", "dedup_incremental"),
     "frames+scalars": ("bigram_lm", "lm_perplexity"),
+    # second frames+scalars kind (r10): the maintained near-dup edge
+    # relation behind graph_pagerank
+    "graph": ("pagerank_graph", "graph_pagerank"),
 }
 
 
@@ -39,6 +42,7 @@ def _trainers(spark):
     from s3_manifest_spark.operators.bpe import train_bpe
     from s3_manifest_spark.operators.curation import _tfidf_dfreq
     from s3_manifest_spark.operators.dedup import _minhash_index
+    from s3_manifest_spark.operators.graph import _pagerank_graph_cached
     from s3_manifest_spark.operators.ml import train_bigram_lm, train_quality_lr
 
     return {
@@ -47,6 +51,7 @@ def _trainers(spark):
         "tfidf_dfreq": lambda: _tfidf_dfreq(spark, SF),
         "minhash_index": lambda: _minhash_index(spark, SF),
         "bigram_lm": lambda: train_bigram_lm(spark, SF),
+        "pagerank_graph": lambda: _pagerank_graph_cached(spark, SF),
     }
 
 
