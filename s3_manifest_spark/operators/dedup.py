@@ -2084,3 +2084,78 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_size",
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning curve (r10): expected banding recall on the ACTUAL corpus
+# ---------------------------------------------------------------------------
+
+#: candidate (bands, rows) splits of the MINHASH_K=16 signature
+LSH_TUNING_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _capture_expr(b: int, r: int) -> str:
+    """``1-(1-j^r)^b`` with BOTH powers expanded to repeated
+    multiplication — identical IEEE product chains in both engines
+    (libm ``pow`` is implementation-defined; multiplication is not),
+    over the 4-dp-rounded jaccard both relations already share."""
+    jr = "(" + " * ".join(["jaccard"] * r) + ")"
+    miss = "(" + " * ".join([f"(1.0 - {jr})"] * b) + ")"
+    return f"(1.0 - {miss})"
+
+
+def _lsh_tuning_oracle() -> str:
+    arms = []
+    for b, r in LSH_TUNING_CONFIGS:
+        p = _capture_expr(b, r)
+        arms.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg({p}), 6) AS expected_recall,
+       round(min({p}), 6) AS min_capture
+FROM p"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH p AS MATERIALIZED ({_JACCARD_PAIRS_VALUED_SQL})\n{body}"
+
+
+@register("lsh_tuning_curve", oracle=_lsh_tuning_oracle())
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How should the MinHash LSH split its K=16 signature at 100 TB?
+    For every (bands, rows) division, the expected banding recall on
+    the corpus's OWN duplicate-pair similarity distribution — the
+    S-curve ``P(candidate) = 1-(1-j^r)^b`` averaged over the exact
+    ≥-threshold pairs, plus the worst pair's capture probability.
+    ``dedup_minhash_lsh`` runs (4, 4); this query is the evidence for
+    that choice and the dial for retuning when the duplicate-
+    similarity profile shifts (recall rises with more bands, candidate
+    volume — verification cost — rises with them too).
+
+    One pass over the (already pair-bounded) exact relation: the five
+    configs are computed as five aggregate columns and unpivoted with
+    ``stack`` — no joins, no extra shuffle beyond the pair build.
+    Determinism: powers expand to multiplication chains over the
+    4-dp-rounded jaccard (:func:`_capture_expr`), min is
+    order-independent, avg rounds to 6 dp (absorbs summation-order
+    last-ulp noise) — the ml.py rounding-contract recipe."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for b, r in LSH_TUNING_CONFIGS:
+        p = _capture_expr(b, r)
+        aggs += [
+            F.round(F.avg(F.expr(p)), 6).alias(f"er_{b}_{r}"),
+            F.round(F.min(F.expr(p)), 6).alias(f"mc_{b}_{r}"),
+        ]
+    wide = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), er_{b}_{r}, mc_{b}_{r}"
+        for b, r in LSH_TUNING_CONFIGS
+    )
+    return wide.selectExpr(
+        "n_pairs",
+        f"stack({len(LSH_TUNING_CONFIGS)}, {stack_args}) AS "
+        "(bands, rows_per_band, expected_recall, min_capture)",
+    ).select(
+        "bands", "rows_per_band", "n_pairs", "expected_recall", "min_capture"
+    )

@@ -217,11 +217,20 @@ def train_quality_lr(
     return w
 
 
-def _oracle_sql() -> str:
+def _z_sql() -> str:
+    return " + ".join(f"w{j}*f{j}" for j in range(_N_FEATURES))
+
+
+def _gd_cte() -> str:
+    """The shared oracle prelude: featurization + the unrolled
+    gradient-descent training trajectory, ending with the trained
+    weight row ``w`` — reused by every query that scores with the
+    trained classifier (the hash match certifies the training
+    trajectory each time)."""
     feat_cols = ",\n         ".join(
         f"{sql} AS {name}" for name, sql in _FEATURE_SQL
     )
-    z = " + ".join(f"w{j}*f{j}" for j in range(_N_FEATURES))
+    z = _z_sql()
     steps = ",\n    ".join(
         f"round(w{j} - {LR_RATE} * (SELECT avg((1/(1+exp(-({z}))) - y) * f{j})"
         f" FROM tfeat), {LR_WROUND})"
@@ -244,7 +253,12 @@ gd(t, {wcols}) AS (
     {steps}
   FROM gd WHERE t < {LR_ITERS}
 ),
-w AS (SELECT * FROM gd WHERE t = {LR_ITERS})
+w AS (SELECT * FROM gd WHERE t = {LR_ITERS})"""
+
+
+def _oracle_sql() -> str:
+    z = _z_sql()
+    return f"""{_gd_cte()}
 SELECT doc_id,
        round(1/(1+exp(-({z}))), {SCORE_ROUND}) AS quality_score,
        round(1/(1+exp(-({z}))), {SCORE_ROUND}) >= 0.5 AS pred_quality,
@@ -449,4 +463,55 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.exp(-F.round(F.avg(logp), LM_LP_ROUND)), LM_PPL_ROUND
             ).alias("ppl"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score histogram (r10): the threshold-choosing view
+# ---------------------------------------------------------------------------
+
+def _histogram_oracle() -> str:
+    z = _z_sql()
+    return f"""{_gd_cte()},
+scored AS (
+  SELECT round(1/(1+exp(-({z}))), {SCORE_ROUND}) AS q FROM feat, w
+)
+SELECT CAST(least(floor(q * 10), 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(q), {SCORE_ROUND}) AS min_score,
+       round(max(q), {SCORE_ROUND}) AS max_score,
+       round(avg(q), 6) AS avg_score
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("quality_histogram", oracle=_histogram_oracle())
+def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of the TRAINED classifier's corpus scores —
+    the view a curator reads to choose the quality threshold (keep the
+    top-k deciles, or place the cut where the mass thins).  One row
+    per occupied decile: ``(decile, n_docs, min/max/avg score)``.
+
+    Warm path is the 100 TB serving shape: the cached weights fold
+    into ONE codegen'd scoring projection feeding a ≤10-key combinable
+    rollup — no joins, no Python, nothing driver-side but the weight
+    literals.  The oracle re-runs the full unrolled-GD training
+    trajectory (the ml.py determinism contract) and buckets the same
+    rounded scores, so the hash certifies training + scoring +
+    binning end-to-end; avg rounds to 6 dp (order noise), min/max are
+    order-free."""
+    w = train_quality_lr(spark, sf_dir)
+    scored = score_with_weights(spark, sf_dir, w).select(
+        F.col("quality_score").alias("q")
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("q") * 10), F.lit(9))
+        .cast("long")
+        .alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("q"), SCORE_ROUND).alias("min_score"),
+        F.round(F.max("q"), SCORE_ROUND).alias("max_score"),
+        F.round(F.avg("q"), 6).alias("avg_score"),
     )

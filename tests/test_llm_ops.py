@@ -804,3 +804,36 @@ def test_embedding_quantize_int8_invariants(spark):
         mse = float(((e - codes * scale) ** 2).mean())
         assert abs(got["mse"] - mse) < 1e-11
         assert got["mse"] <= (scale / 2) ** 2 + 1e-15
+
+
+def test_lsh_tuning_curve_matches_recompute_and_is_monotone(spark):
+    """The S-curve numbers must equal a pandas recompute over the exact
+    pair relation, and recall must fall as rows-per-band grows (the
+    banding tradeoff the operator exists to expose)."""
+    from s3_manifest_spark.operators.dedup import (
+        LSH_TUNING_CONFIGS,
+        dedup_ngram_jaccard,
+        lsh_tuning_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    jac = dedup_ngram_jaccard(spark, sf).toPandas()["jaccard"]
+    got = (
+        lsh_tuning_curve(spark, sf)
+        .toPandas()
+        .set_index(["bands", "rows_per_band"])
+    )
+    assert (got["n_pairs"] == len(jac)).all()
+    prev = 2.0
+    for b, r in LSH_TUNING_CONFIGS:
+        p = 1.0 - (1.0 - jac**r) ** b
+        row = got.loc[(b, r)]
+        assert abs(row["expected_recall"] - round(p.mean(), 6)) < 1e-9
+        assert abs(row["min_capture"] - round(p.min(), 6)) < 1e-9
+        assert 0.0 <= row["expected_recall"] <= 1.0
+        # more bands (shorter rows) can only raise capture probability
+        assert row["expected_recall"] <= prev + 1e-12
+        prev = row["expected_recall"]
+    # the production config (4,4) must sit on the curve with high
+    # recall on this corpus's actual duplicate profile
+    assert got.loc[(4, 4), "expected_recall"] > 0.9

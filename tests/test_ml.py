@@ -106,3 +106,26 @@ def test_lm_model_session_cached(spark):
     assert a is b
     bi, uni, vocab, bigram_rows = a
     assert vocab > 0 and bigram_rows > 0
+
+
+def test_quality_histogram_matches_scored_recompute(spark):
+    """The histogram must be exactly the decile rollup of the scored
+    relation (same weights, same rounding), and cover every doc."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.ml import (
+        quality_histogram,
+        quality_classifier_trained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scored = quality_classifier_trained(spark, sf).toPandas()
+    got = quality_histogram(spark, sf).toPandas().set_index("decile")
+    q = scored["quality_score"]
+    dec = np.minimum(np.floor(q * 10), 9).astype("int64")
+    assert got["n_docs"].sum() == len(scored)
+    for d, grp in q.groupby(dec):
+        assert got.loc[d, "n_docs"] == len(grp)
+        assert got.loc[d, "min_score"] == round(grp.min(), 6)
+        assert got.loc[d, "max_score"] == round(grp.max(), 6)
+        assert abs(got.loc[d, "avg_score"] - round(grp.mean(), 6)) < 1e-9

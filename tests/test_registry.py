@@ -88,6 +88,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "manifest_apply_changes",
         "contamination_bloom",
         "quality_classifier_trained",
+        "quality_histogram",
         "similarity_pq",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
