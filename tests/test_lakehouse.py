@@ -171,3 +171,32 @@ def test_zorder_prune_certifies_real_pruning(spark, listing_pdf):
     # pruning must actually prune: the needed cells hold fewer files
     # than the table (a layout with no pruning value would fail this)
     assert row["n_files_in_cells"] < row["n_files_total"]
+
+
+def test_manifest_prune_two_level_reconciles(spark, listing_pdf):
+    """Group overlap decisions must match a pandas recompute, and the
+    two-level claim must hold: every matching file lives in an opened
+    group (no false negatives, ever)."""
+    from s3_manifest_spark.operators.lakehouse import (
+        MPRUNE_KEY_HI,
+        MPRUNE_KEY_LO,
+        manifest_prune,
+    )
+
+    row = manifest_prune(spark, SF).toPandas().iloc[0]
+    li = listing_pdf.copy()
+    li["prefix"] = li["key"].str.split("/").str[:2].str.join("/")
+    li["hit"] = ((li["key"] >= MPRUNE_KEY_LO) & (li["key"] < MPRUNE_KEY_HI)).astype(int)
+    g = li.groupby("prefix").agg(
+        min_key=("key", "min"), max_key=("key", "max"),
+        files=("key", "size"), hits=("hit", "sum"),
+    )
+    opened = (g["min_key"] < MPRUNE_KEY_HI) & (g["max_key"] >= MPRUNE_KEY_LO)
+    assert row["n_groups_total"] == len(g)
+    assert row["n_groups_opened"] == int(opened.sum())
+    assert row["n_files_total"] == len(li)
+    assert row["n_files_in_opened"] == int(g.loc[opened, "files"].sum())
+    assert row["n_matching"] == int(li["hit"].sum())
+    # completeness: matching files only exist inside opened groups
+    assert int(g.loc[~opened, "hits"].sum()) == 0
+    assert row["n_matching"] > 0
