@@ -74,6 +74,16 @@ HEADLINERS = {
     "aggregate (N/avgdl/per-term df) broadcast over a shuffle-free "
     "scoring projection; global top-k is a TakeOrdered merge of "
     "per-partition partials",
+    "zorder_layout": "the 32-term Morton interleave folds into ONE "
+    "whole-stage-codegen projection + a 256-key combinable rollup: "
+    "no Python, no wide shuffle — OPTIMIZE ZORDER planning as a "
+    "metadata job",
+    "vacuum_plan": "packed-long key reconciliation: the exchange "
+    "ships an 8-byte key + 4-byte date per row; mtime strings rebuilt "
+    "per RESULT row after the rollup",
+    "manifest_prune": "two-level scan planning: per-prefix stats "
+    "partials combine map-side; the final decision aggregates the "
+    "TINY group relation, never the file list",
     "graph_pagerank": "fixed-K power iteration unrolled into ONE lazy "
     "plan (r10): per round a tiny node-keyed pr⋈deg pre-join "
     "(AQE-broadcast) then a SINGLE |E|-touching join + one dst-keyed "
