@@ -2159,3 +2159,71 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bands", "rows_per_band", "n_pairs", "expected_recall", "min_capture"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile (r10): the MINHASH_MAX_DF evidence
+# ---------------------------------------------------------------------------
+
+#: log2-style df buckets: bucket i holds shingles with df in
+#: (2^(i-1), 2^i]; the last bucket is unbounded.  Integer CASE ladder
+#: (no float log2 — exact in every engine).
+SHINGLE_DF_BUCKETS = 8
+
+
+def _df_bucket_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} <= {1 << i} THEN {i}"
+        for i in range(SHINGLE_DF_BUCKETS - 1)
+    )
+    return f"CASE {arms} ELSE {SHINGLE_DF_BUCKETS - 1} END"
+
+
+def _shingle_df_oracle() -> str:
+    case = _df_bucket_case("df")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+  FROM toks
+),
+dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+SELECT CAST({case} AS BIGINT)      AS df_bucket,
+       CAST(count(*) AS BIGINT)    AS n_shingles,
+       CAST(sum(df) AS BIGINT)     AS n_postings,
+       CAST(max(df) AS BIGINT)     AS max_df
+FROM dfreq
+GROUP BY 1
+"""
+
+
+@register("shingle_df_profile", oracle=_shingle_df_oracle())
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency profile of the corpus's shingle relation —
+    the evidence behind :data:`MINHASH_MAX_DF` (the stop-shingle cap)
+    and the banded-bucket skew story: per log2 df bucket, how many
+    distinct shingles live there and how much POSTING mass
+    (``Σ df`` — the quantity that explodes LSH bucket lists and the
+    pair expansion, which is O(df²) per shingle) they carry.  A cap at
+    2^k zeroes exactly the buckets above k; this query shows what that
+    costs in recall mass before you set it.
+
+    Shape: the shared Arrow shingle kernel (fingerprints, longs on the
+    wire), ONE combinable shuffle keyed by fingerprint for df, and a
+    ≤8-key rollup.  The oracle recomputes df over the STRING shingles
+    — a hash match therefore also re-certifies the fingerprint
+    kernel's injectivity on this corpus (the dedup_ngram_jaccard
+    collision argument: deterministic fps, ~5e-8)."""
+    sh = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents", widen=True)
+    )
+    dfreq = sh.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.groupBy(
+        F.expr(_df_bucket_case("df")).cast("long").alias("df_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("n_postings"),
+        F.max("df").alias("max_df"),
+    )

@@ -837,3 +837,33 @@ def test_lsh_tuning_curve_matches_recompute_and_is_monotone(spark):
     # the production config (4,4) must sit on the curve with high
     # recall on this corpus's actual duplicate profile
     assert got.loc[(4, 4), "expected_recall"] > 0.9
+
+
+def test_shingle_df_profile_reconciles_with_pair_relation(spark):
+    """Bucket totals must cover the whole shingle relation exactly and
+    respect the log2 ladder; the cap evidence must be actionable:
+    capping at MINHASH_MAX_DF would keep every bucket on this corpus
+    (the documented no-op guard)."""
+    from s3_manifest_spark.operators.dedup import (
+        MINHASH_MAX_DF,
+        SHINGLE_DF_BUCKETS,
+        shingle_df_profile,
+        shingle_fingerprints,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = shingle_df_profile(spark, sf).toPandas().set_index("df_bucket")
+    sh = shingle_fingerprints(
+        load_table(spark, sf, "documents")
+    ).toPandas()
+    df = sh.groupby("fp").size()
+    assert got["n_shingles"].sum() == df.nunique() or got[
+        "n_shingles"
+    ].sum() == len(df)
+    assert got["n_postings"].sum() == len(sh)
+    for b, row in got.iterrows():
+        if b < SHINGLE_DF_BUCKETS - 1:
+            assert row["max_df"] <= (1 << b)
+    assert got["max_df"].max() == df.max()
+    assert got["max_df"].max() < MINHASH_MAX_DF  # cap is inert here
