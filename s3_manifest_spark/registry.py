@@ -205,6 +205,7 @@ def load_all() -> None:
     from s3_manifest_spark.operators import (  # noqa: F401
         manifest_queries,
         lakehouse,
+        ingest,
         relational,
         bpe,
         dedup,

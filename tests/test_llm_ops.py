@@ -867,3 +867,66 @@ def test_shingle_df_profile_reconciles_with_pair_relation(spark):
             assert row["max_df"] <= (1 << b)
     assert got["max_df"].max() == df.max()
     assert got["max_df"].max() < MINHASH_MAX_DF  # cap is inert here
+
+
+def test_ingest_roundtrip_detects_corruption(spark, tmp_path):
+    """The checksum must equal the parquet-side recompute, and must
+    actually falsify: corrupting one character of one spooled document
+    flips the affected (format, lang) row."""
+    import glob
+    import hashlib
+
+    from s3_manifest_spark.operators.ingest import (
+        _spool_formats,
+        ingest_roundtrip,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ingest_roundtrip(spark, sf).toPandas()
+    docs = load_table(spark, sf, "documents").select("text", "lang").toPandas()
+    want = docs.groupby("lang").agg(
+        n_docs=("text", "size"),
+        text_mass=("text", lambda s: int(s.str.len().sum())),
+        text_cksum=(
+            "text",
+            lambda s: sum(
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in s
+            ),
+        ),
+    )
+    for _, row in got.iterrows():
+        w = want.loc[row["lang"]]
+        assert row["n_docs"] == w["n_docs"], row["format"]
+        assert row["text_mass"] == w["text_mass"], row["format"]
+        assert row["text_cksum"] == w["text_cksum"], row["format"]
+
+    # falsification: flip one byte in one JSONL part file (drop the
+    # Hadoop .crc sidecar first — otherwise the ChecksumFileSystem
+    # rejects the read before the checksum column ever sees the byte)
+    import os
+
+    base = _spool_formats(spark, sf)
+    part = sorted(glob.glob(f"{base}/jsonl/part-*"))[0]
+    crc = os.path.join(
+        os.path.dirname(part), "." + os.path.basename(part) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    raw = open(part, "rb").read()
+    idx = raw.index(b'"text":"') + len(b'"text":"')
+    corrupted = raw[:idx] + b"X" + raw[idx + 1 :]
+    try:
+        open(part, "wb").write(corrupted)
+        getattr(spark, "_smsp_plan_cache", {}).clear()
+        spark.catalog.clearCache()
+        bad = ingest_roundtrip(spark, sf).toPandas()
+        merged = bad.merge(
+            got, on=["format", "lang"], suffixes=("_bad", "_ok")
+        )
+        jl = merged[merged["format"] == "jsonl"]
+        assert (jl["text_cksum_bad"] != jl["text_cksum_ok"]).any()
+    finally:
+        open(part, "wb").write(raw)
+        getattr(spark, "_smsp_plan_cache", {}).clear()
+        spark.catalog.clearCache()

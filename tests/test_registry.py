@@ -89,6 +89,8 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "contamination_bloom",
         "quality_classifier_trained",
         "quality_histogram",
+        # r10: first construction writes the format spools to scratch
+        "ingest_roundtrip",
         "similarity_pq",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
