@@ -646,3 +646,73 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (r10): the measured basis for salting decisions
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "skew_report",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows
+      FROM per_key
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, l_orderkey)
+                AS BIGINT)                        AS rnk,
+           l_orderkey,
+           n_rows,
+           CAST(n_rows * n_keys * 1000 // total_rows AS BIGINT)
+                                                  AS skew_x1000
+    FROM per_key, tot
+    ORDER BY n_rows DESC, l_orderkey
+    LIMIT {SKEW_TOP_K}
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heaviest join keys and their skew factor — the measurement
+    a salting decision (``skew_salted_join``/``skew_salted_agg``) is
+    made FROM: the top-:data:`SKEW_TOP_K` ``l_orderkey`` values by row
+    count with ``skew_x1000 = rows·keys·1000 ÷ total`` (1000 = a
+    perfectly uniform key; exact integer arithmetic, so the factor is
+    engine-identical).  At 100 TB this is how you find the key that
+    will straggle a reducer BEFORE the join runs.
+
+    Plan: one map-side-combinable count per key, a 2-scalar total
+    (rides a 1-row broadcast cross join), and a global top-K —
+    TakeOrdered over per-partition heaps, never a full sort; nothing
+    driver-side but the K result rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+    topk = (
+        per_key.orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(SKEW_TOP_K)
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), "l_orderkey")
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "l_orderkey",
+        "n_rows",
+        # integer `div`, not double `/`+cast: the double quotient can
+        # round up across an integer boundary, diverging from the
+        # oracle's exact `//`
+        F.expr("n_rows * n_keys * 1000 div total_rows")
+        .cast("long")
+        .alias("skew_x1000"),
+    )

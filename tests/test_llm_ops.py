@@ -930,3 +930,26 @@ def test_ingest_roundtrip_detects_corruption(spark, tmp_path):
         open(part, "wb").write(raw)
         getattr(spark, "_smsp_plan_cache", {}).clear()
         spark.catalog.clearCache()
+
+
+def test_skew_report_matches_pandas_recompute(spark):
+    from s3_manifest_spark.operators.relational import (
+        SKEW_TOP_K,
+        skew_report,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = skew_report(spark, sf).toPandas().sort_values("rnk")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey").toPandas()
+    counts = li.groupby("l_orderkey").size()
+    want = counts.reset_index(name="n_rows").sort_values(
+        ["n_rows", "l_orderkey"], ascending=[False, True]
+    ).head(SKEW_TOP_K).reset_index(drop=True)
+    assert list(got["l_orderkey"]) == list(want["l_orderkey"])
+    assert list(got["n_rows"]) == list(want["n_rows"])
+    n_keys, total = len(counts), int(counts.sum())
+    assert list(got["skew_x1000"]) == [
+        r * n_keys * 1000 // total for r in want["n_rows"]
+    ]
+    assert list(got["rnk"]) == list(range(1, SKEW_TOP_K + 1))
