@@ -309,3 +309,47 @@ def test_widen_gate_disables_at_scale(spark, tmp_path):
         df1._jdf.queryExecution(), "formatted"
     )
     assert re.search(r"RoundRobinPartitioning", plan1, re.IGNORECASE), plan1
+
+
+def test_zorder_layout_is_codegen_projection_plus_rollup(spark):
+    """The 32-term Morton interleave must fold into whole-stage codegen
+    (no Python evaluator), with exactly one keyed exchange (the
+    256-cell rollup) and a column-pruned scan."""
+    plan = plan_of(spark, "zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert _n_exchanges(plan) <= 1, plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_comment" not in read_schema
+    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial+final
+
+
+def test_vacuum_plan_ships_packed_keys(spark):
+    """The reconciliation exchange must hash the packed LONG key, not
+    the rebuilt key string (the manifest_diff fusion)."""
+    plan = plan_of(spark, "vacuum_plan")
+    # formatted mode puts Exchange args on their own "Arguments:" line
+    assert re.search(r"hashpartitioning\(k#\d+L", plan), plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_manifest_prune_decides_from_group_stats(spark):
+    """Two-level planning: one partial+final stats aggregation, and the
+    final decision aggregate runs over the tiny group relation (no
+    second scan of the listing)."""
+    plan = plan_of(spark, "manifest_prune")
+    # formatted mode lists each node twice (tree + details): count the
+    # numbered detail headers, one per physical scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 4  # two 2-phase aggs
+
+
+def test_quality_histogram_warm_plan_is_scoring_projection(spark):
+    """With the weights cached, the plan must contain no join and no
+    Python — one scan, one projection, one <=10-key rollup."""
+    from s3_manifest_spark.operators.ml import train_quality_lr
+
+    train_quality_lr(spark, SF)  # ensure warm
+    plan = plan_of(spark, "quality_histogram")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
