@@ -1249,3 +1249,97 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(aggregate(zip_with(e, codes, (x, c) -> pow(x - c * scale, 2)),"
         " CAST(0 AS DOUBLE), (acc, d) -> acc + d) / size(e), 12) AS mse",
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification (r10): label propagation over the exact relation
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {MAX_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim
+  FROM q JOIN v ON vec_id <> query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {TOP_K}
+),
+votes AS (
+  SELECT t.query_id, CAST(l.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS predicted_label, votes
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT p.query_id, p.predicted_label, p.votes,
+       CAST(e.label AS BIGINT) AS true_label,
+       p.predicted_label = CAST(e.label AS BIGINT) AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
+@register("knn_classify", oracle=_KNN_ORACLE)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label vote over the exact cosine relation —
+    the weak-supervision / label-propagation primitive: each query
+    vector takes the majority label of its :data:`TOP_K` exact
+    neighbors (tie-break: vote count desc, label asc — deterministic
+    in both engines), emitted next to its true label.
+
+    Rides the session-cached exact relation the ANN certificates
+    share, so the warm plan is two tiny joins + a vote rollup.  Join
+    direction is the 100 TB-correct one: the k·queries-row exact
+    relation BROADCASTS into the (corpus-sized) label relation —
+    labels never broadcast and never shuffle wider than the vote
+    keys."""
+    from pyspark.sql import Window
+
+    exact = _exact_topk_cached(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    votes = (
+        labels.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(exact.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

