@@ -375,3 +375,80 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("step_click"),
         F.count(F.when(purchased, 1)).alias("step_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly volume anomalies (r10): exact-integer z-scores
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 2.0  # flag hours whose rounded |z| meets this
+
+
+@register(
+    "hourly_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(c) AS BIGINT)     AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, h.hour, h.c,
+             round((h.c * t.n - t.s) / sqrt(CAST(t.n * t.ss - t.s * t.s
+                                                 AS DOUBLE)), 6) AS zscore
+      FROM hourly h JOIN stats t USING (event_type)
+      WHERE t.n * t.ss - t.s * t.s > 0
+    )
+    SELECT event_type, hour, c AS n_events, zscore
+    FROM z WHERE abs(zscore) >= {ANOMALY_Z}
+    """,
+)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is a ≥:data:`ANOMALY_Z`σ outlier for
+    their event type — the monitoring primitive over the hourly
+    rollup.  ``(event_type, hour, n_events, zscore)``.
+
+    Numerics contract (why this hashes exactly, unlike a naive
+    stddev): the z-score is computed as ``(c·n − s) / √(n·ss − s²)``
+    where c (hourly count), n (hours), s (Σc), ss (Σc²) are all EXACT
+    integers — the whole statistic is one correctly-rounded division
+    of one correctly-rounded sqrt of an exact integer, so it is
+    bit-identical in every engine with no summation-order exposure;
+    the 6-dp rounding and the ≥ threshold then act on identical
+    doubles.  Spark shape: one map-side-combinable hourly rollup, a
+    per-type stats aggregate (rows = event types) broadcast back, one
+    filter — the raw events are scanned once."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    z = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").alias("n_events"),
+            F.round(
+                (F.col("c") * F.col("n") - F.col("s"))
+                / F.sqrt(
+                    (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                    .cast("double")
+                ),
+                6,
+            ).alias("zscore"),
+        )
+    )
+    return z.filter(F.abs(F.col("zscore")) >= ANOMALY_Z)

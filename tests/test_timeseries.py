@@ -112,3 +112,36 @@ def test_approx_distinct_flag_falsifies_on_drift(spark):
     assert ok["estimate_in_bound"].all()
     drifted = approx_distinct(spark, SF, _drift=0.25).toPandas()
     assert not drifted["estimate_in_bound"].any()
+
+
+def test_hourly_anomalies_matches_pandas_zscore(spark):
+    """Flagged hours must equal a pandas recompute of the exact-integer
+    z-score, and every flagged |z| must meet the threshold."""
+    from s3_manifest_spark.operators.timeseries import (
+        ANOMALY_Z,
+        hourly_anomalies,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = hourly_anomalies(spark, sf).toPandas()
+    ev = load_table(spark, sf, "events").select("event_type", "ts").toPandas()
+    ev["hour"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby(["event_type", "hour"]).size().rename("c").reset_index()
+    flagged = set()
+    import math
+
+    for et, grp in hourly.groupby("event_type"):
+        n, s, ss = len(grp), int(grp["c"].sum()), int((grp["c"] ** 2).sum())
+        if n * ss - s * s <= 0:
+            continue
+        for _, r in grp.iterrows():
+            z = round((int(r["c"]) * n - s) / math.sqrt(n * ss - s * s), 6)
+            if abs(z) >= ANOMALY_Z:
+                flagged.add((et, r["hour"], int(r["c"]), z))
+    assert {
+        (r["event_type"], r["hour"], r["n_events"], r["zscore"])
+        for _, r in got.iterrows()
+    } == flagged
+    assert (got["zscore"].abs() >= ANOMALY_Z).all()
+    assert len(got) > 0
