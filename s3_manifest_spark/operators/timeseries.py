@@ -452,3 +452,81 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return z.filter(F.abs(F.col("zscore")) >= ANOMALY_Z)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (r10): gaps-and-islands per user
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800 * 1_000_000  # 30-min inactivity gap, microseconds
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id FROM events),
+    lagd AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagd
+    ),
+    per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS c
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(c) AS BIGINT)   AS n_events,
+           CAST(max(c) AS BIGINT)   AS longest_session
+    FROM per GROUP BY 1
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands twin of
+    ``stream_session``'s streaming session windows: events split into
+    sessions at >30-minute inactivity gaps per user, rolled up to
+    ``(user_id, n_sessions, n_events, longest_session)``.
+
+    Gap arithmetic runs on exact MICROSECOND integers
+    (``unix_micros`` / ``epoch_us`` — the fixture has sub-second
+    timestamps, so second-truncated comparisons would disagree across
+    engines at boundaries).  Plan: ONE user-keyed exchange total — the
+    lag + running-sum windows hash-partition by user, and both
+    downstream aggregations' clustering requirements ((user, sid) and
+    (user)) are satisfied by that same partitioning, so Catalyst
+    reuses it; within a partition the sort is the session order the
+    semantics need anyway.  Skewed users span a partition but never a
+    window buffer (running frames stream)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    ns = F.when(
+        F.lag("ts").over(w).isNull()
+        | (us - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        F.sum(ns).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("longest_session"),
+    )

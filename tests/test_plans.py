@@ -353,3 +353,9 @@ def test_quality_histogram_warm_plan_is_scoring_projection(spark):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_user_sessions_single_exchange(spark):
+    """Windows + both rollups must share ONE user-keyed exchange."""
+    plan = plan_of(spark, "user_sessions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

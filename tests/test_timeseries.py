@@ -145,3 +145,28 @@ def test_hourly_anomalies_matches_pandas_zscore(spark):
     } == flagged
     assert (got["zscore"].abs() >= ANOMALY_Z).all()
     assert len(got) > 0
+
+
+def test_user_sessions_matches_pandas_islands(spark):
+    from s3_manifest_spark.operators.timeseries import (
+        SESSION_GAP_US,
+        user_sessions,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = user_sessions(spark, sf).toPandas().set_index("user_id")
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in ev.groupby("user_id"):
+        us = grp["ts"].astype("int64")  # ns since epoch
+        gaps = us.diff() > SESSION_GAP_US * 1000
+        sid = gaps.cumsum()
+        per = sid.groupby(sid).size()
+        assert got.loc[uid, "n_sessions"] == len(per)
+        assert got.loc[uid, "n_events"] == len(grp)
+        assert got.loc[uid, "longest_session"] == per.max()
