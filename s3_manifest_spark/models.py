@@ -153,8 +153,15 @@ def save_models(
                     json.dump(scalars, f)
         manifest[slug] = entry
         saved.append(slug)
-    with open(manifest_path, "w") as f:
+    # Atomic manifest replace: a reader (or a crash) mid-write must see
+    # either the old manifest or the new one, never a truncated file.
+    # The merge itself is still read-modify-write — concurrent writers
+    # to one store_dir can drop each other's entries, so the store
+    # assumes a single writer (the daily training job).
+    tmp_path = manifest_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp_path, manifest_path)
     return {"saved": sorted(saved), "skipped": sorted(skipped)}
 
 
@@ -192,6 +199,13 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
             # frame directory is store corruption (or a non-local
             # store_dir the save path wrote through Hadoop), never
             # "fewer frames" — spark.read raises AnalysisException.
+            if "n_frames" not in meta:
+                raise ValueError(
+                    f"{slug}: manifest entry has no 'n_frames' — this "
+                    "store was written by an older save_models (pre "
+                    "frame-count manifests); re-save the models with "
+                    "the current version"
+                )
             n_frames = meta["n_frames"]
             frames = [
                 spark.read.parquet(f"{base}__f{i}.parquet").persist()

@@ -1154,15 +1154,19 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.expr(_TOKENS))).alias("n_tokens"),
     )
-    from pyspark.sql import Window
-
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return per.select(
+    # Global total as a 1-row broadcast cross join rather than an
+    # unpartitioned window: same exact integer sum, one fewer exchange
+    # of the aggregated relation, and no single-partition WindowExec
+    # (whose warning would pollute every full-surface run).
+    tot = per.agg(F.sum("n_tokens").alias("_total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") * 1.0 / total, 6).alias("token_share"),
+        F.round(F.col("n_tokens") * 1.0 / F.col("_total_tokens"), 6).alias(
+            "token_share"
+        ),
     )
 
 
@@ -1408,19 +1412,20 @@ def mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting and an actual resample (feed the rates into the
     ``sample_weighted``/``sample_stratified`` machinery).
 
-    One aggregation of short rows per source; the total attaches as an
-    unpartitioned window over the already-tiny aggregated relation —
-    the corpus shuffles nothing but partial counts."""
+    One aggregation of short rows per source; the total attaches as a
+    1-row broadcast cross join over the already-tiny aggregated
+    relation — the corpus shuffles nothing but partial counts."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
+    tot = per.agg(F.sum("n_tokens").alias("_total_tokens"))
+    total = F.col("_total_tokens")
     rate = F.least(
         F.lit(1.0), F.lit(MIX_TARGET_SHARE) * total * 1.0 / F.col("n_tokens")
     )
-    return per.select(
+    return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",

@@ -79,7 +79,7 @@ def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
         docs.write.mode("overwrite").json(os.path.join(base, "jsonl"))
         (
             docs.write.mode("overwrite")
-            .options(header=True, quoteAll=True, escape='"')
+            .options(header=True, quoteAll=True, escape='"', emptyValue="")
             .csv(os.path.join(base, "csv"))
         )
         open(done, "w").close()
@@ -96,9 +96,17 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _spool_formats(spark, sf_dir)
     schema = "doc_id long, text string, lang string"
     jsonl = spark.read.schema(schema).json(os.path.join(base, "jsonl"))
+    # multiLine: the write path quotes embedded newlines (quoteAll),
+    # so the read path must parse quoted multi-line records or a
+    # corpus with newlines in text breaks the certificate via a
+    # self-inflicted reader artifact, not detected corruption.
+    # emptyValue (both sides): an empty text must round-trip as ""
+    # rather than be read back as null (multiLine disables Spark's
+    # splittable CSV scan — acceptable here because the spool is
+    # many files, so parallelism comes from the file count).
     csv = (
         spark.read.schema(schema)
-        .options(header=True, escape='"')
+        .options(header=True, escape='"', multiLine=True, emptyValue="")
         .csv(os.path.join(base, "csv"))
     )
     out = None

@@ -108,7 +108,8 @@ def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     """Stage the existing-corpus split as a multi-file parquet spool
-    (one micro-batch per file under maxFilesPerTrigger=1).  Built once
+    (two files per micro-batch under the drain's maxFilesPerTrigger=2,
+    so 4 files drain in 2 triggers).  Built once
     per (sf, layout); content is deterministic and per-doc closure
     makes the file assignment irrelevant to index content.
 

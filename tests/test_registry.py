@@ -190,6 +190,48 @@ def test_clear_model_cache_releases_payloads(spark):
             spark._smsp_model_cache = saved
 
 
+def test_registry_coverage_within_three_rounds():
+    """Driver-verification coverage regression (VERDICT r10 item 1):
+    for three rounds some registered queries sat outside the only
+    verification the driver itself performs.  Invariant: every
+    registry entry is either (a) present in a CORRECTNESS_r*.json
+    from the last 3 rounds, or (b) inside the front of the current
+    rotation — i.e. guaranteed to be sampled in the NEXT driver
+    window (historically a constant 50 queries/round).  A query that
+    is both stale and not fronted has silently fallen out of
+    driver-grade verification and fails here."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+    from s3_manifest_spark import registry
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if not files:
+        pytest.skip("no driver correctness artifacts yet (round 1)")
+    window = min(len(json.load(open(p))) for p in files[-3:])
+    recent: set[str] = set()
+    for p in files[-3:]:
+        with open(p) as f:
+            recent |= set(json.load(f))
+
+    registry.load_all()
+    order = e._rotation_order(registry.QUERIES)
+    fronted = set(order[:window])
+    uncovered = [
+        q for q in registry.QUERIES if q not in recent and q not in fronted
+    ]
+    assert not uncovered, (
+        f"queries outside driver verification for >3 rounds AND not "
+        f"fronted for the next window: {sorted(uncovered)}"
+    )
+
+
 def test_driver_sample_rotation_order():
     """queries() must surface least-recently-driver-sampled operators
     first (the driver verifies a prefix of the dict order; VERDICT r9
