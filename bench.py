@@ -279,9 +279,24 @@ def main() -> int:
     # engine pays — a wall/oracle ratio for these rows compares a
     # streaming runtime to a batch query and should be read with this
     # flag, not against the 2x-of-batch bar.
+    # machinery_floor_sec: the null-work drain bound from
+    # tools/probe_drain_floor.py (SCALE.md r11) — ~0.53 s for a
+    # 1-trigger stateful drain + ~0.25 s per extra trigger on this
+    # host, before ANY addBatch work.  Two-trigger drains are the
+    # cross-batch-state ones (their oracle contract needs >=2
+    # micro-batches to exercise state carry-over).
+    two_trigger = {
+        "stream_dedup_live",
+        "stream_join_live",
+        "stream_index_update_live",
+    }
     for q in timings:
         if q.endswith("_live"):
-            queries_meta.setdefault(q, {})["streaming_drain"] = True
+            meta = queries_meta.setdefault(q, {})
+            meta["streaming_drain"] = True
+            meta["machinery_floor_sec"] = (
+                0.78 if q in two_trigger else 0.53
+            )
     # ANN/LSH completeness certificates: the Spark wall includes the
     # engine's own exact brute-force side, the ANN pass, AND the
     # canonical-membership recomputation the certificate needs, while

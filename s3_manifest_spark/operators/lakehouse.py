@@ -45,9 +45,9 @@ from s3_manifest_spark.operators.manifest_queries import (
 from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import (
     SYNTH_LISTING_SQL,
+    listing_model,
     load_table,
     parquet_row_count,
-    synth_listing,
 )
 
 #: vacuum age watermark: dangling files whose (old-snapshot) mtime is
@@ -98,54 +98,42 @@ def vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciliation matters: a key re-written into the new snapshot
     must protect ALL its old rows from deletion.
 
-    The exchange rides ``manifest_diff``'s packed-key fusion (its
-    inline comment has the injectivity argument): the key groups as
-    ONE long and mtimes travel as the native shipdate instead of the
-    RFC3339 string (~12 B/row vs ~55 B) — formatting is a monotone
-    injective map, so min/max commute with it and the strings are
-    rebuilt once per RESULT row; the watermark gate compares
-    chronologically on either representation.  Domain-guard fallback
-    keeps the string plan."""
-    from s3_manifest_spark.operators.manifest_queries import (
-        _packed_domain_ok,
-        _packed_key,
-        _string_key,
-    )
-    from s3_manifest_spark.sources.tables import size_cents
+    CONSUMES the session-shared CDC state (r11): ``_cdc_state`` keeps
+    ``(k, old_sz, new_sz, old_mtime_d)`` per key — a dangling file is
+    exactly ``old_sz IS NOT NULL AND new_sz IS NULL``, so retention
+    planning is a filter + tiny per-prefix rollup over state the
+    session already maintains for diff/apply; no scan, no new keyed
+    exchange.  The returnflag (the prefix's variable segment) is
+    RE-DERIVED from the key — ``char(k % 256)`` under the packed-key
+    fusion (ascii(rf) occupies the low byte; see ``_packed_key``),
+    string-split otherwise — so the state carries nothing
+    vacuum-specific but the mtime date (native, not RFC3339; the
+    format is a monotone injective map so min/max commute with it and
+    strings are rebuilt once per RESULT row)."""
+    from s3_manifest_spark.operators.manifest_queries import _cdc_state
 
-    packed = _packed_domain_ok(sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
-        (_packed_key() if packed else _string_key()).alias("k"),
-        F.col("l_returnflag").alias("rf"),
-        size_cents().alias("size"),
-        F.col("l_shipdate").alias("sd"),
+    state, packed = _cdc_state(spark, sf_dir)
+    rf = (
+        F.expr("char(pmod(k, 256))")
+        if packed
+        else F.substring_index(F.substring_index("k", "/", 2), "/", -1)
     )
-    per_key = base.groupBy("k", "rf").agg(
-        F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("size")))
-        .cast("long")
-        .alias("old_sz"),
-        F.max(
-            F.when(F.expr(_DIFF_NEW_PRED), F.lit(1)).otherwise(F.lit(0))
-        ).alias("in_new"),
-        F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("sd"))).alias("mtime_d"),
-    )
-    cand = per_key.filter(
+    cand = state.filter(
         F.col("old_sz").isNotNull()
-        & (F.col("in_new") == 0)
+        & F.col("new_sz").isNull()
         & (
-            F.col("mtime_d")
+            F.col("old_mtime_d")
             < F.lit(VACUUM_WATERMARK[:10]).cast("timestamp")
         )
     )
     rfc = "yyyy-MM-dd'T'HH:mm:ss'Z'"
     return cand.groupBy(
-        F.concat(F.lit("data/"), F.col("rf")).alias("prefix")
+        F.concat(F.lit("data/"), rf).alias("prefix")
     ).agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("old_sz").alias("reclaim_bytes"),
-        F.date_format(F.min("mtime_d"), rfc).alias("oldest"),
-        F.date_format(F.max("mtime_d"), rfc).alias("newest"),
+        F.date_format(F.min("old_mtime_d"), rfc).alias("oldest"),
+        F.date_format(F.max("old_mtime_d"), rfc).alias("newest"),
     )
 
 
@@ -216,7 +204,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup keyed by the 256-value cell id.  The expression text is
     generated once for both engines (:func:`_z_expr`), so the oracle
     hash certifies all 32 interleaved bits."""
-    li = synth_listing(spark, sf_dir, widen=False)
+    li = listing_model(spark, sf_dir)
     z = li.select(
         "key",
         "size",
@@ -288,7 +276,7 @@ def zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤256-key per-cell rollup — then every audit number derives from
     the tiny per-cell relation in a 1-row aggregate.  No join, no
     distinct aggregate, no second evaluation of the interleave."""
-    li = synth_listing(spark, sf_dir, widen=False)
+    li = listing_model(spark, sf_dir)
     flagged = li.select(
         F.shiftright(F.expr(_z_expr(True)).cast("long"), Z_CELL_SHIFT).alias(
             "zcell"
@@ -381,7 +369,7 @@ def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, ADVISOR_PARTITIONS)
     ]
     tdf = spark.createDataFrame(targets, "boundary_idx long, position long")
-    li = synth_listing(spark, sf_dir, widen=False).select("key", "size")
+    li = listing_model(spark, sf_dir).select("key", "size")
     ordinal = global_ordinal(li, ["key", "size"])
     return (
         ordinal.join(F.broadcast(tdf), "position")
@@ -474,6 +462,105 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# profile_table_approx — the sketch-NDV ANALYZE the 100 TB path runs
+# --------------------------------------------------------------------------
+
+#: Datasketches HLL_4 3-sigma relative error at the default lgK=12
+#: (RSE = 1.04/sqrt(4096)); +16 additive slack for sparse mode —
+#: same bound sketch_hll_merge certifies (timeseries.py).
+_HLL_3SIGMA_RSE = 3 * 1.04 / 4096**0.5
+
+
+def _hll_in_bound(exact: F.Column, approx: F.Column) -> F.Column:
+    """True iff ``approx`` sits inside the 3-sigma HLL_4 error bound
+    of ``exact`` — the certificate flag; falsified-by-construction in
+    tests/test_lakehouse.py (a drifted estimate must flip it)."""
+    tol = F.lit(_HLL_3SIGMA_RSE) * exact + F.lit(16)
+    return F.abs(approx - exact) <= tol
+
+
+_PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT)   AS exact_distinct,
+       -- literal true by design: DuckDB cannot rerun the engine's
+       -- mergeable HLL sketches; exact_distinct IS independently
+       -- recomputed and hash-compared, and the bound arithmetic is
+       -- falsification-tested locally (test_profile_approx_bound).
+       true AS approx_in_bound,
+       CAST(min({c}) AS VARCHAR)             AS min_val,
+       CAST(max({c}) AS VARCHAR)             AS max_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+@register("profile_table_approx", oracle=_PROFILE_APPROX_ORACLE)
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE with SKETCHED distinct cardinalities — the form the
+    100 TB path actually runs (``profile_table``'s docstring names
+    this escape hatch; VERDICT r10 item 5 asked for it wired).
+
+    All five per-column Datasketches HLL aggregates ride the SAME
+    single wide aggregation as nulls/min/max — ``hll_sketch_agg`` is
+    an ordinary combinable aggregate, so adding five of them does NOT
+    lower to the Expand that five ``countDistinct``s would (each row
+    multiplied by the column count; the reason profile_table uses
+    distinct-pairs).  One scan, one 1-row result, partials are ~KB
+    sketches per partition regardless of cardinality — at 100 TB this
+    is the whole ANALYZE job.  The estimate itself is engine-specific,
+    so the registered output is certificate-style (the
+    ``sketch_hll_merge`` pattern): the exact distinct count (reused
+    distinct-pairs plan — fixture-affordable, and the part the oracle
+    hash certifies) next to a flag asserting the estimate sits inside
+    the 3-sigma HLL_4 bound; a drifting estimator flips the flag and
+    fails the driver hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(c))
+            .cast("long")
+            .alias(f"ad_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _total - nn_{c}, ad_{c}, mn_{c}, mx_{c}"
+        for c in PROFILE_COLS
+    )
+    base = wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, approx_distinct, min_val, max_val)"
+    )
+    pair_structs = ", ".join(
+        f"struct('{c}' AS c, CAST({c} AS STRING) AS v)"
+        for c in PROFILE_COLS
+    )
+    nd = (
+        li.selectExpr(f"explode(array({pair_structs})) AS s")
+        .select(F.col("s.c").alias("col_name"), F.col("s.v").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.lit(1))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return base.join(nd, "col_name").select(
+        "col_name",
+        "n_nulls",
+        "exact_distinct",
+        _hll_in_bound(
+            F.col("exact_distinct"), F.col("approx_distinct")
+        ).alias("approx_in_bound"),
+        "min_val",
+        "max_val",
+    )
+
+
+# --------------------------------------------------------------------------
 # manifest_prune — two-level (manifest-list) scan-planning certificate
 # --------------------------------------------------------------------------
 
@@ -534,13 +621,11 @@ def manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     files): planning reads THEM, never the file list — which is
     exactly the claim the oracle hash certifies.
 
-    ``widen=False``, measured: the per-prefix partials run inside the
-    single fixture scan task, but the string min/max there is cheaper
-    than a widening exchange of 600k key rows (A/B on a quiet host:
-    0.88 s unwidened vs 1.20 s widened) — on production multi-row-
-    group layouts the scan parallelizes by itself and the question
-    disappears."""
-    li = synth_listing(spark, sf_dir, widen=False)
+    Reads the session-cached :func:`listing_model` — the maintenance
+    suite plans over one materialized manifest relation instead of
+    five re-derivations (r11; build priced in cold_sec), so the
+    per-prefix partials run at cache width with no per-query scan."""
+    li = listing_model(spark, sf_dir)
     flagged = li.select(
         F.substring_index("key", "/", 2).alias("prefix"),
         "key",

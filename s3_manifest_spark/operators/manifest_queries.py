@@ -477,6 +477,7 @@ def _cdc_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool]:
     l = li.select(
         (_packed_key() if packed else _string_key()).alias("k"),
         size_cents().alias("size"),
+        F.col("l_shipdate").alias("sd"),
     )
     state = (
         l.filter(F.expr(f"({_DIFF_OLD_PRED}) OR ({_DIFF_NEW_PRED})"))
@@ -489,6 +490,14 @@ def _cdc_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool]:
             F.max(F.when(F.expr(_DIFF_NEW_PRED), F.expr(_DIFF_BUMP)))
             .cast("long")
             .alias("new_sz"),
+            # old-snapshot mtime rides the same exchange (+1 native
+            # date/key): it makes the state serve VACUUM retention
+            # planning too — a dangling key is old_sz!=NULL,
+            # new_sz=NULL, and the age gate reads old_mtime_d (r11;
+            # diff/apply simply don't select it).
+            F.max(F.when(F.expr(_DIFF_OLD_PRED), F.col("sd"))).alias(
+                "old_mtime_d"
+            ),
         )
         .persist()
     )
@@ -789,29 +798,68 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_manifest_spark.operators.sort_offsets import (
         exclusive_offsets,
         partition_weights,
-        pinned_range_sort,
     )
+    from s3_manifest_spark.sources.tables import listing_model
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    li = synth_listing(spark, sf_dir, widen=False)
-    pf = li.select(
-        F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
-    )
-    data = pinned_range_sort(pf, parts, ["prefix", "key", "size"])
-    meta = partition_weights(data, ["prefix"], F.sum("size"))
-    offsets, _totals = exclusive_offsets(meta, "prefix")
-    b_off = spark.sparkContext.broadcast(offsets)
+    # The sorted listing + its per-(partition, prefix) byte offsets
+    # are a session MODEL (r11): a maintenance sweep re-plans
+    # compaction repeatedly over one manifest, and the sorted layout
+    # is exactly the artifact a real lakehouse keeps (sorted manifest
+    # files).  localCheckpoint — not pin_partitions — because the
+    # layout must outlive this registry call (the next call would
+    # release a track_persist pin, and a recomputation could
+    # re-sample range boundaries and misalign the cached offsets);
+    # lineage truncation makes a divergent recompute impossible.
+    # Released by clear_model_cache; cold build priced in cold_sec.
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    skey = ("compaction_sorted", sf_dir, parts)
+    cached = mc.get(skey)
+    if cached is None:
+        li = listing_model(spark, sf_dir)
+        pf = li.select(
+            F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
+        )
+        data = pf.repartitionByRange(
+            parts, "prefix", "key", "size"
+        ).sortWithinPartitions("prefix", "key", "size").localCheckpoint(
+            eager=True
+        )
+        meta = partition_weights(data, ["prefix"], F.sum("size"))
+        offsets, _totals = exclusive_offsets(meta, "prefix")
+        b_off = spark.sparkContext.broadcast(offsets)
+        cached = (data, b_off)
+        mc[skey] = cached
+    data, b_off = cached
     target = COMPACTION_TARGET_BYTES
 
     def binner(batches):
+        # Emits per-(prefix, bin) PARTIALS, not per-row bins: rows
+        # arrive sorted by (prefix, key, size), so every bin is a
+        # contiguous run whose first/last row give min/max key, and
+        # (count, byte-sum, first, last) are combinable across the
+        # partition/batch seams a bin may span.  The Arrow return
+        # ships <= bins x partitions short rows instead of re-emitting
+        # the whole listing (measured r11: the 600k-row round trip was
+        # the query's dominant cost once the sort was model-cached).
+        import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         running: dict[str, int] = {}
         for pdf in batches:
+            if not len(pdf):
+                continue
             sizes = pdf["size"].to_numpy(dtype="int64")
             prefixes = pdf["prefix"].to_numpy()
-            bins = np.empty(len(pdf), dtype="int64")
+            keys = pdf["key"].to_numpy()
+            out: dict[str, list] = {
+                "prefix": [], "bin_id": [], "n_files": [],
+                "total_bytes": [], "first_key": [], "last_key": [],
+            }
             # rows arrive sorted by (prefix, key): segment boundaries
             # are where the prefix changes (a handful per batch)
             starts = np.flatnonzero(
@@ -825,18 +873,31 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     base = b_off.value.get((pid, p), 0)
                 seg = sizes[i:j]
                 excl = np.cumsum(seg) - seg + base
-                bins[i:j] = excl // target
+                segbins = excl // target
                 running[p] = int(excl[-1] + seg[-1])
-            out = pdf[["prefix", "key", "size"]].copy()
-            out["bin_id"] = bins
-            yield out
+                bstarts = np.flatnonzero(
+                    np.concatenate(([True], segbins[1:] != segbins[:-1]))
+                )
+                bbounds = np.append(bstarts, j - i)
+                for a, b in zip(bbounds[:-1], bbounds[1:]):
+                    out["prefix"].append(p)
+                    out["bin_id"].append(int(segbins[a]))
+                    out["n_files"].append(int(b - a))
+                    out["total_bytes"].append(int(seg[a:b].sum()))
+                    out["first_key"].append(keys[i + a])
+                    out["last_key"].append(keys[i + b - 1])
+            yield pd.DataFrame(out)
 
     binned = data.mapInPandas(
-        binner, schema="prefix string, key string, size long, bin_id long"
+        binner,
+        schema=(
+            "prefix string, bin_id long, n_files long, "
+            "total_bytes long, first_key string, last_key string"
+        ),
     )
     return binned.groupBy("prefix", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("size").alias("total_bytes"),
-        F.min("key").alias("first_key"),
-        F.max("key").alias("last_key"),
+        F.sum("n_files").alias("n_files"),
+        F.sum("total_bytes").alias("total_bytes"),
+        F.min("first_key").alias("first_key"),
+        F.max("last_key").alias("last_key"),
     )

@@ -210,6 +210,33 @@ def synth_listing(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataF
     return out
 
 
+def listing_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED synthetic listing shared by the maintenance suite
+    (vacuum / compaction / zorder / partition-advisor / prune audits).
+
+    Every maintenance query plans over the SAME manifest relation; at
+    100 TB that relation is the table's manifest (millions of rows for
+    billions of files) and a maintenance sweep reads it several times
+    per session — so it is a session model like the ANN exact/
+    membership relations: built once (widened to session parallelism,
+    persisted), served warm, released by ``clear_model_cache``.  A
+    DERIVED kind — rebuilt from data by design, deliberately not
+    persisted by models.py — and the cold build is priced in
+    BENCH_FULL.json's cold_sec like every other session model."""
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    key = ("synth_listing", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    df = synth_listing(spark, sf_dir, widen=True).persist()
+    df.count()
+    mc[key] = (df,)
+    return df
+
+
 def size_cents(col: F.Column | None = None) -> F.Column:
     """Whole-cent listing size: half-up rounding of ``price * 100``.
 

@@ -200,3 +200,48 @@ def test_manifest_prune_two_level_reconciles(spark, listing_pdf):
     # completeness: matching files only exist inside opened groups
     assert int(g.loc[~opened, "hits"].sum()) == 0
     assert row["n_matching"] > 0
+
+
+def test_profile_approx_bound_falsifiable(spark):
+    """The approx_in_bound certificate flag must be REAL: true for an
+    estimate inside the 3-sigma HLL_4 bound, false for one drifted
+    outside it — a vacuously-true flag cannot survive this."""
+    from s3_manifest_spark.operators.lakehouse import (
+        _HLL_3SIGMA_RSE,
+        _hll_in_bound,
+    )
+    from pyspark.sql import functions as F
+
+    exact = 10_000
+    inside = int(exact * (1 + _HLL_3SIGMA_RSE) + 15)  # just within +16 slack
+    outside = int(exact * (1 + 2 * _HLL_3SIGMA_RSE) + 200)
+    df = spark.createDataFrame(
+        [(exact, exact), (exact, inside), (exact, outside)],
+        "exact long, approx long",
+    )
+    flags = [
+        r["ok"]
+        for r in df.select(
+            _hll_in_bound(F.col("exact"), F.col("approx")).alias("ok")
+        ).collect()
+    ]
+    assert flags == [True, True, False]
+
+
+def test_profile_approx_matches_exact_profile(spark):
+    """profile_table_approx shares n_nulls/min/max/exact_distinct with
+    profile_table and every in-bound flag holds on the fixture."""
+    from s3_manifest_spark.operators.lakehouse import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    exact = profile_table(spark, SF).toPandas().set_index("col_name")
+    approx = profile_table_approx(spark, SF).toPandas().set_index("col_name")
+    assert sorted(exact.index) == sorted(approx.index)
+    for c in exact.index:
+        assert approx.loc[c, "exact_distinct"] == exact.loc[c, "n_distinct"]
+        assert approx.loc[c, "n_nulls"] == exact.loc[c, "n_nulls"]
+        assert approx.loc[c, "min_val"] == exact.loc[c, "min_val"]
+        assert approx.loc[c, "max_val"] == exact.loc[c, "max_val"]
+        assert bool(approx.loc[c, "approx_in_bound"]), c

@@ -323,13 +323,32 @@ def test_zorder_layout_is_codegen_projection_plus_rollup(spark):
     assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial+final
 
 
-def test_vacuum_plan_ships_packed_keys(spark):
-    """The reconciliation exchange must hash the packed LONG key, not
-    the rebuilt key string (the manifest_diff fusion)."""
+def test_vacuum_plan_consumes_cdc_state(spark):
+    """r11 contract: vacuum is a CDC-state CONSUMER — its plan reads
+    the session-cached state relation (InMemoryTableScan) with the
+    dangling-key predicate pushed into the cache scan (no re-scan, no
+    new keyed exchange of its own), and the state it consumes ships
+    the packed LONG key on ITS reconciliation exchange (the
+    manifest_diff fusion)."""
     plan = plan_of(spark, "vacuum_plan")
-    # formatted mode puts Exchange args on their own "Arguments:" line
-    assert re.search(r"hashpartitioning\(k#\d+L", plan), plan
-    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "InMemoryTableScan" in plan, plan
+    assert "isnull(new_sz" in plan, plan  # dangling filter pushed
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    from s3_manifest_spark.operators.manifest_queries import _cdc_state
+
+    state, packed = _cdc_state(spark, SF)
+    assert packed
+    # the persisted state's BUILD plan (InMemoryRelation.cachedPlan)
+    # must group by the packed LONG key — at fixture scale the keyed
+    # exchange collapses to SinglePartition (data-sized _keyed_parts),
+    # so the grouping key, not the partitioning, is the stable pin
+    splan = (
+        state._jdf.queryExecution()  # noqa: SLF001
+        .optimizedPlan()
+        .cachedPlan()
+        .toString()
+    )
+    assert re.search(r"HashAggregate\(keys=\[k#\d+L\]", splan), splan
 
 
 def test_manifest_prune_decides_from_group_stats(spark):

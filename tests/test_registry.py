@@ -92,6 +92,13 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         # r10: first construction writes the format spools to scratch
         "ingest_roundtrip",
         "similarity_pq",
+        # r11: the maintenance suite shares the session-cached
+        # materialized listing model — first construction builds it
+        "zorder_layout",
+        "zorder_prune",
+        "manifest_prune",
+        "partition_advisor",
+        "vacuum_plan",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
         # materializes them by design
