@@ -1527,3 +1527,79 @@ def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shuffle_key"),
     )
     return global_ordinal(keyed, ["shuffle_key", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# dataset_split (r11): deterministic hash-based train/val/test split
+# ---------------------------------------------------------------------------
+
+#: Split salt + integer hash cuts over the 32-bit md5-prefix space.
+#: Hash-based (not seeded-RNG) assignment is the property a training
+#: pipeline needs: the same document lands in the same split across
+#: engines, runs, repartitionings, AND corpus growth — adding
+#: documents never reassigns existing ones (no global sort, no count).
+SPLIT_SALT = "split1"
+_SPLIT_SPACE = 1 << 32
+SPLIT_CUT_TRAIN = (_SPLIT_SPACE * 8) // 10  # [0, 0.8) -> train
+SPLIT_CUT_VAL = (_SPLIT_SPACE * 9) // 10    # [0.8, 0.9) -> val; rest test
+
+_SPLIT_HASH_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+    f"':{SPLIT_SALT}')), 1, 8), 16, 10) AS BIGINT)"
+)
+_SPLIT_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+    f"':{SPLIT_SALT}'), 1, 8)) AS BIGINT)"
+)
+
+
+def _split_case(hash_expr: str) -> str:
+    """The split-assignment CASE, generated once for both engines so
+    the cut arithmetic cannot drift."""
+    return (
+        f"CASE WHEN {hash_expr} < {SPLIT_CUT_TRAIN} THEN 'train' "
+        f"WHEN {hash_expr} < {SPLIT_CUT_VAL} THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+    SELECT {_split_case(_SPLIT_HASH_DUCK)} AS split,
+           lang,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           CAST(sum(doc_id) AS BIGINT)        AS id_sum,
+           CAST(sum(length(text)) AS BIGINT)  AS text_mass
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting: every document
+    is assigned by the 32-bit md5-prefix of ``doc_id:salt`` against
+    integer cuts (80/10/10), rolled up per ``(split, lang)`` with
+    document counts, an id-sum MEMBERSHIP certificate (any document
+    switching splits moves two id_sums — the oracle hash catches a
+    single reassignment), and text mass.
+
+    The assignment itself is a pure codegen'd projection — pushed to
+    the scan, no shuffle, no RNG seed to version — so at 100 TB the
+    split is a WHERE clause (``split = 'train'``) any consumer applies
+    independently, not a materialization step; this query is the audit
+    that the cut fractions hold per language stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            f"{_split_case(_SPLIT_HASH_SPARK)} AS split",
+            "lang",
+            "doc_id",
+            "length(text) AS text_len",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("text_len").alias("text_mass"),
+        )
+    )

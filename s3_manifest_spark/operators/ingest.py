@@ -40,6 +40,9 @@ from s3_manifest_spark.streaming.scratch import scratch_base
 
 _FORMATS = ("jsonl", "csv")
 
+#: bump when the spool writer options change (see _spool_formats)
+_SPOOL_FORMAT_V = 2
+
 #: the certificate aggregates, per engine — same math, each engine's
 #: own hex-to-int idiom (Spark conv(); DuckDB 0x-literal cast)
 _SPARK_CKSUM = (
@@ -66,9 +69,13 @@ def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     src = f"{sf_dir}/documents.parquet"
+    # _SPOOL_FORMAT_V rides the fingerprint: changing the writer
+    # options (quoting/null sentinel) must invalidate old spools, or
+    # a re-read with the NEW reader options would parse a stale spool
+    # written under the old contract.
     fp = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{parquet_row_count(src)}|"
-        f"{int(os.stat(src).st_mtime)}".encode()
+        f"{int(os.stat(src).st_mtime)}|v{_SPOOL_FORMAT_V}".encode()
     ).hexdigest()[:12]
     base = os.path.join(scratch_base(), f"smsp-ingest-{fp}")
     done = os.path.join(base, "_SPOOL_READY")
@@ -79,7 +86,7 @@ def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
         docs.write.mode("overwrite").json(os.path.join(base, "jsonl"))
         (
             docs.write.mode("overwrite")
-            .options(header=True, quoteAll=True, escape='"', emptyValue="")
+            .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
             .csv(os.path.join(base, "csv"))
         )
         open(done, "w").close()
@@ -99,14 +106,16 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiLine: the write path quotes embedded newlines (quoteAll),
     # so the read path must parse quoted multi-line records or a
     # corpus with newlines in text breaks the certificate via a
-    # self-inflicted reader artifact, not detected corruption.
-    # emptyValue (both sides): an empty text must round-trip as ""
-    # rather than be read back as null (multiLine disables Spark's
-    # splittable CSV scan — acceptable here because the spool is
-    # many files, so parallelism comes from the file count).
+    # self-inflicted reader artifact, not detected corruption
+    # (multiLine disables Spark's splittable CSV scan — acceptable
+    # because the spool is many files, so parallelism comes from the
+    # file count).  nullValue '\\N' (both sides): with the default
+    # sentinel, NULL and '' both serialize to '' and BOTH read back
+    # as null — a distinct sentinel keeps empty text a real empty
+    # string through the round trip (tests/test_llm_ops.py pins it).
     csv = (
         spark.read.schema(schema)
-        .options(header=True, escape='"', multiLine=True, emptyValue="")
+        .options(header=True, escape='"', multiLine=True, nullValue="\\N")
         .csv(os.path.join(base, "csv"))
     )
     out = None

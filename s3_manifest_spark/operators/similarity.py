@@ -1343,3 +1343,150 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("predicted_label") == F.col("true_label")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (r11): recall of truncated-dim retrieval
+# ---------------------------------------------------------------------------
+
+#: Dimensions kept by the truncated (Matryoshka-style) retrieval path.
+#: Modern embedding models are trained so a PREFIX of the vector is
+#: itself a usable embedding (MRL); serving then stores/searches the
+#: short prefix and refines with the tail only when needed.
+MRL_DIM = 16
+
+_MRL_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {MAX_QUERIES}),
+full_scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim
+  FROM q JOIN v ON vec_id <> query_id
+),
+full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM full_scored) WHERE rn <= {TOP_K}
+),
+t_scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qe[1:{MRL_DIM}], e[1:{MRL_DIM}])
+               / (sqrt(list_dot_product(qe[1:{MRL_DIM}], qe[1:{MRL_DIM}]))
+                  * sqrt(list_dot_product(e[1:{MRL_DIM}], e[1:{MRL_DIM}]))),
+               6) AS cos_sim
+  FROM q JOIN v ON vec_id <> query_id
+),
+t_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM t_scored) WHERE rn <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT)        AS n_overlap,
+       round(count(t.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM full_topk f
+LEFT JOIN t_topk t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+def _exact_topk_dims(spark: SparkSession, sf_dir: str, dims: int) -> DataFrame:
+    """Exact cosine top-k over the FIRST ``dims`` dimensions only —
+    same broadcast-query BLAS + per-batch partial top-k physical plan
+    as :func:`similarity_topk` (corpus never shuffles; the window
+    merges <= k·batches candidates per query)."""
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qpdf = _query_pdf(v)
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")[:, :dims]
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+    k = TOP_K
+
+    def score(batches):
+        ids_q, queries = bc.value
+        d = queries.shape[1]
+        for batch in batches:
+            nids = batch["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(batch["embedding"].to_numpy()).astype("float64")[:, :d]
+            e /= np.linalg.norm(e, axis=1, keepdims=True)
+            sims = np.round(e @ queries.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                keep = nids != qid
+                cand_ids, cand_sims = nids[keep], sims[keep, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = v.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@register("embedding_matryoshka", oracle=_MRL_ORACLE)
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per probe query, how many of the
+    full-dimension exact top-:data:`TOP_K` cosine neighbors survive
+    when retrieval uses only the first :data:`MRL_DIM` of the
+    embedding's dimensions — ``(query_id, n_overlap, recall_at_k)``.
+
+    This is the measurement a serving team makes BEFORE switching the
+    ANN index to truncated vectors (4x less index memory and BLAS
+    work at dim 64 -> 16): an evidence operator in the
+    lsh_tuning_curve family, and fully exact on both engines (both
+    neighbor sets are deterministic brute-force top-k under the
+    rounded-cosine/neighbor-id order, so the oracle certifies every
+    overlap count — no bound flags needed).
+
+    Plan: the full-dim side is the session-cached exact relation the
+    ANN certificates share; the truncated side is one more
+    broadcast-BLAS pass over the corpus (prefix-sliced in the Arrow
+    kernel — the scan still prunes to the embedding column, and the
+    corpus never shuffles); the overlap is a broadcast join of two
+    k·queries-row relations."""
+    full = _exact_topk_cached(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = _exact_topk_dims(spark, sf_dir, MRL_DIM).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor")
+    )
+    hit = full.join(
+        F.broadcast(trunc),
+        (full["query_id"] == trunc["query_id"])
+        & (full["neighbor_id"] == trunc["t_neighbor"]),
+        "left",
+    ).select(full["query_id"].alias("qid"), "t_neighbor")
+    return hit.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("t_neighbor").alias("n_overlap"),
+        F.round(F.count("t_neighbor") * 1.0 / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )

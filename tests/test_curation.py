@@ -310,3 +310,50 @@ def test_bloom_certificate_falsifies(spark):
     broken = contamination_bloom(spark, SF, _zero_bits_frac=0.6).toPandas()
     assert len(broken) > 0
     assert not broken["no_false_negative_ok"].all()
+
+
+def test_dataset_split_deterministic_and_growth_stable(spark, q):
+    """Split assignment must be invariant to partitioning AND corpus
+    growth: re-running over a repartitioned corpus yields identical
+    per-(split, lang) rows, and adding documents never reassigns an
+    existing one (hash-based, not RNG/sort-based)."""
+    from s3_manifest_spark.operators.curation import (
+        _SPLIT_HASH_SPARK,
+        _split_case,
+    )
+
+    a = q["dataset_split"](spark, SF).toPandas()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # repartition invariance
+    docs = load_table(spark, SF, "documents")
+    expr = f"{_split_case(_SPLIT_HASH_SPARK)} AS split"
+    b = (
+        docs.repartition(7)
+        .selectExpr(expr, "lang", "doc_id", "length(text) AS text_len")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("text_len").alias("text_mass"),
+        )
+        .toPandas()
+    )
+    key = ["split", "lang"]
+    assert (
+        a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True)
+        )
+    )
+    # growth stability: per-doc assignment over a half corpus agrees
+    # with assignment over the full corpus for the shared documents
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = docs.selectExpr("doc_id", expr).toPandas()
+    half_assign = half.selectExpr("doc_id", expr).toPandas()
+    merged = half_assign.merge(full_assign, on="doc_id", suffixes=("_h", "_f"))
+    assert (merged["split_h"] == merged["split_f"]).all()
+    # the cuts are roughly 80/10/10 at corpus scale
+    tot = a.groupby("split")["n_docs"].sum()
+    n = tot.sum()
+    assert 0.7 < tot.get("train", 0) / n < 0.9
+    assert 0.05 < tot.get("val", 0) / n < 0.15
+    assert 0.05 < tot.get("test", 0) / n < 0.15

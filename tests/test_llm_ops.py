@@ -996,3 +996,76 @@ def test_knn_classify_matches_numpy_vote(spark):
     assert (
         got["correct"] == (got["predicted_label"] == got["true_label"])
     ).all()
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    """Every (query, n_overlap) must equal an independent numpy
+    recompute of full-dim vs prefix-dim exact top-k overlap (same
+    rounding, same tie-breaks), and recall_at_k = n_overlap / K."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from s3_manifest_spark.operators.similarity import (
+        MRL_DIM,
+        QUERY_STRIDE,
+        TOP_K,
+        embedding_matryoshka,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_matryoshka(spark, sf).toPandas().set_index("query_id")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    def topk(mat, qid):
+        qv = mat[ids == qid][0]
+        cos = np.round(mat @ qv, 6)
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda p: (-p[0], p[1]),
+        )[:TOP_K]
+        return {i for _, i in order}
+
+    full = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    tr = emb[:, :MRL_DIM]
+    tr = tr / np.linalg.norm(tr, axis=1, keepdims=True)
+    qids = ids[ids % QUERY_STRIDE == 0]
+    assert sorted(got.index) == sorted(qids)
+    for qid in qids:
+        overlap = len(topk(full, qid) & topk(tr, qid))
+        assert got.loc[qid, "n_overlap"] == overlap, qid
+        assert got.loc[qid, "recall_at_k"] == round(overlap / TOP_K, 6)
+    # truncation must lose SOMETHING on random vectors (a vacuous
+    # audit that always reports recall 1.0 would hide a wiring bug
+    # where both sides score the same vectors)
+    assert got["n_overlap"].sum() < TOP_K * len(qids)
+
+
+def test_ingest_csv_roundtrips_newlines_and_empty(spark, tmp_path):
+    """ADVICE r10: the CSV leg must round-trip texts with embedded
+    newlines (multiLine) and empty strings (emptyValue) byte-exactly —
+    the write options and read options here are the operator's own."""
+    rows = [
+        (1, "plain text", "en"),
+        (2, "line one\nline two\r\nline three", "en"),
+        (3, "", "de"),
+        (4, 'quotes " and, commas', "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "csv")
+    (
+        df.write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id long, text string, lang string")
+        .options(header=True, escape='"', multiLine=True, nullValue="\\N")
+        .csv(path)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(back["text"]) == [r[1] for r in rows]
+    assert back["text"].notna().all()

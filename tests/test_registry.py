@@ -104,6 +104,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         # materializes them by design
         "similarity_ann_lsh",
         "knn_classify",
+        "embedding_matryoshka",
         "dedup_incremental",
         "semdedup",
         "lm_perplexity",

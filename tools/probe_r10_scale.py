@@ -211,7 +211,7 @@ for tag, d in (("x1", docs1), ("x10", docs10)):
     d.write.mode("overwrite").json(os.path.join(base, tag, "jsonl"))
     (
         d.write.mode("overwrite")
-        .options(header=True, quoteAll=True, escape='"', emptyValue="")
+        .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
         .csv(os.path.join(base, tag, "csv"))
     )
 
@@ -223,7 +223,7 @@ def ingest_core(tag):
     jsonl = spark.read.schema(schema).json(os.path.join(base, tag, "jsonl"))
     csv = (
         spark.read.schema(schema)
-        .options(header=True, escape='"', multiLine=True, emptyValue="")
+        .options(header=True, escape='"', multiLine=True, nullValue="\\N")
         .csv(os.path.join(base, tag, "csv"))
     )
     out = None
