@@ -1442,7 +1442,10 @@ SHUFFLE_PARTITIONS = 8
 
 
 def global_ordinal(
-    df: DataFrame, sort_cols: list, eager_cleanup: bool = False
+    df: DataFrame,
+    sort_cols: list,
+    eager_cleanup: bool = False,
+    model_key: tuple | None = None,
 ) -> DataFrame:
     """Dense 0-based global ordinal under ``sort_cols`` order — the
     DataFrame form of ``zipWithIndex``, built scale-correctly:
@@ -1464,14 +1467,30 @@ def global_ordinal(
     driver, blocks freed on GC).
     """
     from s3_manifest_spark.operators.sort_offsets import (
+        cached_sort_meta,
         exclusive_offsets,
         partition_weights,
         pinned_range_sort,
     )
 
     spark = df.sparkSession
-    data = pinned_range_sort(df, SHUFFLE_PARTITIONS, sort_cols, eager_cleanup)
-    meta = partition_weights(data, [], F.count(F.lit(1)))
+    if model_key is not None:
+        # session-model-cached sorted layout (r11; cached_sort_meta
+        # docstring has the lifetime contract): repeated ordinal
+        # consumers over one relation pay the sort once
+        data, meta = cached_sort_meta(
+            df,
+            SHUFFLE_PARTITIONS,
+            sort_cols,
+            [],
+            F.count(F.lit(1)),
+            model_key,
+        )
+    else:
+        data = pinned_range_sort(
+            df, SHUFFLE_PARTITIONS, sort_cols, eager_cleanup
+        )
+        meta = partition_weights(data, [], F.count(F.lit(1)))
     offsets, _ = exclusive_offsets(meta)
     b_off = spark.sparkContext.broadcast(offsets)
 

@@ -370,7 +370,9 @@ def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tdf = spark.createDataFrame(targets, "boundary_idx long, position long")
     li = listing_model(spark, sf_dir).select("key", "size")
-    ordinal = global_ordinal(li, ["key", "size"])
+    ordinal = global_ordinal(
+        li, ["key", "size"], model_key=("advisor", sf_dir)
+    )
     return (
         ordinal.join(F.broadcast(tdf), "position")
         .select(

@@ -796,44 +796,33 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from s3_manifest_spark.operators.sort_offsets import (
+        cached_sort_meta,
         exclusive_offsets,
-        partition_weights,
     )
     from s3_manifest_spark.sources.tables import listing_model
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # The sorted listing + its per-(partition, prefix) byte offsets
+    # The sorted listing + its per-(partition, prefix) byte weights
     # are a session MODEL (r11): a maintenance sweep re-plans
     # compaction repeatedly over one manifest, and the sorted layout
     # is exactly the artifact a real lakehouse keeps (sorted manifest
-    # files).  localCheckpoint — not pin_partitions — because the
-    # layout must outlive this registry call (the next call would
-    # release a track_persist pin, and a recomputation could
-    # re-sample range boundaries and misalign the cached offsets);
-    # lineage truncation makes a divergent recompute impossible.
-    # Released by clear_model_cache; cold build priced in cold_sec.
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
-    skey = ("compaction_sorted", sf_dir, parts)
-    cached = mc.get(skey)
-    if cached is None:
-        li = listing_model(spark, sf_dir)
-        pf = li.select(
-            F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
-        )
-        data = pf.repartitionByRange(
-            parts, "prefix", "key", "size"
-        ).sortWithinPartitions("prefix", "key", "size").localCheckpoint(
-            eager=True
-        )
-        meta = partition_weights(data, ["prefix"], F.sum("size"))
-        offsets, _totals = exclusive_offsets(meta, "prefix")
-        b_off = spark.sparkContext.broadcast(offsets)
-        cached = (data, b_off)
-        mc[skey] = cached
-    data, b_off = cached
+    # files).  cached_sort_meta's localCheckpoint (not pin_partitions)
+    # because the layout must outlive this registry call; released by
+    # clear_model_cache, cold build priced in cold_sec.
+    li = listing_model(spark, sf_dir)
+    pf = li.select(
+        F.substring_index("key", "/", 2).alias("prefix"), "key", "size"
+    )
+    data, meta = cached_sort_meta(
+        pf,
+        parts,
+        ["prefix", "key", "size"],
+        ["prefix"],
+        F.sum("size"),
+        ("compaction", sf_dir),
+    )
+    offsets, _totals = exclusive_offsets(meta, "prefix")
+    b_off = spark.sparkContext.broadcast(offsets)
     target = COMPACTION_TARGET_BYTES
 
     def binner(batches):

@@ -51,6 +51,7 @@ def group_percentiles(
     pcts: Sequence[float] = PCTS,
     partitions: int = SORT_PARTITIONS,
     eager_cleanup: bool = False,
+    model_key: tuple | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``v`` per group ``g`` with NO
     per-group value buffering (module docstring has the plan).
@@ -71,21 +72,32 @@ def group_percentiles(
     import pandas as pd
 
     from s3_manifest_spark.operators.sort_offsets import (
+        cached_sort_meta,
         partition_weights,
         pinned_range_sort,
     )
 
     spark = df.sparkSession
-    data = pinned_range_sort(
-        df.select("g", F.col("v").cast("double").alias("v")),
-        partitions,
-        ["g", "v"],
-        eager_cleanup,
-    )
+    proj = df.select("g", F.col("v").cast("double").alias("v"))
+    if model_key is not None:
+        # session-model-cached sorted layout + counts (r11): repeated
+        # percentile queries over one relation pay the sort once —
+        # see cached_sort_meta's docstring for the lifetime contract
+        data, meta = cached_sort_meta(
+            proj,
+            partitions,
+            ["g", "v"],
+            ["g"],
+            F.count(F.lit(1)),
+            model_key,
+        )
+    else:
+        data = pinned_range_sort(proj, partitions, ["g", "v"], eager_cleanup)
+        meta = partition_weights(data, ["g"], F.count(F.lit(1)))
 
     # ---- metadata pass: per-(partition, group) counts → target picks
     per_group: dict[str, list[tuple[int, int]]] = defaultdict(list)
-    for r in partition_weights(data, ["g"], F.count(F.lit(1))):
+    for r in meta:
         per_group[r["g"]].append((r["pid"], r["w"]))
 
     # want[pid] = [(g, partition-local ordinal, p, role)], role ∈ lo/hi
@@ -195,7 +207,7 @@ def percentile_dist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
-    quant = group_percentiles(li, PCTS)
+    quant = group_percentiles(li, PCTS, model_key=("pct_lineitem", sf_dir))
     return (
         quant.groupBy(F.col("g").alias("l_returnflag"))
         .agg(

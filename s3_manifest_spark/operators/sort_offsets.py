@@ -66,6 +66,54 @@ def partition_weights(
     )
 
 
+def cached_sort_meta(
+    df: DataFrame,
+    partitions: int,
+    cols: list,
+    group_cols: list,
+    weight: Column,
+    key_tuple: tuple,
+) -> tuple[DataFrame, list]:
+    """Session-model-cached (sorted frame, partition metadata) pair —
+    the reusable artifact of the metadata pattern (r11).
+
+    A maintenance/analytics sweep re-runs the same sort-based operator
+    repeatedly over one relation; the range-sorted layout plus its
+    per-(partition[, group]) weights are exactly what a real system
+    would keep (a sorted table + its manifest stats), so they are a
+    session model like the ANN exact relation: built once
+    (localCheckpoint — the layout must outlive the registry call and
+    lineage truncation makes a divergent recompute impossible, see
+    compaction_plan's inline note), served warm, released by
+    ``clear_model_cache``, cold build priced in bench cold_sec.  The
+    cache key carries partitions + sort cols + group cols so two
+    operators sharing a caller-provided ``key_tuple`` but different
+    shapes can never serve each other's layout."""
+    spark = df.sparkSession
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    key = (
+        "sorted_meta",
+        *key_tuple,
+        partitions,
+        tuple(cols),
+        tuple(group_cols),
+    )
+    hit = mc.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    data = (
+        df.repartitionByRange(partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)
+    )
+    meta = partition_weights(data, group_cols, weight)
+    mc[key] = (data, meta)
+    return data, meta
+
+
 def exclusive_offsets(
     meta: list, group_field: str | None = None
 ) -> tuple[dict, dict]:

@@ -99,6 +99,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "manifest_prune",
         "partition_advisor",
         "vacuum_plan",
+        "percentile_dist_exact",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
         # materializes them by design
