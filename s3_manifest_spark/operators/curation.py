@@ -1622,3 +1622,99 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("text_len").alias("text_mass"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms (r11): mergeable Count-Min-Sketch frequency audit
+# ---------------------------------------------------------------------------
+
+HH_TOP_N = 30
+CMS_EPS = 1e-4   # overestimate bound: est - exact <= eps * total tokens
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+_HH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+  ORDER BY exact_count DESC, token
+  LIMIT {HH_TOP_N}
+)
+SELECT token, exact_count,
+       -- literal true by design (the sketch_hll_merge pattern):
+       -- DuckDB cannot rerun the engine's CMS; exact_count IS
+       -- independently recomputed and hash-compared, and both flag
+       -- computations are falsification-tested locally
+       true AS cms_never_under,
+       true AS cms_within_eps
+FROM top
+"""
+
+
+@register("heavy_hitters_cms", oracle=_HH_ORACLE)
+def heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str, _drift: int = 0
+) -> DataFrame:
+    """Heavy-hitter token frequencies via a mergeable Count-Min
+    Sketch, certified against the exact counts.
+
+    The 100 TB shape: one pass builds per-partition CMS partials that
+    merge associatively inside the aggregate (the shuffle carries
+    ~KB sketches, never token counts), exactly like the persisted
+    per-day sketches a lambda rollup re-merges for any range.  The
+    candidate set here is the exact top-:data:`HH_TOP_N` relation
+    (fixture-affordable, and the part the oracle hash certifies);
+    estimates are read driver-side from the merged sketch —
+    ``HH_TOP_N`` py4j lookups, a documented driver bound.
+
+    Certificate flags (falsified-by-construction in
+    tests/test_curation.py):
+    - ``cms_never_under`` — CMS estimates are one-sided: est >= exact
+      ALWAYS (a HARD guarantee, not probabilistic; any underestimate
+      is sketch corruption);
+    - ``cms_within_eps`` — est <= exact + ceil(eps * N_total), the
+      standard CMS error bound at confidence :data:`CMS_CONF`.
+
+    ``_drift`` is test-only: biasing the estimates must flip flags.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(HH_TOP_N)
+        .collect()
+    )
+    sk_raw = bytes(
+        toks.agg(
+            F.count_min_sketch(
+                "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        sk_raw
+    )
+    slack = math.ceil(CMS_EPS * sk.totalCount())
+    rows = []
+    for r in exact_top:
+        est = sk.estimateCount(r["token"]) + _drift
+        rows.append(
+            (
+                r["token"],
+                r["exact_count"],
+                bool(est >= r["exact_count"]),
+                bool(est <= r["exact_count"] + slack),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_count long, cms_never_under boolean, "
+        "cms_within_eps boolean",
+    )

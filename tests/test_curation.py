@@ -357,3 +357,31 @@ def test_dataset_split_deterministic_and_growth_stable(spark, q):
     assert 0.7 < tot.get("train", 0) / n < 0.9
     assert 0.05 < tot.get("val", 0) / n < 0.15
     assert 0.05 < tot.get("test", 0) / n < 0.15
+
+
+def test_heavy_hitters_cms_flags_are_falsifiable(spark, q):
+    """Both CMS certificate flags must be load-bearing: the real run
+    passes both; a positively-drifted estimate keeps never_under but
+    breaks within_eps; a negatively-drifted one breaks never_under."""
+    from s3_manifest_spark.operators.curation import heavy_hitters_cms
+
+    good = heavy_hitters_cms(spark, SF).toPandas()
+    assert len(good) > 0
+    assert good["cms_never_under"].all()
+    assert good["cms_within_eps"].all()
+    over = heavy_hitters_cms(spark, SF, _drift=10**9).toPandas()
+    assert over["cms_never_under"].all()
+    assert not over["cms_within_eps"].any()
+    under = heavy_hitters_cms(spark, SF, _drift=-(10**9)).toPandas()
+    assert not under["cms_never_under"].any()
+
+
+def test_heavy_hitters_match_vocab_counts(spark, q):
+    """The exact side must agree with vocab_topk's counts on shared
+    tokens (same tokenizer, same corpus)."""
+    hh = q["heavy_hitters_cms"](spark, SF).toPandas().set_index("token")
+    vocab = q["vocab_topk"](spark, SF).toPandas().set_index("token")
+    shared = hh.index.intersection(vocab.index)
+    assert len(shared) > 0
+    for t in shared:
+        assert hh.loc[t, "exact_count"] == vocab.loc[t, "n_total"]

@@ -100,6 +100,8 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "partition_advisor",
         "vacuum_plan",
         "percentile_dist_exact",
+        # r11: sketch built + candidate estimates read at construction
+        "heavy_hitters_cms",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
         # materializes them by design
