@@ -740,6 +740,77 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPACTION_TARGET_BYTES = 1_000_000_000
 
 
+def _binned_partials(data: DataFrame, b_off, target: int) -> DataFrame:
+    """Per-(prefix, bin) combinable PARTIALS over the pinned sorted
+    listing — the compaction kernel, module-level so adversarial
+    layouts are unit-testable (tests/test_manifest_core.py).
+
+    Rows arrive sorted by (prefix, key, size) within each partition,
+    so every bin is a contiguous run whose first/last row give
+    min/max key, and (count, byte-sum, first, last) are combinable
+    across the partition/batch seams a bin may span.  The Arrow
+    return ships <= bins x partitions short rows instead of
+    re-emitting the whole listing (measured r11: the 600k-row round
+    trip was the query's dominant cost once the sort was
+    model-cached).  ``b_off`` maps (partition id, prefix) to the byte
+    total of that prefix in earlier partitions; a prefix REAPPEARING
+    within a partition (non-contiguous interleave) is handled by the
+    per-prefix running state."""
+    import numpy as np
+
+    def binner(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sizes = pdf["size"].to_numpy(dtype="int64")
+            prefixes = pdf["prefix"].to_numpy()
+            keys = pdf["key"].to_numpy()
+            out: dict[str, list] = {
+                "prefix": [], "bin_id": [], "n_files": [],
+                "total_bytes": [], "first_key": [], "last_key": [],
+            }
+            # segment boundaries are where the prefix changes (a
+            # handful per batch)
+            starts = np.flatnonzero(
+                np.concatenate(([True], prefixes[1:] != prefixes[:-1]))
+            )
+            bounds = np.append(starts, len(pdf))
+            for i, j in zip(bounds[:-1], bounds[1:]):
+                p = prefixes[i]
+                base = running.get(p)
+                if base is None:
+                    base = b_off.value.get((pid, p), 0)
+                seg = sizes[i:j]
+                excl = np.cumsum(seg) - seg + base
+                segbins = excl // target
+                running[p] = int(excl[-1] + seg[-1])
+                bstarts = np.flatnonzero(
+                    np.concatenate(([True], segbins[1:] != segbins[:-1]))
+                )
+                bbounds = np.append(bstarts, j - i)
+                for a, b in zip(bbounds[:-1], bbounds[1:]):
+                    out["prefix"].append(p)
+                    out["bin_id"].append(int(segbins[a]))
+                    out["n_files"].append(int(b - a))
+                    out["total_bytes"].append(int(seg[a:b].sum()))
+                    out["first_key"].append(keys[i + a])
+                    out["last_key"].append(keys[i + b - 1])
+            yield pd.DataFrame(out)
+
+    return data.mapInPandas(
+        binner,
+        schema=(
+            "prefix string, bin_id long, n_files long, "
+            "total_bytes long, first_key string, last_key string"
+        ),
+    )
+
+
 @register(
     "compaction_plan",
     oracle=f"""
@@ -793,8 +864,6 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     job; the binning+agg collect is the second) — annotated
     ``metadata_offset_pattern`` in bench queries_meta, 10× probed in
     SCALE.md via tools/probe_sort_offsets_scale.py."""
-    import numpy as np
-
     from s3_manifest_spark.operators.sort_offsets import (
         cached_sort_meta,
         exclusive_offsets,
@@ -823,67 +892,7 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offsets, _totals = exclusive_offsets(meta, "prefix")
     b_off = spark.sparkContext.broadcast(offsets)
-    target = COMPACTION_TARGET_BYTES
-
-    def binner(batches):
-        # Emits per-(prefix, bin) PARTIALS, not per-row bins: rows
-        # arrive sorted by (prefix, key, size), so every bin is a
-        # contiguous run whose first/last row give min/max key, and
-        # (count, byte-sum, first, last) are combinable across the
-        # partition/batch seams a bin may span.  The Arrow return
-        # ships <= bins x partitions short rows instead of re-emitting
-        # the whole listing (measured r11: the 600k-row round trip was
-        # the query's dominant cost once the sort was model-cached).
-        import pandas as pd
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        running: dict[str, int] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            sizes = pdf["size"].to_numpy(dtype="int64")
-            prefixes = pdf["prefix"].to_numpy()
-            keys = pdf["key"].to_numpy()
-            out: dict[str, list] = {
-                "prefix": [], "bin_id": [], "n_files": [],
-                "total_bytes": [], "first_key": [], "last_key": [],
-            }
-            # rows arrive sorted by (prefix, key): segment boundaries
-            # are where the prefix changes (a handful per batch)
-            starts = np.flatnonzero(
-                np.concatenate(([True], prefixes[1:] != prefixes[:-1]))
-            )
-            bounds = np.append(starts, len(pdf))
-            for i, j in zip(bounds[:-1], bounds[1:]):
-                p = prefixes[i]
-                base = running.get(p)
-                if base is None:
-                    base = b_off.value.get((pid, p), 0)
-                seg = sizes[i:j]
-                excl = np.cumsum(seg) - seg + base
-                segbins = excl // target
-                running[p] = int(excl[-1] + seg[-1])
-                bstarts = np.flatnonzero(
-                    np.concatenate(([True], segbins[1:] != segbins[:-1]))
-                )
-                bbounds = np.append(bstarts, j - i)
-                for a, b in zip(bbounds[:-1], bbounds[1:]):
-                    out["prefix"].append(p)
-                    out["bin_id"].append(int(segbins[a]))
-                    out["n_files"].append(int(b - a))
-                    out["total_bytes"].append(int(seg[a:b].sum()))
-                    out["first_key"].append(keys[i + a])
-                    out["last_key"].append(keys[i + b - 1])
-            yield pd.DataFrame(out)
-
-    binned = data.mapInPandas(
-        binner,
-        schema=(
-            "prefix string, bin_id long, n_files long, "
-            "total_bytes long, first_key string, last_key string"
-        ),
-    )
+    binned = _binned_partials(data, b_off, COMPACTION_TARGET_BYTES)
     return binned.groupBy("prefix", "bin_id").agg(
         F.sum("n_files").alias("n_files"),
         F.sum("total_bytes").alias("total_bytes"),

@@ -586,3 +586,85 @@ def test_compaction_plan_invariants(spark):
         bins = sorted(grp["bin_id"])
         assert len(set(bins)) == len(bins)
         assert bins == sorted({b for (p, b) in want if p == prefix})
+
+
+def test_compaction_binner_partials_adversarial(spark):
+    """The r11 partial-emitting compaction kernel must reproduce a
+    single-pass pandas reference on an adversarial layout: bins
+    spanning partitions AND batches, an oversized file (own bin),
+    duplicate (key, size) rows, and a prefix whose rows land in
+    multiple partitions."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.operators.manifest_queries import (
+        _binned_partials,
+    )
+    from s3_manifest_spark.operators.sort_offsets import (
+        exclusive_offsets,
+        partition_weights,
+    )
+
+    rows = []
+    # prefix A: 40 files of 30 bytes (bins of target 100 span rows),
+    # with duplicate keys
+    for i in range(40):
+        rows.append(("data/A", f"data/A/{i // 2:04d}", 30))
+    # prefix B: an oversized file then small ones
+    rows.append(("data/B", "data/B/0000", 1000))
+    for i in range(1, 7):
+        rows.append(("data/B", f"data/B/{i:04d}", 40))
+    # prefix C: single row exactly at target
+    rows.append(("data/C", "data/C/0000", 100))
+    df = spark.createDataFrame(rows, "prefix string, key string, size long")
+    target = 100
+
+    data = (
+        df.repartitionByRange(5, "prefix", "key", "size")
+        .sortWithinPartitions("prefix", "key", "size")
+        .localCheckpoint(eager=True)
+    )
+    meta = partition_weights(data, ["prefix"], F.sum("size"))
+    offsets, _ = exclusive_offsets(meta, "prefix")
+    b_off = spark.sparkContext.broadcast(offsets)
+    got = (
+        _binned_partials(data, b_off, target)
+        .groupBy("prefix", "bin_id")
+        .agg(
+            F.sum("n_files").alias("n_files"),
+            F.sum("total_bytes").alias("total_bytes"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+        )
+        .toPandas()
+        .sort_values(["prefix", "bin_id"])
+        .reset_index(drop=True)
+    )
+
+    # single-pass pandas reference
+    ref = pd.DataFrame(rows, columns=["prefix", "key", "size"]).sort_values(
+        ["prefix", "key", "size"]
+    )
+    ref["excl"] = ref.groupby("prefix")["size"].cumsum() - ref["size"]
+    ref["bin_id"] = ref["excl"] // target
+    want = (
+        ref.groupby(["prefix", "bin_id"])
+        .agg(
+            n_files=("key", "size"),
+            total_bytes=("size", "sum"),
+            first_key=("key", "min"),
+            last_key=("key", "max"),
+        )
+        .reset_index()
+        .sort_values(["prefix", "bin_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("prefix", "bin_id", "n_files", "total_bytes",
+              "first_key", "last_key"):
+        assert list(got[c]) == list(want[c]), c
+    # the adversarial intent held: some bin really spans partitions
+    # (partial merge exercised) and the oversized file got its own bin
+    b = got[got["prefix"] == "data/B"]
+    assert (b[b["bin_id"] == 0]["n_files"] == 1).all()
