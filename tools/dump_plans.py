@@ -78,9 +78,10 @@ HEADLINERS = {
     "whole-stage-codegen projection + a 256-key combinable rollup: "
     "no Python, no wide shuffle — OPTIMIZE ZORDER planning as a "
     "metadata job",
-    "vacuum_plan": "packed-long key reconciliation: the exchange "
-    "ships an 8-byte key + 4-byte date per row; mtime strings rebuilt "
-    "per RESULT row after the rollup",
+    "vacuum_plan": "pure CDC-state consumer (r11): InMemoryTableScan "
+    "of the shared per-key snapshot state with the dangling filter "
+    "pushed into the cache scan — no re-scan, no keyed exchange of "
+    "its own; mtime strings rebuilt per RESULT row after the rollup",
     "manifest_prune": "two-level scan planning: per-prefix stats "
     "partials combine map-side; the final decision aggregates the "
     "TINY group relation, never the file list",
