@@ -245,3 +245,33 @@ def test_profile_approx_matches_exact_profile(spark):
         assert approx.loc[c, "min_val"] == exact.loc[c, "min_val"]
         assert approx.loc[c, "max_val"] == exact.loc[c, "max_val"]
         assert bool(approx.loc[c, "approx_in_bound"]), c
+
+
+def test_maintenance_suite_shares_listing_model(spark):
+    """The model-sharing contract (r11): once one maintenance query
+    builds the session listing model, the OTHERS scan no parquet of
+    their own — their plans read the cached relation (or the shared
+    CDC state), so a maintenance sweep touches the raw table once."""
+    import re
+
+    import __spark_entry__ as e
+    from s3_manifest_spark.registry import clear_model_cache
+
+    qs = e.queries()
+    clear_model_cache(spark)
+    qs["zorder_layout"](spark, SF).count()  # builds the listing model
+    for name in ("zorder_prune", "manifest_prune"):
+        getattr(spark, "_smsp_plan_cache", {}).clear()
+        df = qs[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        # formatted mode prints the cached relation's BUILD lineage
+        # too (one parquet scan inside the InMemoryRelation); the pin
+        # is that the query itself reads the cache and adds no second
+        # scan of its own
+        assert "InMemoryTableScan" in plan, name
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, (
+            name,
+            plan,
+        )
