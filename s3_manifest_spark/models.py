@@ -17,8 +17,9 @@ persistence layer:
 
 Formats are engine-neutral and deterministic: numpy arrays as ``.npy``,
 plain-python payloads (merge lists, df-req dicts, scalars) as sorted
-JSON, DataFrame-backed models (bigram count tables, the band index) as
-parquet subdirectories.  ``load_models`` reconstructs each value in
+JSON, opaque serialized sketches (the Count-Min Sketch) as ``.bin``
+bytes, DataFrame-backed models (bigram count tables, the band index)
+as parquet subdirectories.  ``load_models`` reconstructs each value in
 the exact shape its trainer caches — persisted DataFrames persisted
 again, broadcast payloads re-broadcast — so trainers find a cache hit
 and never re-run (tests/test_models.py pins the zero-jobs cache-hit
@@ -69,6 +70,7 @@ _KINDS = {
     "pq": "npy",
     "semdedup": "npy",
     "bpe_merges": "json",
+    "cms_sketch": "bytes",
     "tfidf_dfreq": "broadcast_json",
     "bigram_lm": "frames+scalars",
     "minhash_index": "frames",
@@ -122,6 +124,9 @@ def save_models(
         entry: dict[str, Any] = {"key": list(key), "kind": kind}
         if kind == "npy":
             np.save(base + ".npy", np.asarray(value))
+        elif kind == "bytes":
+            with open(base + ".bin", "wb") as f:
+                f.write(value)
         elif kind == "json":
             with open(base + ".json", "w") as f:
                 json.dump(value, f)
@@ -186,6 +191,9 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
         base = os.path.join(store_dir, slug)
         if kind == "npy":
             value: Any = np.load(base + ".npy")
+        elif kind == "bytes":
+            with open(base + ".bin", "rb") as f:
+                value = f.read()
         elif kind == "json":
             with open(base + ".json") as f:
                 raw = json.load(f)

@@ -1654,6 +1654,35 @@ FROM top
 """
 
 
+def _cms_sketch(spark: SparkSession, sf_dir: str) -> bytes:
+    """The merged corpus Count-Min Sketch as a session MODEL (raw
+    serialized bytes, ``models.py`` kind 'bytes'): built in ONE
+    aggregate whose per-partition partials merge associatively, then
+    served warm to every heavy-hitter lookup — and persisted/reloaded
+    across sessions like the other trained artifacts (a CMS over
+    yesterday's corpus IS yesterday's index; estimates are readable
+    forever without re-scanning)."""
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    key = ("cms_sketch", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+    raw = bytes(
+        toks.agg(
+            F.count_min_sketch(
+                "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    mc[key] = raw
+    return raw
+
+
 @register("heavy_hitters_cms", oracle=_HH_ORACLE)
 def heavy_hitters_cms(
     spark: SparkSession, sf_dir: str, _drift: int = 0
@@ -1691,15 +1720,8 @@ def heavy_hitters_cms(
         .limit(HH_TOP_N)
         .collect()
     )
-    sk_raw = bytes(
-        toks.agg(
-            F.count_min_sketch(
-                "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
-            ).alias("sk")
-        ).collect()[0]["sk"]
-    )
     sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        sk_raw
+        _cms_sketch(spark, sf_dir)
     )
     slack = math.ceil(CMS_EPS * sk.totalCount())
     rows = []

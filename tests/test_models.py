@@ -35,18 +35,21 @@ TRAINED = {
     # second frames+scalars kind (r10): the maintained near-dup edge
     # relation behind graph_pagerank
     "graph": ("pagerank_graph", "graph_pagerank"),
+    # bytes kind (r11): the serialized corpus Count-Min Sketch
+    "bytes": ("cms_sketch", "heavy_hitters_cms"),
 }
 
 
 def _trainers(spark):
     from s3_manifest_spark.operators.bpe import train_bpe
-    from s3_manifest_spark.operators.curation import _tfidf_dfreq
+    from s3_manifest_spark.operators.curation import _cms_sketch, _tfidf_dfreq
     from s3_manifest_spark.operators.dedup import _minhash_index
     from s3_manifest_spark.operators.graph import _pagerank_graph_cached
     from s3_manifest_spark.operators.ml import train_bigram_lm, train_quality_lr
 
     return {
         "lr_quality": lambda: train_quality_lr(spark, SF),
+        "cms_sketch": lambda: _cms_sketch(spark, SF),
         "bpe_merges": lambda: train_bpe(spark, SF),
         "tfidf_dfreq": lambda: _tfidf_dfreq(spark, SF),
         "minhash_index": lambda: _minhash_index(spark, SF),
