@@ -289,6 +289,7 @@ def main() -> int:
         "stream_dedup_live",
         "stream_join_live",
         "stream_index_update_live",
+        "stream_heavy_hitters_live",
     }
     for q in timings:
         if q.endswith("_live"):

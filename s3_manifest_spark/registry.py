@@ -223,4 +223,9 @@ def load_all() -> None:
         quantiles,
     )
     from s3_manifest_spark.functions import scalar  # noqa: F401
-    from s3_manifest_spark.streaming import cdc, index_update, windows  # noqa: F401
+    from s3_manifest_spark.streaming import (  # noqa: F401
+        cdc,
+        heavy_hitters,
+        index_update,
+        windows,
+    )

@@ -5,9 +5,9 @@ cache wipe → ``load_models`` must leave every trainer CACHE-HITTING
 (zero Spark jobs on the trainer call — asserted via job-group
 tracking, not inference) and every dependent registered query
 producing byte-identical output to its in-session-trained run.
-Covers all five storage kinds: npy (lr_quality), json (bpe_merges),
-broadcast_json (tfidf_dfreq), frames (minhash_index), and
-frames+scalars (bigram_lm).
+Covers all storage kinds: npy (lr_quality), json (bpe_merges),
+bytes (cms_sketch), broadcast_json (tfidf_dfreq), frames
+(minhash_index), and frames+scalars (bigram_lm, pagerank_graph).
 """
 
 from __future__ import annotations

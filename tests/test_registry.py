@@ -70,6 +70,7 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "stream_sliding_live",
         "stream_cdc_apply_live",
         "stream_index_update_live",
+        "stream_heavy_hitters_live",
         "dedup_clusters",
         "dedup_canonical",
         "graph_pagerank",

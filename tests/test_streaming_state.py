@@ -363,3 +363,26 @@ def test_streamed_minhash_index_equals_batch_index(spark):
         live[cols].sort_values(cols).reset_index(drop=True),
         batch[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_stream_cms_merge_invariance_is_load_bearing(spark):
+    """The streamed-merged sketch must equal the one-shot sketch
+    exactly (merge invariance), and the equality comparison must be
+    falsifiable: double-merging a batch (replay) breaks it."""
+    from s3_manifest_spark.operators.curation import _cms_sketch
+    from s3_manifest_spark.streaming.heavy_hitters import (
+        drain_merged_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    jvm_cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    streamed = jvm_cms.readFrom(drain_merged_sketch(spark, sf))
+    oneshot = jvm_cms.readFrom(_cms_sketch(spark, sf))
+    assert streamed.totalCount() == oneshot.totalCount()
+    for probe in ("table", "scan", "the", "zebra"):
+        assert streamed.estimateCount(probe) == oneshot.estimateCount(probe)
+    # falsification: replaying (double-merging) one sketch must break
+    # the invariance the flag asserts
+    doubled = jvm_cms.readFrom(_cms_sketch(spark, sf))
+    doubled.mergeInPlace(jvm_cms.readFrom(_cms_sketch(spark, sf)))
+    assert doubled.totalCount() != oneshot.totalCount()
