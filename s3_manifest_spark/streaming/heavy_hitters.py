@@ -124,14 +124,10 @@ def drain_merged_sketch(spark: SparkSession, sf_dir: str) -> bytes:
         q.awaitTermination()
         record_progress(q)
     assert merged["batches"] >= 2, "spool must drain in >=2 micro-batches"
-    import io
-
-    out = io.BytesIO()
     # py4j: CountMinSketch.writeTo needs a java OutputStream
     baos = spark._jvm.java.io.ByteArrayOutputStream()
     merged["sk"].writeTo(baos)
-    out.write(bytes(baos.toByteArray()))
-    return out.getvalue()
+    return bytes(baos.toByteArray())
 
 
 @register("stream_heavy_hitters_live", oracle=_HH_LIVE_ORACLE)
