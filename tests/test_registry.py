@@ -103,6 +103,10 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         "percentile_dist_exact",
         # r11: sketch built + candidate estimates read at construction
         "heavy_hitters_cms",
+        "stream_heavy_hitters_live",
+        # r11: first construction builds the shared NDV model
+        "profile_table",
+        "profile_table_approx",
         # r10: the shared exact-topk + per-family membership relations
         # are session-cached models now — first construction
         # materializes them by design
