@@ -38,10 +38,10 @@ from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 from s3_manifest_spark.streaming.scratch import scratch_base
 
-_FORMATS = ("jsonl", "csv")
+_FORMATS = ("jsonl", "csv", "orc")
 
 #: bump when the spool writer options change (see _spool_formats)
-_SPOOL_FORMAT_V = 2
+_SPOOL_FORMAT_V = 3  # v3: + ORC leg
 
 #: the certificate aggregates, per engine — same math, each engine's
 #: own hex-to-int idiom (Spark conv(); DuckDB 0x-literal cast)
@@ -57,15 +57,15 @@ SELECT f.fmt AS format,
        CAST(sum(length(text)) AS BIGINT)        AS text_mass,
        CAST(sum({_DUCK_CKSUM}) AS BIGINT)       AS text_cksum
 FROM documents d
-CROSS JOIN (VALUES ('csv'), ('jsonl')) f(fmt)
+CROSS JOIN (VALUES ('csv'), ('jsonl'), ('orc')) f(fmt)
 GROUP BY 1, 2
 """
 
 
 def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
-    """Write the documents corpus to scratch as JSONL and CSV, once
-    per source content fingerprint (the index_update keying rule: a
-    stale spool from another corpus must never be reused)."""
+    """Write the documents corpus to scratch as JSONL, CSV, and ORC,
+    once per source content fingerprint (the index_update keying
+    rule: a stale spool from another corpus must never be reused)."""
     import hashlib
 
     src = f"{sf_dir}/documents.parquet"
@@ -89,6 +89,9 @@ def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
             .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
             .csv(os.path.join(base, "csv"))
         )
+        # third columnar format: ORC is Spark-native (no package) and
+        # the other container a data vendor actually ships
+        docs.write.mode("overwrite").orc(os.path.join(base, "orc"))
         open(done, "w").close()
     return base
 
@@ -97,9 +100,11 @@ def _spool_formats(spark: SparkSession, sf_dir: str) -> str:
 def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (format, lang): document count, total text length, and the
     md5-prefix checksum of every document's text, computed from the
-    JSONL and CSV RE-READS — graded against the same aggregates over
-    the parquet originals (see module docstring: a hash match proves
-    byte-exact quoting/escaping round trips for both formats)."""
+    JSONL, CSV, and ORC RE-READS — graded against the same aggregates
+    over the parquet originals (see module docstring: a hash match
+    proves byte-exact round trips for all three formats — text
+    quoting/escaping for the row formats, encoder/decoder fidelity
+    for the columnar one)."""
     base = _spool_formats(spark, sf_dir)
     schema = "doc_id long, text string, lang string"
     jsonl = spark.read.schema(schema).json(os.path.join(base, "jsonl"))
@@ -118,8 +123,9 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(header=True, escape='"', multiLine=True, nullValue="\\N")
         .csv(os.path.join(base, "csv"))
     )
+    orc = spark.read.schema(schema).orc(os.path.join(base, "orc"))
     out = None
-    for fmt, df in (("jsonl", jsonl), ("csv", csv)):
+    for fmt, df in (("jsonl", jsonl), ("csv", csv), ("orc", orc)):
         agg = df.groupBy(F.lit(fmt).alias("format"), "lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).alias("text_mass"),
