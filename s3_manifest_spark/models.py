@@ -178,12 +178,11 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
     had been trained in-session."""
     import numpy as np
 
+    from s3_manifest_spark.registry import session_model_cache
+
     with open(os.path.join(store_dir, _MANIFEST)) as f:
         manifest = json.load(f)
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     loaded = []
     for slug, meta in sorted(manifest.items()):
         key = tuple(meta["key"])

@@ -62,7 +62,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import load_table
 
 #: merge rounds — the vocabulary-size hyperparameter (real tokenizers
@@ -141,10 +141,7 @@ def train_bpe(
     Driver vs distributed strategy chosen by :data:`VOCAB_DRIVER_CAP`
     over the histogram row count; ``force_distributed`` exists for the
     path-equivalence test."""
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     key = ("bpe_merges", sf_dir)
     if not force_distributed:
         cached = model_cache.get(key)

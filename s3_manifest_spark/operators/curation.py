@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register, track_persist
+from s3_manifest_spark.registry import register, track_persist, session_model_cache
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 
 CHUNK_TOKENS = 30
@@ -141,10 +141,7 @@ def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
     distributed and broadcast-join it instead of collecting).
     Released by ``registry.clear_model_cache``; bench.py prices the
     fit into ``cold_sec``."""
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     cached = model_cache.get(("tfidf_dfreq", sf_dir))
     if cached is not None:
         return cached
@@ -1012,10 +1009,7 @@ def contamination_bloom(
     # session-cached like the IVF quantizer; bench.py records the full
     # cold build+screen cost separately (cold_sec).  The test-only
     # breakage path never touches the cache.
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     model_key = ("contam_bloom_model", sf_dir)
     # geometry is needed by the screening kernel on every call (cache
     # hit or not); it is a memoized parquet-footer read, no job
@@ -1662,10 +1656,7 @@ def _cms_sketch(spark: SparkSession, sf_dir: str) -> bytes:
     across sessions like the other trained artifacts (a CMS over
     yesterday's corpus IS yesterday's index; estimates are readable
     forever without re-scanning)."""
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     key = ("cms_sketch", sf_dir)
     cached = mc.get(key)
     if cached is not None:

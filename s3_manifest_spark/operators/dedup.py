@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3_manifest_spark.registry import (
+    session_model_cache,
     defer_cleanup,
     register,
     track_cleanup,
@@ -997,10 +998,7 @@ def _embedding_lsh_pairs_sparse(
         # here — a caller-supplied tag alone must never serve an index
         # built under different band/plane/threshold settings
         cache_key = (*cache_key, L, r, float(thr))
-        mc = getattr(spark, "_smsp_model_cache", None)
-        if mc is None:
-            mc = {}
-            spark._smsp_model_cache = mc
+        mc = session_model_cache(spark)
         cached = mc.get(cache_key)
     if cached is None:
         bucketed = _lsh_band_rows(v, L, r, with_embedding=False)
@@ -1827,10 +1825,7 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
     store and is UPDATED by the listing change feed (streaming/cdc.py
     maintains the manifest twin of that feed), not rebuilt.
     """
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     cached = model_cache.get(("minhash_index", sf_dir))
     if cached is not None:
         return cached

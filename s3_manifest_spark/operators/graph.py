@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.operators.dedup import (
     _JACCARD_PAIRS_SQL,
     dedup_ngram_jaccard,
@@ -108,10 +108,7 @@ def _pagerank_graph_cached(spark: SparkSession, sf_dir: str):
     dedup index that defines it — per-query rebuild is fixture-think.
     Cold build is priced in bench cold_sec; released by
     ``registry.clear_model_cache``."""
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     key = ("pagerank_graph", sf_dir)
     cached = mc.get(key)
     if cached is not None:

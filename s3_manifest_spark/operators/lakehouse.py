@@ -42,7 +42,7 @@ from s3_manifest_spark.operators.manifest_queries import (
     _DIFF_NEW_PRED,
     _DIFF_OLD_PRED,
 )
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import (
     SYNTH_LISTING_SQL,
     listing_model,
@@ -414,10 +414,7 @@ def _exact_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-pairs aggregation; see profile_table's docstring for why
     not countDistinct) and served warm.  Derived kind — rebuilt from
     data, not persisted by models.py; cold build priced in cold_sec."""
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     key = ("profile_ndv", sf_dir)
     cached = mc.get(key)
     if cached is not None:

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3_manifest_spark.manifest.core import derive_manifest
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import (
     SYNTH_LISTING_SQL,
     load_table,
@@ -462,10 +462,7 @@ def _cdc_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool]:
     sweep because it must outlive individual query calls.  Returns
     ``(state, packed)`` where ``packed`` says which key form the
     state's ``k`` column carries."""
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     packed = _packed_domain_ok(sf_dir)
     # conf part of the key comes from the ONE helper _keyed_parts
     # reads, so the sizing and the cache key cannot drift (ADVICE r8)

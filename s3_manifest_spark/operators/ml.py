@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 
 #: gradient-descent steps / learning rate — fixed hyperparameters, part
@@ -149,10 +149,7 @@ def train_quality_lr(
     path-equivalence test."""
     import numpy as np
 
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     key = ("lr_quality", sf_dir)
     if not force_distributed:
         cached = model_cache.get(key)
@@ -352,10 +349,7 @@ def train_bigram_lm(spark: SparkSession, sf_dir: str):
     """
     from s3_manifest_spark.registry import track_cleanup
 
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     key = ("bigram_lm", sf_dir)
     cached = model_cache.get(key)
     if cached is not None:

@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import load_table
 
 #: number of clusters / Lloyd rounds — fixed hyperparameters, part of
@@ -116,10 +116,7 @@ def train_semdedup_centroids(spark: SparkSession, sf_dir: str):
 
     from s3_manifest_spark.registry import track_persist
 
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     key = ("semdedup", sf_dir)
     cached = model_cache.get(key)
     if cached is not None:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_manifest_spark.registry import register
+from s3_manifest_spark.registry import register, session_model_cache
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 
 TOP_K = 5
@@ -246,10 +246,7 @@ def similarity_ivf_neighbors(
     # cache dies with the session and is NOT the plan memo the bench
     # harnesses clear (training is work the DuckDB oracle never does,
     # so amortizing it skews no comparison).
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     cached_cent = model_cache.get(("ivf", sf_dir))
     tr = None
     if cached_cent is None:
@@ -557,10 +554,7 @@ GROUP BY query_id
 
 
 def _mc(spark: SparkSession) -> dict:
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     return mc
 
 
@@ -800,10 +794,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
 
     from s3_manifest_spark.registry import track_persist
 
-    model_cache = getattr(spark, "_smsp_model_cache", None)
-    if model_cache is None:
-        model_cache = {}
-        spark._smsp_model_cache = model_cache
+    model_cache = session_model_cache(spark)
     cached = model_cache.get(("pq", sf_dir))
     if cached is not None:
         return cached

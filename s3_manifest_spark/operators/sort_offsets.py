@@ -85,15 +85,17 @@ def cached_sort_meta(
     (localCheckpoint — the layout must outlive the registry call and
     lineage truncation makes a divergent recompute impossible, see
     compaction_plan's inline note), served warm, released by
-    ``clear_model_cache``, cold build priced in bench cold_sec.  The
+    ``clear_model_cache`` (via a ``Releasable`` handle on the
+    checkpointed RDD — a plain ``DataFrame.unpersist()`` is a no-op
+    for localCheckpoint blocks, which never register in the
+    CacheManager), cold build priced in bench cold_sec.  The
     cache key carries partitions + sort cols + group cols so two
     operators sharing a caller-provided ``key_tuple`` but different
     shapes can never serve each other's layout."""
+    from s3_manifest_spark.registry import Releasable, session_model_cache
+
     spark = df.sparkSession
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    mc = session_model_cache(spark)
     key = (
         "sorted_meta",
         *key_tuple,
@@ -110,7 +112,10 @@ def cached_sort_meta(
         .localCheckpoint(eager=True)
     )
     meta = partition_weights(data, group_cols, weight)
-    mc[key] = (data, meta)
+    # The checkpointed blocks live on the LogicalRDD's backing RDD —
+    # keep its handle so clear_model_cache can actually free them.
+    jrdd = data._jdf.queryExecution().analyzed().rdd()
+    mc[key] = (data, meta, Releasable(lambda: jrdd.unpersist(False)))
     return data, meta
 
 

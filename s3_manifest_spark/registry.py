@@ -86,6 +86,36 @@ def defer_cleanup(fn: Callable[[], None]) -> None:
     _DEFERRED_CLEANUPS.append(fn)
 
 
+class Releasable:
+    """Wrap a non-DataFrame resource held by a model-cache entry so
+    :func:`clear_model_cache` can free it — e.g. the py4j RDD handle
+    backing a ``localCheckpoint`` (whose blocks a ``DataFrame
+    .unpersist()`` would NOT release: checkpointed RDDs never register
+    in the CacheManager, so without this they linger until the
+    ContextCleaner GCs the RDD)."""
+
+    def __init__(self, release_fn: Callable[[], None]):
+        self._release_fn = release_fn
+
+    def release(self) -> None:
+        try:
+            self._release_fn()
+        except Exception:
+            pass  # session already stopped / blocks already freed
+
+
+def session_model_cache(spark: SparkSession) -> dict:
+    """The session model cache (``spark._smsp_model_cache``), created
+    on first use.  Trainers key it by ``(prefix, sf_dir)`` tuples;
+    release entries with :func:`clear_model_cache`, never a bare
+    ``.clear()`` (see that function's docstring)."""
+    mc = getattr(spark, "_smsp_model_cache", None)
+    if mc is None:
+        mc = {}
+        spark._smsp_model_cache = mc
+    return mc
+
+
 def clear_model_cache(spark: SparkSession) -> None:
     """Release the session model cache (trained quantizers, LSH
     indexes, CDC state, broadcast filters) WITHOUT leaking its
@@ -106,6 +136,8 @@ def clear_model_cache(spark: SparkSession) -> None:
         for p in parts:
             if isinstance(p, DataFrame):
                 p.unpersist(blocking=False)
+            elif isinstance(p, Releasable):  # localCheckpoint RDD blocks
+                p.release()
             elif hasattr(p, "destroy") and hasattr(p, "value"):  # Broadcast
                 p.destroy()
     mc.clear()

@@ -223,10 +223,9 @@ def listing_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     DERIVED kind — rebuilt from data by design, deliberately not
     persisted by models.py — and the cold build is priced in
     BENCH_FULL.json's cold_sec like every other session model."""
-    mc = getattr(spark, "_smsp_model_cache", None)
-    if mc is None:
-        mc = {}
-        spark._smsp_model_cache = mc
+    from s3_manifest_spark.registry import session_model_cache
+
+    mc = session_model_cache(spark)
     key = ("synth_listing", sf_dir)
     cached = mc.get(key)
     if cached is not None:

@@ -48,6 +48,8 @@ from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 from s3_manifest_spark.streaming.metrics import record_progress
 from s3_manifest_spark.streaming.scratch import scratch_base
 
+_HH_SPOOL_FORMAT_V = 1  # v1: (doc_id, text) parquet, `files` split files
+
 _HH_LIVE_ORACLE = _HH_ORACLE.replace(
     "true AS cms_within_eps",
     "true AS cms_within_eps,\n       true AS merge_invariant",
@@ -62,9 +64,12 @@ def _spool_all_docs(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     import hashlib
 
     src = f"{sf_dir}/documents.parquet"
+    # _HH_SPOOL_FORMAT_V rides the fingerprint (mirrors ingest's
+    # _SPOOL_FORMAT_V): changing the spool's columns or writer options
+    # must invalidate previously-staged spools.
     fp = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{parquet_row_count(src)}|"
-        f"{int(os.stat(src).st_mtime)}".encode()
+        f"{int(os.stat(src).st_mtime)}|v{_HH_SPOOL_FORMAT_V}".encode()
     ).hexdigest()[:12]
     spool = os.path.join(
         scratch_base(),
@@ -123,7 +128,13 @@ def drain_merged_sketch(spark: SparkSession, sf_dir: str) -> bytes:
         )
         q.awaitTermination()
         record_progress(q)
-    assert merged["batches"] >= 2, "spool must drain in >=2 micro-batches"
+    if merged["batches"] < 2:
+        # Product-path contract, not a debug assert (survives python -O):
+        # the merge-invariance certificate is vacuous on a 1-batch drain.
+        raise RuntimeError(
+            f"merge-invariance certificate needs >=2 micro-batches; "
+            f"spool drained in {merged['batches']}"
+        )
     # py4j: CountMinSketch.writeTo needs a java OutputStream
     baos = spark._jvm.java.io.ByteArrayOutputStream()
     merged["sk"].writeTo(baos)

@@ -280,3 +280,31 @@ def test_driver_sample_rotation_order():
     for n in never:
         for m in latest & set(order):
             assert pos[n] < pos[m], (n, m)
+
+
+def test_cached_sort_meta_blocks_freed_by_clear(spark):
+    """cached_sort_meta pins its sorted layout via localCheckpoint —
+    whose blocks a DataFrame.unpersist() can NOT release (checkpointed
+    RDDs never register in the CacheManager).  clear_model_cache must
+    free them through the Releasable RDD handle, or every bench cold
+    run leaks a sorted copy of the relation into executor memory."""
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.operators.sort_offsets import cached_sort_meta
+    from s3_manifest_spark.registry import clear_model_cache
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.range(10_000).selectExpr("id", "id % 3 AS g")
+    data, meta = cached_sort_meta(
+        df, 4, ["id"], [], F.count(F.lit(1)), ("t_release", "x")
+    )
+    assert jsc.getPersistentRDDs().size() == base + 1
+    # cache hit serves the same frame without a second checkpoint
+    again, _ = cached_sort_meta(
+        df, 4, ["id"], [], F.count(F.lit(1)), ("t_release", "x")
+    )
+    assert again is data
+    assert jsc.getPersistentRDDs().size() == base + 1
+    clear_model_cache(spark)
+    assert jsc.getPersistentRDDs().size() == base
