@@ -1837,9 +1837,15 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
     n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
     if MINHASH_MAX_DF < n_docs:
         raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
+    # localCheckpoint, not persist: the batch minhash/jaccard queries
+    # track_persist plan-equal shingle relations, and the CacheManager
+    # is plan-keyed — their sweep-time unpersist would drop a shared
+    # entry and turn this "warm" index into a per-call recompute (the
+    # graph_pagerank r11 eviction, same mechanism).  Blocks are freed
+    # by clear_model_cache via the LogicalRDD handle.
     shingles = raw_sh.select(
         F.col("doc_id").alias("doc_old"), "fp", F.col("n").alias("n_old")
-    ).persist()
+    ).localCheckpoint(eager=True)
     sig = shingles.groupBy("doc_old").agg(
         F.first("n_old").alias("n_old"),
         *[
@@ -1865,7 +1871,7 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
             F.col("bb.band").alias("band"),
             F.col("bb.bh").alias("bh"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     value = (buckets, shingles)
     model_cache[("minhash_index", sf_dir)] = value

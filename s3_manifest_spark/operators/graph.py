@@ -114,17 +114,26 @@ def _pagerank_graph_cached(spark: SparkSession, sf_dir: str):
     if cached is not None:
         return cached
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint, NOT persist: the CacheManager keys cached data by
+    # logical plan, and the clusters/canonical queries build this exact
+    # symmetrized-edge plan and track_persist it — when the registry
+    # sweep unpersists THEIR frame, the shared plan-keyed entry dies and
+    # this model silently degrades to full-lineage recompute (measured:
+    # r11 bench served graph_pagerank COLD on every rep, 3.1 s vs 0.9 s
+    # warm).  Checkpoint blocks belong to this frame alone; truncated
+    # lineage also makes a divergent recompute impossible.
+    # clear_model_cache frees the blocks via the LogicalRDD handle.
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).persist()
-    n = deg.count()  # materializes both persists
+    ).localCheckpoint(eager=True)
+    n = deg.count()  # counts the checkpointed relation (cheap)
     value = (edges, deg, n)
     mc[key] = value
     return value

@@ -136,11 +136,26 @@ def clear_model_cache(spark: SparkSession) -> None:
         for p in parts:
             if isinstance(p, DataFrame):
                 p.unpersist(blocking=False)
-            elif isinstance(p, Releasable):  # localCheckpoint RDD blocks
+                _release_checkpoint_blocks(p)
+            elif isinstance(p, Releasable):  # non-frame resources
                 p.release()
             elif hasattr(p, "destroy") and hasattr(p, "value"):  # Broadcast
                 p.destroy()
     mc.clear()
+
+
+def _release_checkpoint_blocks(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint``'d model
+    frame.  ``DataFrame.unpersist()`` above covers only CacheManager
+    entries; checkpointed frames never register there — their blocks
+    hang off the LogicalRDD's backing RDD and would otherwise linger
+    until the ContextCleaner GCs it (ADVICE r11)."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.getClass().getSimpleName() == "LogicalRDD":
+            analyzed.rdd().unpersist(False)
+    except Exception:
+        pass  # session stopped / non-checkpoint plan — nothing to free
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -62,6 +62,20 @@ def state_store_partitions(spark: SparkSession, n_keys_hint: int) -> str:
     return str(max(8, min(4 * cores, -(-n_keys_hint // 65_536))))
 
 
+#: listing-spool writer-format version — rides the spool fingerprint so
+#: a change to the chunking (or a return to the old single-hardlink
+#: layout) can never silently reuse a stale spool.
+_LISTING_SPOOL_V = 2  # v2: multi-file chunks (was: one hardlinked file)
+
+#: listing-chunk files per spool.  A real listing feed lands as many
+#: chunk files per window; staging several also gives the micro-batch
+#: SCAN that many parallel tasks — the v1 single-file spool ran the
+#: whole 600k-row projection + filter + partial aggregation in ONE
+#: task before the state shuffle (measured ~0.9 s of serial addBatch
+#: at sf0.1).
+_LISTING_CHUNKS = 8
+
+
 def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of listing rows (the production layout: a
     directory that listing-chunk files land in), derived from the
@@ -74,19 +88,22 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # root gets a fresh spool instead of silently streaming stale data.
     # os.getuid() keeps /tmp spools from colliding across users.
     tag = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|v{_LISTING_SPOOL_V}x{_LISTING_CHUNKS}".encode()
     ).hexdigest()[:16]
     spool = os.path.join(
         scratch_base(), f"smsp-listing-{os.getuid()}-{tag}"
     )
-    os.makedirs(spool, exist_ok=True)
-    dst = os.path.join(spool, "lineitem.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
-    schema = spark.read.parquet(dst).schema
+    done = os.path.join(spool, "_SPOOL_READY")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(src)
+            .repartition(_LISTING_CHUNKS)
+            .write.mode("overwrite")
+            .parquet(spool)
+        )
+        open(done, "w").close()
+    schema = spark.read.parquet(spool).schema
     raw = spark.readStream.schema(schema).format("parquet").load(spool)
     return listing_projection(raw)
 
@@ -110,8 +127,10 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
 
     out_dir = tempfile.mkdtemp(prefix="smsp-cdc-snap-", dir=scratch_base())
     defer_cleanup(lambda: shutil.rmtree(out_dir, ignore_errors=True))
+    n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
@@ -129,11 +148,17 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
         q.awaitTermination()
         record_progress(q, family="cdc_apply")
     snap = spark.read.parquet(out_dir)
+    value_cols = [c for c in snap.columns if c not in ("key", "batch_id")]
+    if n_batches["n"] == 1:
+        # Update mode emits each touched key at most once PER
+        # micro-batch, so a single-batch drain's spool already holds
+        # exactly one (final-state) row per key — the latest-per-key
+        # compaction would be a full extra shuffle that merges nothing.
+        return snap.select("key", *value_cols)
     # latest row per key as a HASH aggregation (max_by on batch_id)
     # instead of a window: the window form sorts every partition on
     # (key, batch_id) just to keep row 1, while max_by is one
     # map-side-combinable pass — same one-exchange plan, no sort.
-    value_cols = [c for c in snap.columns if c not in ("key", "batch_id")]
     latest = snap.groupBy("key").agg(
         F.max_by(F.struct(*value_cols), F.col("batch_id")).alias("v")
     )

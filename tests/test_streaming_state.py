@@ -386,3 +386,69 @@ def test_stream_cms_merge_invariance_is_load_bearing(spark):
     doubled = jvm_cms.readFrom(_cms_sketch(spark, sf))
     doubled.mergeInPlace(jvm_cms.readFrom(_cms_sketch(spark, sf)))
     assert doubled.totalCount() != oneshot.totalCount()
+
+
+def test_drain_cdc_updates_multi_batch_compacts(spark, tmp_path):
+    """drain_cdc_updates skips the latest-per-key compaction ONLY on
+    single-batch drains; force a 2-file / 1-file-per-trigger drain and
+    pin that the multi-batch path still emits one latest row per key,
+    equal to the batch apply."""
+    from s3_manifest_spark.operators.manifest_queries import cdc_merge, cdc_per_key
+    from s3_manifest_spark.sources.tables import listing_projection, load_table
+    from s3_manifest_spark.streaming.cdc import drain_cdc_updates
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    spool = str(tmp_path / "spool")
+    li.filter("l_orderkey % 2 = 0").coalesce(1).write.parquet(spool)
+    li.filter("l_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(spool)
+
+    schema = spark.read.parquet(spool).schema
+    stream = listing_projection(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(spool)
+    )
+    live = cdc_merge(drain_cdc_updates(spark, cdc_per_key(stream)))
+    live = live.toPandas().sort_values("key").reset_index(drop=True)
+    assert live.key.is_unique
+    import __spark_entry__ as entrymod
+
+    batch = (
+        entrymod.queries()["manifest_apply_changes"](spark, sf)
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert list(live.key) == list(batch.key)
+    assert list(live["size"]) == list(batch["size"])
+
+
+def test_drain_index_feed_multi_batch_equals_batch_index(spark):
+    """The index maintainer under FORCED multi-batch arrival (one file
+    per trigger) must produce exactly the batch-built index — the
+    registered drain now takes one availableNow batch, so this pins
+    the per-doc-closure argument on the real multi-trigger path."""
+    import pandas as pd
+
+    from s3_manifest_spark.operators.dedup import _minhash_index
+    from s3_manifest_spark.streaming import index_update as iu
+
+    sf = "/root/testdata/sf0.001"
+    spool = iu._spool_old_docs(spark, sf)
+    bdir, sdir = iu.drain_index_feed(spark, spool, max_files_per_trigger=1)
+    batch_b, batch_s = _minhash_index(spark, sf)
+
+    def norm(df, cols):
+        pdf = df.toPandas()[cols]
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    bcols = ["doc_old", "n_old", "band", "bh"]
+    scols = ["doc_old", "fp", "n_old"]
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(bdir), bcols), norm(batch_b, bcols)
+    )
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(sdir), scols), norm(batch_s, scols)
+    )
