@@ -144,13 +144,28 @@ def main() -> int:
 
     from s3_manifest_spark.models import load_models, save_models
 
+    # Default to a STABLE store under the scratch base (VERDICT r11
+    # item 7): consecutive bench invocations on one host then reuse each
+    # other's trained artifacts, and `reused` below records the disk
+    # round-trip models.py exists for.  SPARK_GRAFT_MODELS_DIR still
+    # overrides; set SPARK_GRAFT_MODELS_EPHEMERAL=1 to restore the
+    # throwaway-tempdir behavior.
+    from s3_manifest_spark.streaming.scratch import scratch_base
+
     models_dir = os.environ.get("SPARK_GRAFT_MODELS_DIR")
-    models_ephemeral = models_dir is None
-    if models_ephemeral:
-        models_dir = tempfile.mkdtemp(prefix="smsp-models-")
+    models_ephemeral = os.environ.get("SPARK_GRAFT_MODELS_EPHEMERAL") == "1"
+    if models_dir is None:
+        if models_ephemeral:
+            models_dir = tempfile.mkdtemp(prefix="smsp-models-")
+        else:
+            models_dir = os.path.join(scratch_base(), "smsp-models-store")
     models_meta: dict[str, object] = {
         "dir": models_dir,
         "ephemeral": models_ephemeral,
+        # True exactly when a prior run's manifest was already on disk:
+        # this run's warm_start then loads artifacts that survived a
+        # full process exit, not just an intra-run save/load.
+        "reused": os.path.exists(os.path.join(models_dir, "MODELS.json")),
     }
     try:
         models_meta["saved"] = save_models(spark, models_dir)["saved"]
@@ -280,24 +295,28 @@ def main() -> int:
     # streaming runtime to a batch query and should be read with this
     # flag, not against the 2x-of-batch bar.
     # machinery_floor_sec: the null-work drain bound from
-    # tools/probe_drain_floor.py (SCALE.md r11) — ~0.53 s for a
-    # 1-trigger stateful drain + ~0.25 s per extra trigger on this
-    # host, before ANY addBatch work.  Two-trigger drains are the
-    # cross-batch-state ones (their oracle contract needs >=2
-    # micro-batches to exercise state carry-over).
-    two_trigger = {
-        "stream_dedup_live",
-        "stream_join_live",
-        "stream_index_update_live",
-        "stream_heavy_hitters_live",
+    # tools/probe_drain_floor.py (SCALE.md r11) — ~0.26 s stateless /
+    # ~0.53 s stateful (state-store lifecycle) per 1-trigger drain,
+    # +~0.25 s per extra trigger, before ANY addBatch work.  Per-drain
+    # because the drains differ in both dimensions: the foreachBatch
+    # maintainers (index_update r12, heavy_hitters) run NO stateful
+    # operator; dedup/join/heavy_hitters keep >=2 triggers for their
+    # cross-batch-state / merge-invariance contracts.
+    drain_floor = {
+        "stream_tumbling_live": 0.53,
+        "stream_sliding_live": 0.53,
+        "stream_user_state_live": 0.53,
+        "stream_cdc_apply_live": 0.53,
+        "stream_dedup_live": 0.78,
+        "stream_join_live": 0.78,
+        "stream_index_update_live": 0.26,
+        "stream_heavy_hitters_live": 0.51,
     }
     for q in timings:
         if q.endswith("_live"):
             meta = queries_meta.setdefault(q, {})
             meta["streaming_drain"] = True
-            meta["machinery_floor_sec"] = (
-                0.78 if q in two_trigger else 0.53
-            )
+            meta["machinery_floor_sec"] = drain_floor.get(q, 0.53)
     # ANN/LSH completeness certificates: the Spark wall includes the
     # engine's own exact brute-force side, the ANN pass, AND the
     # canonical-membership recomputation the certificate needs, while
@@ -345,6 +364,18 @@ def main() -> int:
     # vs a 50 ms in-process single-node profile.
     if "profile_table" in timings:
         queries_meta.setdefault("profile_table", {})["exact_analyze"] = True
+    # Host-noise spread (VERDICT r11 item 2): these two moved >25% in
+    # r11's bench on flat oracles, but a quiet-window A/B (r12)
+    # reproduced their r10 walls exactly (dedup_simhash 0.887 s vs r10
+    # 0.88; contamination_bloom 0.458 s vs r10 0.42), and within r11's
+    # own interleaved samples the PAIRWISE spark/oracle ratio stayed
+    # flat while both walls swung together (dedup_simhash per-sample
+    # ratios 0.90-1.17 across a 1.25-2.59 s wall range) — the signature
+    # of shared noisy-neighbor load, not a plan change.  The full
+    # sample arrays in this artifact make the check re-runnable.
+    for q in ("dedup_simhash", "contamination_bloom"):
+        if q in timings:
+            queries_meta.setdefault(q, {})["host_noise_spread"] = True
 
     # The honest work-class segmentation (VERDICT r8 ask #7): floor
     # rows are dominated by per-query engine constants (~0.2 s of job

@@ -191,13 +191,22 @@ def drain_index_feed(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         buckets, shingles = _index_rows(batch_df)
-        # Index appends are small (ids + longs); coalesce so each
-        # append is a handful of files instead of one per shuffle
-        # partition — the post-drain probe re-reads this store, and at
-        # fixture scale 32 footer reads per relation cost more than
-        # the rows.  Production sizes this to ingest volume.
-        buckets.coalesce(4).write.mode("append").parquet(bdir)
-        shingles.coalesce(4).write.mode("append").parquet(sdir)
+        # Batch-scoped persist: buckets derives FROM shingles (the
+        # signature aggregation), so without it the two appends each
+        # evaluate the full Arrow shingle kernel — one redundant pass
+        # over every document per micro-batch.  Write shingles first
+        # (materializes the cache), then buckets reuses it.
+        shingles.persist()
+        try:
+            # Index appends are small (ids + longs); coalesce so each
+            # append is a handful of files instead of one per shuffle
+            # partition — the post-drain probe re-reads this store, and
+            # at fixture scale 32 footer reads per relation cost more
+            # than the rows.  Production sizes this to ingest volume.
+            shingles.coalesce(4).write.mode("append").parquet(sdir)
+            buckets.coalesce(4).write.mode("append").parquet(bdir)
+        finally:
+            shingles.unpersist(blocking=False)
 
     with tempfile.TemporaryDirectory(
         prefix="smsp-ckpt-", dir=scratch_base()
