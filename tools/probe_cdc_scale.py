@@ -10,7 +10,10 @@ Evidences the module's scale claims with numbers:
   overhead — state tracks the live-key population, nothing else);
 - drain wall scales sublinearly (fixed commit machinery amortizes).
 
-Usage: python tools/probe_cdc_scale.py [--provider rocksdb]
+Usage: python tools/probe_cdc_scale.py [copies] [--provider rocksdb]
+(r12: pass 100 for the 60M-row / ~45M-live-key probe; micro-batch
+count stays ~4 at any scale so trigger machinery doesn't swamp the
+data term)
 """
 import functools
 import os
@@ -26,10 +29,11 @@ from s3_manifest_spark.streaming.scratch import scratch_base
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-COPIES = 10
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+COPIES = int(_pos[0]) if _pos else 10
 
 extra = {
-    "spark.driver.memory": "24g",
+    "spark.driver.memory": "48g",
     "spark.sql.shuffle.partitions": CPUS,
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
@@ -50,10 +54,15 @@ from s3_manifest_spark.streaming.cdc import state_store_partitions  # noqa: E402
 
 def drain(spool: str, n_rows_hint: int, label: str) -> None:
     schema = spark.read.parquet(spool).schema
+    n_files = len(
+        [f for f in os.listdir(spool) if f.endswith(".parquet")]
+    )
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("maxFilesPerTrigger", "5")  # several micro-batches
+        # ~4 micro-batches at any scale: the probe measures the state
+        # path's data term, not 40 triggers' worth of commit machinery
+        .option("maxFilesPerTrigger", str(max(1, n_files // 4)))
         .load(spool)
     )
     per_key = cdc_per_key(listing_projection(raw))
@@ -112,12 +121,23 @@ shifted = [
     for i in range(COPIES)
 ]
 functools.reduce(lambda a, b: a.unionByName(b), shifted).repartition(
-    20
+    max(20, COPIES * 2)
 ).write.mode("overwrite").parquet(spool10)
 
 try:
+    # warmup: a throwaway mini-drain so the 1x row isn't inflated by
+    # session constants (python workers, codegen, state-store init) —
+    # an inflated 1x denominator would FLATTER the growth factor.
+    warm = tempfile.mkdtemp(prefix="smsp-probe-warm-", dir=scratch_base())
+    li.limit(1000).coalesce(1).write.mode("overwrite").parquet(warm)
+    drain(warm, 1000, "warmup(discard)")
+    shutil.rmtree(warm, ignore_errors=True)
     drain(spool1, base_rows, f"1x({base_rows} rows)")
-    drain(spool10, base_rows * COPIES, f"10x({base_rows * COPIES} rows)")
+    drain(
+        spool10,
+        base_rows * COPIES,
+        f"{COPIES}x({base_rows * COPIES} rows)",
+    )
 finally:
     shutil.rmtree(spool1, ignore_errors=True)
     shutil.rmtree(spool10, ignore_errors=True)
