@@ -163,9 +163,18 @@ def stream_index_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index indifferent to batching, and the multi-batch drain path is
     # pinned by tests/test_streaming_state.py with maxFilesPerTrigger=1).
     bdir, sdir = drain_index_feed(spark, spool)
-    buckets_old = spark.read.parquet(bdir)
-    sh_old = spark.read.parquet(sdir)
+    buckets_old = read_index_store(spark, bdir)
+    sh_old = read_index_store(spark, sdir)
     return probe_incremental(spark, sf_dir, buckets_old, sh_old)
+
+
+def read_index_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read an index-store directory written by :func:`drain_index_feed`
+    (one overwritten ``batch<N>`` subdirectory per micro-batch — the
+    idempotent layout; see the sink comment)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    )
 
 
 def drain_index_feed(
@@ -192,19 +201,29 @@ def drain_index_feed(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         buckets, shingles = _index_rows(batch_df)
         # Batch-scoped persist: buckets derives FROM shingles (the
-        # signature aggregation), so without it the two appends each
+        # signature aggregation), so without it the two writes each
         # evaluate the full Arrow shingle kernel — one redundant pass
         # over every document per micro-batch.  Write shingles first
         # (materializes the cache), then buckets reuses it.
         shingles.persist()
         try:
-            # Index appends are small (ids + longs); coalesce so each
-            # append is a handful of files instead of one per shuffle
-            # partition — the post-drain probe re-reads this store, and
-            # at fixture scale 32 footer reads per relation cost more
-            # than the rows.  Production sizes this to ingest volume.
-            shingles.coalesce(4).write.mode("append").parquet(sdir)
-            buckets.coalesce(4).write.mode("append").parquet(bdir)
+            # One OVERWRITTEN subdirectory per micro-batch, not a bare
+            # append: foreachBatch may re-deliver a batch id after a
+            # failure, and an append would double-count every shingle
+            # row in the re-delivered batch — intersection sizes (and
+            # so Jaccard) would silently inflate.  Overwrite-by-batch
+            # makes the sink idempotent (exactly-once index content
+            # under at-least-once delivery), which is the contract a
+            # durable index maintainer must have.  Writes stay small
+            # (ids + longs), coalesced so the post-drain probe reads a
+            # handful of files per batch instead of one per shuffle
+            # partition.
+            shingles.coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(sdir, f"batch{batch_id}")
+            )
+            buckets.coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(bdir, f"batch{batch_id}")
+            )
         finally:
             shingles.unpersist(blocking=False)
 

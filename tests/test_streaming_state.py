@@ -447,8 +447,41 @@ def test_drain_index_feed_multi_batch_equals_batch_index(spark):
     bcols = ["doc_old", "n_old", "band", "bh"]
     scols = ["doc_old", "fp", "n_old"]
     pd.testing.assert_frame_equal(
-        norm(spark.read.parquet(bdir), bcols), norm(batch_b, bcols)
+        norm(iu.read_index_store(spark, bdir), bcols), norm(batch_b, bcols)
     )
     pd.testing.assert_frame_equal(
-        norm(spark.read.parquet(sdir), scols), norm(batch_s, scols)
+        norm(iu.read_index_store(spark, sdir), scols), norm(batch_s, scols)
     )
+
+
+def test_drain_index_feed_sink_is_idempotent_under_redelivery(spark):
+    """The index sink must produce EXACTLY the same store when a
+    micro-batch is re-delivered (at-least-once foreachBatch semantics):
+    re-running the sink body for an already-written batch id overwrites
+    its subdirectory instead of double-appending — a bare append would
+    silently inflate every intersection count in the probe."""
+    import pandas as pd
+
+    from s3_manifest_spark.streaming import index_update as iu
+
+    sf = "/root/testdata/sf0.001"
+    spool = iu._spool_old_docs(spark, sf)
+    bdir, sdir = iu.drain_index_feed(spark, spool)
+    docs = spark.read.parquet(spool)
+
+    def norm(df, cols):
+        pdf = df.toPandas()[cols]
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    scols = ["doc_old", "fp", "n_old"]
+    before = norm(iu.read_index_store(spark, sdir), scols)
+    # simulate foreachBatch re-delivering batch 0 (the whole spool
+    # drained in one availableNow trigger)
+    import os
+
+    buckets, shingles = iu._index_rows(docs)
+    shingles.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(sdir, "batch0")
+    )
+    after = norm(iu.read_index_store(spark, sdir), scols)
+    pd.testing.assert_frame_equal(before, after)
