@@ -130,6 +130,12 @@ def drain_cdc_updates(spark: SparkSession, per_key_stream: DataFrame) -> DataFra
     n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Re-delivery-safe without overwrite-by-batch (contrast the
+        # index maintainer's sink, index_update.py): a re-delivered
+        # batch appends rows with the SAME batch_id and the SAME
+        # final-state values, so the latest-per-key compaction below
+        # picks an identical row either way (and the re-delivery bumps
+        # n_batches past 1, routing around the single-batch shortcut).
         n_batches["n"] += 1
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
