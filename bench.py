@@ -153,7 +153,14 @@ def main() -> int:
     from s3_manifest_spark.streaming.scratch import scratch_base
 
     models_dir = os.environ.get("SPARK_GRAFT_MODELS_DIR")
-    models_ephemeral = os.environ.get("SPARK_GRAFT_MODELS_EPHEMERAL") == "1"
+    # The ephemeral flag means "bench-created throwaway tempdir"; it is
+    # only honored when no explicit store was given — otherwise the
+    # end-of-run rmtree would delete a USER-supplied directory (ADVICE
+    # r12).  An explicit dir + ephemeral=1 keeps the explicit dir.
+    models_ephemeral = (
+        os.environ.get("SPARK_GRAFT_MODELS_EPHEMERAL") == "1"
+        and models_dir is None
+    )
     if models_dir is None:
         if models_ephemeral:
             models_dir = tempfile.mkdtemp(prefix="smsp-models-")
@@ -201,7 +208,8 @@ def main() -> int:
             before_keys = set(getattr(spark, "_smsp_model_cache", {}) or {})
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
-            best = min(best or 9e9, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
             cold_added_keys[name] = sorted(
                 set(getattr(spark, "_smsp_model_cache", {}) or {}) - before_keys
             )
@@ -233,7 +241,10 @@ def main() -> int:
             clear_model_cache(spark)
             getattr(spark, "_smsp_plan_cache", {}).clear()
             t0 = time.perf_counter()
-            load_models(spark, models_dir)
+            # Scoped to this run's sf_dir: the stable store accumulates
+            # entries across sf_dirs, and load_sec must not grow with
+            # (or materialize frames for) other datasets' history.
+            load_models(spark, models_dir, sf_dir=sf_dir)
             for v in (getattr(spark, "_smsp_model_cache", {}) or {}).values():
                 for m in v if isinstance(v, tuple) else (v,):
                     if isinstance(m, _DF):
@@ -259,7 +270,8 @@ def main() -> int:
                     getattr(spark, "_smsp_plan_cache", {}).clear()
                     t0 = time.perf_counter()
                     qs[name](spark, sf_dir).toPandas()
-                    best = min(best or 9e9, time.perf_counter() - t0)
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
                 warm_start_secs[name] = round(best, 4)
         except Exception as e:
             models_meta["error"] = f"load: {e}"

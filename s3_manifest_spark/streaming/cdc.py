@@ -96,13 +96,30 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = os.path.join(spool, "_SPOOL_READY")
     if not os.path.exists(done):
+        # Concurrency-safe spool build (ADVICE r12): stage into a
+        # builder-private temp directory, then os.rename into place —
+        # the spool (with its ready marker already inside) appears
+        # atomically, so a concurrent reader can never list
+        # half-written chunk files, and a concurrent builder that
+        # loses the rename race just discards its staging dir.
+        import uuid
+
+        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
         (
             spark.read.parquet(src)
             .repartition(_LISTING_CHUNKS)
             .write.mode("overwrite")
-            .parquet(spool)
+            .parquet(staging)
         )
-        open(done, "w").close()
+        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
+        try:
+            os.rename(staging, spool)
+        except OSError:
+            # Lost the race: another session renamed its spool in
+            # first.  Its content is identical by fingerprint; keep it.
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
     schema = spark.read.parquet(spool).schema
     raw = spark.readStream.schema(schema).format("parquet").load(spool)
     return listing_projection(raw)

@@ -369,10 +369,27 @@ def test_session_models_survive_registry_sweeps(spark):
             if isinstance(part, DataFrame) and not _frame_stored(spark, part):
                 lost.append((key, i))
     assert not lost, f"model frames lost executor storage: {lost}"
-    # and clear_model_cache actually frees the checkpoint blocks
+    # and clear_model_cache actually frees the checkpoint blocks: pin
+    # the ids of the model frames' backing RDDs, then assert each id is
+    # gone from the SparkContext's persistent-RDD map (ADVICE r12 — the
+    # old `size() >= 0` smoke was vacuously true).
+    model_rdd_ids = []
+    for key in (
+        ("pagerank_graph", sf),
+        ("bigram_lm", sf),
+        ("minhash_index", sf),
+    ):
+        for part in mc[key] if isinstance(mc[key], tuple) else (mc[key],):
+            if isinstance(part, DataFrame):
+                analyzed = part._jdf.queryExecution().analyzed()
+                if analyzed.getClass().getSimpleName() == "LogicalRDD":
+                    model_rdd_ids.append(analyzed.rdd().id())
+    assert model_rdd_ids, "no checkpointed model frames found to pin"
     jsc = spark.sparkContext._jsc.sc()
     clear_model_cache(spark)
-    # every surviving persistent RDD must now be outside the model set
-    # (tracked-persist intermediates are swept by the NEXT registry
-    # call, so just assert the count strictly dropped)
-    assert jsc.getPersistentRDDs().size() >= 0  # smoke: call works
+    still_stored = [
+        rid for rid in model_rdd_ids if jsc.getPersistentRDDs().contains(rid)
+    ]
+    assert not still_stored, (
+        f"clear_model_cache left checkpoint blocks resident: {still_stored}"
+    )
