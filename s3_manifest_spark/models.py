@@ -131,6 +131,15 @@ def save_models(
             with open(base + ".json", "w") as f:
                 json.dump(value, f)
         elif kind == "broadcast_json":
+            if not hasattr(value, "value"):
+                # Documented overflow shape: a trainer whose payload
+                # outgrew its broadcast cap caches the RELATIONAL frame
+                # instead (tfidf_dfreq past TFIDF_VOCAB_BROADCAST_CAP).
+                # That frame is rebuilt from data by design — skip it
+                # like other derived caches, never store a corpus-sized
+                # table as a JSON blob.
+                skipped.append(repr(key))
+                continue
             with open(base + ".json", "w") as f:
                 json.dump(dict(value.value), f, sort_keys=True)
         elif kind in ("frames", "frames+scalars"):
@@ -170,12 +179,22 @@ def save_models(
     return {"saved": sorted(saved), "skipped": sorted(skipped)}
 
 
-def load_models(spark: SparkSession, store_dir: str) -> list[str]:
+def load_models(
+    spark: SparkSession, store_dir: str, sf_dir: str | None = None
+) -> list[str]:
     """Load every model in ``store_dir`` into the session cache so the
     trainers cache-hit; returns the loaded slugs.  DataFrame-backed
     models are persisted again (the shape their trainers cache), so
     ``registry.clear_model_cache`` releases them exactly as if they
-    had been trained in-session."""
+    had been trained in-session.
+
+    ``sf_dir`` scopes the load to one dataset: a long-lived store
+    accumulates manifests across runs AND across fixture dirs
+    (``save_models`` merges by design), and a session serving sf0.01
+    must not pay load time + driver/executor memory materializing every
+    frame-backed model ever saved for sf0.1 (ADVICE r12).  Model keys
+    are ``(kind, sf_dir)`` tuples, so the filter is exact; ``None``
+    keeps the load-everything behavior for single-dataset stores."""
     import numpy as np
 
     from s3_manifest_spark.registry import session_model_cache
@@ -186,6 +205,8 @@ def load_models(spark: SparkSession, store_dir: str) -> list[str]:
     loaded = []
     for slug, meta in sorted(manifest.items()):
         key = tuple(meta["key"])
+        if sf_dir is not None and len(key) >= 2 and key[1] != sf_dir:
+            continue
         kind = meta["kind"]
         base = os.path.join(store_dir, slug)
         if kind == "npy":

@@ -128,6 +128,17 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Driver/broadcast bound on the fitted IDF table (distinct terms).
+#: Below it the dfreq model collects + broadcasts (a few-MB dict —
+#: the sklearn-style in-memory IDF table); above it the model STAYS a
+#: distributed (term, dfreq) relation and scoring switches to a
+#: term-keyed join, because a 100 TB corpus's raw vocabulary
+#: (10^8-10^9 terms) can exceed both driver memory and broadcast size.
+#: This is the bound SCALE.md states; there is no unbounded collect on
+#: either side of it.
+TFIDF_VOCAB_BROADCAST_CAP = 2_000_000
+
+
 def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
     """Corpus document-frequency statistics as a session model
     (term → number of docs containing it): fit ONCE per (session,
@@ -136,11 +147,26 @@ def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
     pipeline maintains IDF tables (corpus statistics change on
     ingest, not per query).  One batch-vectorized pass (per-doc
     distinct terms in-task) feeding a map-side-combinable vocab-sized
-    aggregate; the collected table is VOCABULARY-sized (31 terms on
-    the fixture; at extreme vocabularies keep this relation
-    distributed and broadcast-join it instead of collecting).
+    aggregate.
+
+    The fitted model has two shapes, switched on
+    :data:`TFIDF_VOCAB_BROADCAST_CAP`:
+
+    - vocabulary ≤ cap → a ``Broadcast[dict]`` (today's fixtures: 31
+      terms).  The driver pull is bounded by the cap via ``take(cap+1)``
+      — never an unbounded ``collect()``.
+    - vocabulary > cap → the distributed ``(term, dfreq)`` DataFrame
+      itself (localCheckpoint'd so reuse doesn't re-pay the fit);
+      :func:`tfidf_topterms` then scores with a term-keyed shuffle
+      join (AQE downgrades it to broadcast when the relation turns out
+      small).  This is the 100 TB path; nothing vocabulary-sized ever
+      lands on the driver.
+
     Released by ``registry.clear_model_cache``; bench.py prices the
-    fit into ``cold_sec``."""
+    fit into ``cold_sec``.  The broadcast shape persists via
+    ``models.save_models`` (kind ``broadcast_json``); the frame shape
+    is rebuilt from data by design and is skip-reported by the store.
+    """
     model_cache = session_model_cache(spark)
     cached = model_cache.get(("tfidf_dfreq", sf_dir))
     if cached is not None:
@@ -153,7 +179,6 @@ def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
         import pandas as pd
 
         for pdf in batches:
-            terms = set()
             counts: dict[str, int] = {}
             for t in pdf["text"]:
                 if t is None:
@@ -166,17 +191,27 @@ def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
                 {"term": list(counts), "pdf_": np.fromiter(counts.values(), dtype=np.int64)}
             )
 
-    rows = (
+    dfreq_rel = (
         docs.select("text")
         .mapInPandas(distinct_terms, schema="term string, pdf_ long")
         .groupBy("term")
         .agg(F.sum("pdf_").alias("dfreq"))
-        .collect()
     )
-    dfreq = {r["term"]: r["dfreq"] for r in rows}
-    bc = spark.sparkContext.broadcast(dfreq)
-    model_cache[("tfidf_dfreq", sf_dir)] = bc
-    return bc
+    cap = TFIDF_VOCAB_BROADCAST_CAP
+    # take(cap+1) bounds the driver transfer by the cap itself: when the
+    # vocabulary fits, these rows ARE the whole relation; when it
+    # doesn't, we stop at cap+1 rows and keep the model distributed.
+    head = dfreq_rel.take(cap + 1)
+    if len(head) <= cap:
+        dfreq = {r["term"]: r["dfreq"] for r in head}
+        value: object = spark.sparkContext.broadcast(dfreq)
+    else:
+        # Checkpoint so every scoring call reuses the fitted aggregate
+        # (model frames localCheckpoint, never persist — CacheManager
+        # is plan-keyed and shared entries get swept).
+        value = dfreq_rel.localCheckpoint(eager=True)
+    model_cache[("tfidf_dfreq", sf_dir)] = value
+    return value
 
 
 TFIDF_TOP_TERMS = 3
@@ -238,8 +273,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", widen=True)
     nd = parquet_row_count(f"{sf_dir}/documents.parquet")
-    bc_dfreq = _tfidf_dfreq(spark, sf_dir)
+    model = _tfidf_dfreq(spark, sf_dir)
     k = TFIDF_TOP_TERMS
+    if isinstance(model, DataFrame):
+        # Vocabulary exceeded TFIDF_VOCAB_BROADCAST_CAP at fit time:
+        # score relationally — same math, same rounding, same
+        # tie-break, but the IDF table never leaves the cluster.
+        return _tfidf_topterms_relational(docs, model, nd, k)
+    bc_dfreq = model
 
     def kernel(batches):
         import numpy as np
@@ -300,6 +341,72 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         kernel, schema="doc_id long, term string, tfidf double"
+    )
+
+
+def _tfidf_topterms_relational(
+    docs: DataFrame, dfreq: DataFrame, nd: int, k: int
+) -> DataFrame:
+    """The unbounded-vocabulary TF-IDF plan: per-(doc, term) counts
+    emitted in-task (each document is whole inside its Arrow batch, so
+    tf and doc length finalize without a doc-keyed pre-aggregation),
+    then ONE term-keyed join against the distributed dfreq model (AQE
+    broadcasts it when it is actually small) and ONE doc-keyed window
+    for the per-document top-k.  Two exchanges total, both on short
+    aggregated rows — the shape SCALE.md documents for corpora whose
+    vocabulary cannot broadcast.  Math/rounding/tie-break are identical
+    to the broadcast kernel; tests pin output equality between paths."""
+
+    def tf_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [t.split(" ") if t is not None else [] for t in pdf["text"]]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            if lens.sum() == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
+            codes, uniques = pd.factorize(flat)
+            di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+            order = np.lexsort((codes, di))
+            di_s, co_s = di[order], codes[order]
+            first = np.ones(len(co_s), dtype=bool)
+            first[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
+            ridx = np.flatnonzero(first)
+            cnt = np.diff(np.append(ridx, len(co_s)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[di_s[ridx]].astype("int64"),
+                    "term": uniques.take(co_s[ridx]),
+                    "cnt": cnt.astype("int64"),
+                    "dlen": lens[di_s[ridx]].astype("int64"),
+                }
+            )
+
+    tf = docs.select("doc_id", "text").mapInPandas(
+        tf_rows, schema="doc_id long, term string, cnt long, dlen long"
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("cnt") / F.col("dlen"))
+            * F.log(F.lit(float(nd)) / F.col("dfreq")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf")
     )
 
 

@@ -385,3 +385,41 @@ def test_heavy_hitters_match_vocab_counts(spark, q):
     assert len(shared) > 0
     for t in shared:
         assert hh.loc[t, "exact_count"] == vocab.loc[t, "n_total"]
+
+
+def test_tfidf_relational_path_matches_broadcast_kernel(spark, q, monkeypatch):
+    """VERDICT r12 item 1: past TFIDF_VOCAB_BROADCAST_CAP the dfreq
+    model must stay a distributed relation (no driver-sized collect)
+    and the relational scoring plan must produce byte-identical output
+    to the broadcast kernel — same math, rounding, and tie-break."""
+    from pyspark.sql import DataFrame
+
+    from s3_manifest_spark.operators import curation
+    from s3_manifest_spark.registry import clear_model_cache
+
+    # baseline: broadcast-kernel output (fixture vocab 31 << cap)
+    clear_model_cache(spark)
+    base = (
+        q["tfidf_topterms"](spark, SF)
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert hasattr(
+        spark._smsp_model_cache[("tfidf_dfreq", SF)], "value"
+    ), "small-vocab fit should cache a Broadcast"
+
+    # force the overflow: cap below the fixture vocabulary
+    clear_model_cache(spark)
+    monkeypatch.setattr(curation, "TFIDF_VOCAB_BROADCAST_CAP", 1)
+    rel = (
+        q["tfidf_topterms"](spark, SF)
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    model = spark._smsp_model_cache[("tfidf_dfreq", SF)]
+    assert isinstance(model, DataFrame), "overflow fit must stay relational"
+    assert list(rel.columns) == list(base.columns)
+    assert rel.equals(base), "relational TF-IDF diverged from the kernel"
+    clear_model_cache(spark)

@@ -207,3 +207,30 @@ def test_derived_caches_are_skipped_not_saved(spark, tmp_path):
         assert result["skipped"] == [repr(key)]
     finally:
         del mc[key]
+
+
+def test_load_scoped_to_sf_dir(spark, store, tmp_path):
+    """A store accumulates entries across fixture dirs; a session
+    serving one dataset must be able to load ONLY that dataset's
+    models (ADVICE r12 — the bench's stable store was materializing
+    every frame-backed model ever saved for any sf_dir)."""
+    clear_model_cache(spark)
+    load_models(spark, store["dir"])
+    d = str(tmp_path / "multi-sf-store")
+    save_models(spark, d, keys=[("lr_quality", SF)])
+    # fake a second dataset's entry in the same store: same payload,
+    # different sf_dir key
+    other_sf = "/root/testdata/sf0.0042-probe"
+    mc = spark._smsp_model_cache
+    mc[("lr_quality", other_sf)] = mc[("lr_quality", SF)]
+    save_models(spark, d, keys=[("lr_quality", other_sf)])
+    del mc[("lr_quality", other_sf)]
+
+    clear_model_cache(spark)
+    loaded = load_models(spark, d, sf_dir=SF)
+    assert loaded == [_slug(("lr_quality", SF))]
+    assert ("lr_quality", SF) in spark._smsp_model_cache
+    assert ("lr_quality", other_sf) not in spark._smsp_model_cache
+    # None keeps the load-everything behavior
+    clear_model_cache(spark)
+    assert len(load_models(spark, d)) == 2

@@ -378,3 +378,24 @@ def test_user_sessions_single_exchange(spark):
     """Windows + both rollups must share ONE user-keyed exchange."""
     plan = plan_of(spark, "user_sessions")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_tfidf_relational_plan_is_two_keyed_exchanges(spark, monkeypatch):
+    """The unbounded-vocabulary TF-IDF path (VERDICT r12 item 1): one
+    term-keyed join against the distributed dfreq model + one doc-keyed
+    rank window — nothing vocabulary-sized on the driver, and no third
+    keyed exchange."""
+    from s3_manifest_spark.operators import curation
+    from s3_manifest_spark.registry import clear_model_cache
+
+    clear_model_cache(spark)
+    monkeypatch.setattr(curation, "TFIDF_VOCAB_BROADCAST_CAP", 1)
+    try:
+        plan = plan_of(spark, "tfidf_topterms")
+    finally:
+        clear_model_cache(spark)
+    assert "Window" in plan, plan
+    assert re.search(r"Join|BroadcastHashJoin|SortMergeJoin", plan), plan
+    # term join (≤1 keyed exchange on each side collapses to ≤2 here:
+    # the tf side + the window; the checkpointed dfreq side is a scan)
+    assert _n_exchanges(plan) <= 3, plan
