@@ -7,8 +7,10 @@
         [--dest-access-key K --dest-secret-key S]
 
 Differences by design: listing is parallel (shards × executors, not
-one serial loop) and S3 output streams through s3a:// multipart upload
-instead of buffering the whole file in RAM (main.rs:327-329).
+one serial loop) and S3 output streams multipart per task — through
+s3a:// when hadoop-aws is on the classpath, else through the
+executor-side boto3 sink (sources/s3_upload.py) — instead of buffering
+the whole file in RAM (main.rs:327-329).
 """
 
 from __future__ import annotations
@@ -96,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
         access_key=args.source_access_key,
         secret_key=args.source_secret_key,
     )
+    # Destination client for the jar-free boto3 upload leg (used when
+    # hadoop-aws is absent): separate endpoint/creds from the source,
+    # exactly the reference's two-client split (C1, main.rs:294-319).
+    dest_factory = make_boto3_client_factory(
+        endpoint_url=args.dest_endpoint,
+        access_key=args.dest_access_key,
+        secret_key=args.dest_secret_key,
+    )
     # observe() collects count/bytes from the same job that writes the
     # output (A1/A2, main.rs:231, 284-289) — a follow-up count() would
     # re-list the whole bucket.
@@ -126,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
             single_object=args.single_object,
             progress=prog,
             start_after=args.start_after,
+            dest_client_factory=dest_factory,
         )
     stats = obs.get
     elapsed = _time.perf_counter() - t0

@@ -319,11 +319,21 @@ def manifest_from_s3(
     single_object: bool = False,
     progress=None,
     start_after: str = "",
+    dest_client_factory: Callable[[], object] | None = None,
 ) -> DataFrame:
     """The reference CLI's whole job (main.rs:120-292): list → derive
-    manifest → optionally write parquet.  S3 output goes through the
+    manifest → optionally write parquet.  S3 output prefers the
     s3a:// filesystem (streaming multipart upload — fixes the
-    whole-file-in-RAM defect at main.rs:327-329).
+    whole-file-in-RAM defect at main.rs:327-329); when hadoop-aws is
+    not on the JVM classpath it falls back to the executor-side boto3
+    multipart sink (:mod:`s3_manifest_spark.sources.s3_upload`), which
+    is the same per-task streaming shape without the jar — so
+    ``output="s3://…"`` works on every install.
+
+    ``dest_client_factory`` binds the DESTINATION endpoint/credentials
+    for the boto3 leg (the reference's separate dest client, C1,
+    main.rs:294-319); it defaults to ``client_factory`` (same account
+    both sides) and then to the boto3 default chain.
 
     Pass a ``pyspark.sql.Observation`` to collect the reference's run
     stats (object count / total bytes, main.rs:231, 284-289) from the
@@ -348,9 +358,26 @@ def manifest_from_s3(
         )
     if output is not None:
         out_bucket, path = parse_output_location(output)
-        write_manifest(
-            manifest,
-            f"s3a://{out_bucket}/{path}" if out_bucket else path,
-            single_object=single_object,
-        )
+        if out_bucket:
+            from s3_manifest_spark.sources.s3_upload import (
+                s3a_available,
+                upload_parquet_boto3,
+            )
+
+            if s3a_available(spark):
+                write_manifest(
+                    manifest,
+                    f"s3a://{out_bucket}/{path}",
+                    single_object=single_object,
+                )
+            else:
+                upload_parquet_boto3(
+                    manifest,
+                    out_bucket,
+                    path,
+                    client_factory=dest_client_factory or client_factory,
+                    single_object=single_object,
+                )
+        else:
+            write_manifest(manifest, path, single_object=single_object)
     return manifest

@@ -8,14 +8,15 @@ wrong shape in make_boto3_client_factory's config dict (endpoint_url /
 static-creds / retry kwargs — reference main.rs:294-319, C1/C2) fails
 here even though the fake-client suite can't see it.
 
-Scope note (K2): the S3A parquet WRITE path needs the hadoop-aws +
-aws-sdk jars, which this pyspark distribution does not ship and the
-environment cannot download — so manifest output is exercised through
-the local-filesystem leg of write_manifest (same code path minus the
-FileSystem impl) and the s3a:// leg stays covered by contract tests in
-tests/test_sinks.py.  Everything else — shard discovery, paginated
-listing, prefix pushdown, StartAfter, manifest derivation, stats
-observation — runs against the wire endpoint end-to-end.
+K2 (r13): the S3 parquet WRITE path is wire-proven here end-to-end.
+The s3a:// leg still needs hadoop-aws jars this distribution doesn't
+ship (its contract tests live in tests/test_sinks.py), but the
+engine's actual `-o s3://…` route on this install is the executor-side
+boto3 multipart sink (sources/s3_upload.py), and the tests below drive
+it against moto: single-object at the exact key, directory mode with
+overwrite + _SUCCESS, a zero-row manifest, the multipart chunk path,
+and a genuine two-endpoint source≠dest credential split (C1's dest
+half).
 
 Skips cleanly when moto (or a usable ephemeral port) is unavailable.
 """
@@ -154,3 +155,176 @@ def test_wire_manifest_end_to_end(spark, factory, tmp_path):
     # run stats observed from the SAME job (main.rs:231, 284-289)
     assert obs.get["objects"] == len(want)
     assert obs.get["total_bytes"] == sum(want.values())
+
+
+# --------------------------------------------------------------------------
+# K2 on the wire (VERDICT r12 item 2): the S3 parquet OUTPUT leg.
+# hadoop-aws is not shipped in this pyspark install, so `-o s3://…`
+# runs the executor-side boto3 multipart sink (sources/s3_upload.py);
+# these tests drive manifest_from_s3 end-to-end against moto — both
+# single-object and directory modes, and a genuine two-endpoint
+# source≠dest split (C1's dest half, main.rs:294-319).
+# --------------------------------------------------------------------------
+
+DEST_BUCKET = "wire-dest-bucket"
+
+
+@pytest.fixture(scope="module")
+def dest_server():
+    """A SECOND moto server so dest endpoint/creds are proven to be a
+    separate binding, not a shared default."""
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    client = boto3.client(
+        "s3",
+        endpoint_url=endpoint,
+        region_name="us-east-1",
+        aws_access_key_id="dest-key",
+        aws_secret_access_key="dest-secret",
+    )
+    client.create_bucket(Bucket=DEST_BUCKET)
+    yield {"endpoint": endpoint, "client": client}
+    server.stop()
+
+
+@pytest.fixture(scope="module")
+def dest_factory(dest_server):
+    return make_boto3_client_factory(
+        endpoint_url=dest_server["endpoint"],
+        access_key="dest-key",
+        secret_key="dest-secret",
+        region="us-east-1",
+    )
+
+
+def _read_back(spark, dest_client, keys, tmp_path):
+    d = tmp_path / "readback"
+    d.mkdir(exist_ok=True)
+    for i, k in enumerate(keys):
+        body = dest_client.get_object(Bucket=DEST_BUCKET, Key=k)["Body"].read()
+        (d / f"f{i}.parquet").write_bytes(body)
+    return spark.read.parquet(str(d))
+
+
+def test_wire_k2_single_object_upload(
+    spark, factory, dest_server, dest_factory, tmp_path
+):
+    """`-o s3://dest/key` with single_object: exactly ONE parquet
+    object at exactly that key on the DEST endpoint (reference parity,
+    main.rs:271-282), content-identical to the derived manifest."""
+    out_key = "manifests/run1.parquet"
+    manifest_from_s3(
+        spark,
+        f"s3://{BUCKET}/data/",
+        output=f"s3://{DEST_BUCKET}/{out_key}",
+        client_factory=factory,
+        single_object=True,
+        dest_client_factory=dest_factory,
+    )
+    dest = dest_server["client"]
+    listed = dest.list_objects_v2(Bucket=DEST_BUCKET, Prefix="manifests/")
+    keys = [o["Key"] for o in listed.get("Contents", [])]
+    assert keys == [out_key], keys  # one object, exactly at the key
+    got = {
+        r["Key"]: r
+        for r in _read_back(spark, dest, [out_key], tmp_path).collect()
+    }
+    want = _expected_keys()
+    assert set(got) == set(want)
+    assert {k: r["Size"] for k, r in got.items()} == want
+    assert all(r["Bucket"] == BUCKET for r in got.values())
+    assert got["data/a/obj0000.parquet"]["FileName"] == "obj0000.parquet"
+    # source bucket must NOT have received the output (two-endpoint
+    # split: the upload bound to the dest client, not the source one)
+    src = boto3.client(
+        "s3",
+        endpoint_url=factory().meta.endpoint_url,
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+    assert "Contents" not in src.list_objects_v2(
+        Bucket=BUCKET, Prefix="manifests/"
+    )
+
+
+def test_wire_k2_directory_mode_overwrite_and_success_marker(
+    spark, factory, dest_server, dest_factory, tmp_path
+):
+    """Directory mode: part files + _SUCCESS under the prefix, stale
+    objects from a prior run removed (mode('overwrite') contract)."""
+    dest = dest_server["client"]
+    out_prefix = "manifests/dirmode"
+    # seed a stale part from a "previous run"
+    dest.put_object(
+        Bucket=DEST_BUCKET, Key=f"{out_prefix}/part-stale.parquet", Body=b"x"
+    )
+    manifest_from_s3(
+        spark,
+        f"s3://{BUCKET}/data/",
+        output=f"s3://{DEST_BUCKET}/{out_prefix}",
+        client_factory=factory,
+        dest_client_factory=dest_factory,
+    )
+    listed = dest.list_objects_v2(Bucket=DEST_BUCKET, Prefix=out_prefix + "/")
+    keys = sorted(o["Key"] for o in listed.get("Contents", []))
+    assert f"{out_prefix}/_SUCCESS" in keys
+    parts = [k for k in keys if "/part-" in k and k.endswith(".parquet")]
+    assert parts, keys
+    assert f"{out_prefix}/part-stale.parquet" not in keys  # overwritten
+    got = {
+        r["Key"]: r["Size"]
+        for r in _read_back(spark, dest, parts, tmp_path).collect()
+    }
+    assert got == _expected_keys()
+
+
+def test_wire_k2_empty_manifest_still_writes_object(
+    spark, factory, dest_server, dest_factory, tmp_path
+):
+    """A prefix matching nothing still PUTs a (zero-row) parquet in
+    single-object mode — the reference writes the output file
+    unconditionally (main.rs:156-165, 271)."""
+    out_key = "manifests/empty.parquet"
+    manifest_from_s3(
+        spark,
+        f"s3://{BUCKET}/no/such/prefix/",
+        output=f"s3://{DEST_BUCKET}/{out_key}",
+        client_factory=factory,
+        single_object=True,
+        dest_client_factory=dest_factory,
+    )
+    df = _read_back(spark, dest_server["client"], [out_key], tmp_path)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "Bucket", "Key", "FileName", "Size", "LastModified",
+    ]
+
+
+def test_wire_k2_multipart_path(
+    spark, dest_server, dest_factory, monkeypatch, tmp_path
+):
+    """Force the multipart leg: chunk size small enough that the
+    upload must span multiple parts on the wire (moto accepts sub-5MiB
+    parts; real S3 is reached through the same TransferConfig path)."""
+    from s3_manifest_spark.sources import s3_upload
+
+    monkeypatch.setattr(s3_upload, "_CHUNK_BYTES", 64 * 1024)
+    df = spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    )
+    out_key = "manifests/multipart.parquet"
+    summaries = s3_upload.upload_parquet_boto3(
+        df, DEST_BUCKET, out_key,
+        client_factory=dest_factory, single_object=True,
+    )
+    assert summaries[0]["key"] == out_key
+    assert summaries[0]["bytes"] > 3 * 64 * 1024  # >3 parts uploaded
+    head = dest_server["client"].head_object(Bucket=DEST_BUCKET, Key=out_key)
+    assert head["ContentLength"] == summaries[0]["bytes"]
+    got = _read_back(spark, dest_server["client"], [out_key], tmp_path)
+    assert got.count() == 200_000
