@@ -79,6 +79,7 @@ _KINDS = {
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",
     "pagerank_graph": "frames+scalars",
+    "dedup_components": "frames",
 }
 
 _MANIFEST = "MODELS.json"

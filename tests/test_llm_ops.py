@@ -559,7 +559,7 @@ def test_plant_id_guard_rejects_colliding_corpus(spark, tmp_path):
     )
     d = str(tmp_path / "fixture")
     bad.coalesce(1).write.parquet(d + "/embeddings.parquet")
-    with pytest.raises(ValueError, match="PLANT_ID_BASE"):
+    with pytest.raises(ValueError, match="planted-id bound"):
         _assert_plant_ids_disjoint(spark, d)
 
 
@@ -1069,3 +1069,30 @@ def test_ingest_csv_roundtrips_newlines_and_empty(spark, tmp_path):
     )
     assert list(back["text"]) == [r[1] for r in rows]
     assert back["text"].notna().all()
+
+
+def test_corpus_pos_certifies_positive_path(spark):
+    """dedup_embedding_lsh_hi_corpus_pos (VERDICT r12 item 7): the
+    corpus-form production plan must find exactly the planted twins —
+    CORPUS_POS_SEEDS pairs at cos 1.0, ids offset-disjoint."""
+    import __spark_entry__ as e
+
+    from s3_manifest_spark.operators.dedup import (
+        CORPUS_POS_OFFSET,
+        CORPUS_POS_SEEDS,
+    )
+
+    out = (
+        e.queries()["dedup_embedding_lsh_hi_corpus_pos"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .toPandas()
+        .sort_values("vec_a")
+        .reset_index(drop=True)
+    )
+    assert len(out) == CORPUS_POS_SEEDS
+    assert list(out["vec_a"]) == list(range(CORPUS_POS_SEEDS))
+    assert list(out["vec_b"]) == [
+        i + CORPUS_POS_OFFSET for i in range(CORPUS_POS_SEEDS)
+    ]
+    assert (out["cos_sim"] == 1.0).all()

@@ -147,7 +147,11 @@ def test_deferred_cleanups_run_on_next_call(spark, q):
 def test_dedup_clusters_restores_shuffle_conf_via_deferral(spark, q):
     """dedup_clusters scopes shuffle.partitions down for its loop and
     must leave the override live for its lazy result, restoring it at
-    the next registry call."""
+    the next registry call.  The scope-down happens at FIT time only
+    (r13: the labels are a session model), so drop the model first."""
+    from s3_manifest_spark.registry import clear_model_cache
+
+    clear_model_cache(spark)
     key = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
     df = q["dedup_clusters"](spark, SF)
