@@ -109,7 +109,7 @@ def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return buckets, shingles
 
 
-def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 2) -> str:
+def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 8) -> str:
     """Stage the existing-corpus split as a multi-file parquet spool.
     Built once per (sf, layout); content is deterministic and per-doc
     closure makes the file assignment irrelevant to index content.
@@ -214,14 +214,16 @@ def drain_index_feed(
             # so Jaccard) would silently inflate.  Overwrite-by-batch
             # makes the sink idempotent (exactly-once index content
             # under at-least-once delivery), which is the contract a
-            # durable index maintainer must have.  Writes stay small
-            # (ids + longs), coalesced so the post-drain probe reads a
-            # handful of files per batch instead of one per shuffle
-            # partition.
-            shingles.coalesce(4).write.mode("overwrite").parquet(
+            # durable index maintainer must have.  Writes run at full
+            # stage width — the r12 coalesce(4) here NARROWED the
+            # upstream kernel/aggregation stages to 4 tasks (coalesce
+            # is a narrow dependency), serializing the drain's real
+            # work on a 32-core box; more-but-small files per batch is
+            # the normal trade and the probe reads them in one scan.
+            shingles.write.mode("overwrite").parquet(
                 os.path.join(sdir, f"batch{batch_id}")
             )
-            buckets.coalesce(4).write.mode("overwrite").parquet(
+            buckets.write.mode("overwrite").parquet(
                 os.path.join(bdir, f"batch{batch_id}")
             )
         finally:

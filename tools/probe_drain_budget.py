@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Quiet-window drain budget (VERDICT r12 item 5): measure the two
+streaming maintainers' full drains min-of-3 and write DRAIN_BUDGET.json
+so the Σ ≤ 4.0 s claim lives in a committed artifact, not prose.
+
+bench.py attaches the samples to the two drains' queries_meta rows
+(``quiet_window_min3_sec``).  Re-run me in a quiet window after
+touching the streaming sinks:
+
+    python tools/probe_drain_budget.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DRAINS = ("stream_index_update_live", "stream_cdc_apply_live")
+RUNS = 3
+
+
+def main() -> int:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from s3_manifest_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="probe-drain-budget",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.driver.memory": "24g",
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # same warmup as bench.py
+    spark.read.parquet(f"{sf}/nation.parquet").groupBy("n_regionkey").count().toPandas()
+    spark.range(32).repartition(32).mapInPandas(lambda it: it, schema="id long").count()
+
+    samples: dict[str, list] = {n: [] for n in DRAINS}
+    for _ in range(RUNS):
+        for name in DRAINS:
+            getattr(spark, "_smsp_plan_cache", {}).clear()
+            t0 = time.perf_counter()
+            qs[name](spark, sf).toPandas()
+            samples[name].append(round(time.perf_counter() - t0, 4))
+
+    mins = {n: min(s) for n, s in samples.items()}
+    out = {
+        "sf_dir": sf,
+        "cpus": int(cpus),
+        "runs": RUNS,
+        "samples": samples,
+        "min": mins,
+        "sum_min_sec": round(sum(mins.values()), 4),
+        "target_sec": 4.0,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "DRAIN_BUDGET.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
