@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Measure the irreducible floor legs under the perf-weak bench rows
+(VERDICT r12 item 3) and write PROBE_FLOORS.json at the repo root.
+
+Each weak row's wall is decomposed into a NAMED floor leg — the cost a
+null-work pipeline of the same shape pays before the query's own logic
+does anything — measured min-of-N in the same session, interleaved
+with the query itself so every (floor, query) pair shares one noise
+environment (the drain-floor treatment from tools/probe_drain_floor.py
+applied to batch rows):
+
+- ``documents_python_pass``  — scan documents(doc_id, text) → identity
+  Arrow kernel → 1-row agg.  The floor of every trained-model scoring
+  query over documents (lm_perplexity): text must reach Python once.
+- ``embeddings_python_pass`` — same over embeddings(vec_id, embedding)
+  (semdedup's assign pass, dedup_embedding_lsh_hi's verify kernel).
+- ``manifest_project_raw_collect`` — the widened scan + Arrow collect
+  of a 5-column, output-width-matched copy of the full 600k-row
+  listing WITHOUT the manifest projection logic: manifest_project's
+  output IS the dataset, so this leg is its wall's floor by
+  construction.
+- ``manifest_prune_model_agg``   — a 1-row count over the session
+  listing model: the two-tiny-jobs floor under manifest_prune's
+  single-aggregation plan.
+- ``skew_perkey_agg``            — the per-key count shuffle + 1-row
+  rollup under skew_report (its plan adds only a TakeOrdered on top).
+
+bench.py attaches these to queries_meta.floor_decomposition so the
+committed artifact itemizes each weak row the way the streaming drains
+got machinery_floor_sec.  Run me after fixture or plan changes:
+
+    python tools/probe_perf_floors.py            # sf0.1, local[32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNS = 3
+
+
+def main() -> int:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="probe-perf-floors",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.driver.memory": "24g",
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    from s3_manifest_spark.sources.tables import (
+        listing_model,
+        load_table,
+        synth_listing,
+    )
+
+    # Warm engine constants out of the measurement (same as bench.py).
+    spark.read.parquet(f"{sf}/nation.parquet").groupBy("n_regionkey").count().toPandas()
+    spark.range(32).repartition(32).mapInPandas(lambda it: it, schema="id long").count()
+
+    def identity_docs():
+        docs = load_table(spark, sf, "documents", widen=True).select("doc_id", "text")
+
+        def k(batches):
+            for pdf in batches:
+                yield pdf[["doc_id"]]
+
+        docs.mapInPandas(k, schema="doc_id long").agg(F.count(F.lit(1))).toPandas()
+
+    def identity_emb():
+        v = load_table(spark, sf, "embeddings", widen=True).select("vec_id", "embedding")
+
+        def k(batches):
+            for pdf in batches:
+                yield pdf[["vec_id"]]
+
+        v.mapInPandas(k, schema="vec_id long").agg(F.count(F.lit(1))).toPandas()
+
+    def raw_listing_collect():
+        # Output-WIDTH-matched collect (5 columns, same Arrow volume as
+        # the manifest) with the projection logic replaced by column
+        # copies: what remains is scan + widen + Arrow collect of the
+        # full 600k-row result — manifest_project's output IS the
+        # dataset, so this is its wall's floor by construction.
+        synth_listing(spark, sf).select(
+            F.lit("floor-probe").alias("Bucket"),
+            F.col("key").alias("Key"),
+            F.col("key").alias("FileName"),
+            F.col("size").alias("Size"),
+            F.to_timestamp("last_modified").alias("LastModified"),
+        ).toPandas()
+
+    def prune_model_agg():
+        listing_model(spark, sf).agg(F.count(F.lit(1))).toPandas()
+
+    def skew_perkey_agg():
+        (
+            load_table(spark, sf, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .agg(F.count(F.lit(1)), F.sum("n_rows"))
+            .toPandas()
+        )
+
+    def run_query(name):
+        def f():
+            getattr(spark, "_smsp_plan_cache", {}).clear()
+            qs[name](spark, sf).toPandas()
+
+        return f
+
+    # Certificate-cost segmentation (VERDICT r12 item 8): the
+    # registered ANN queries return completeness CERTIFICATES — exact
+    # top-k + membership + falsifiable flags — while their raw ANN
+    # neighbor relations are separate library entry points.  Timing
+    # both (warm, same session) splits each bench row's wall into "the
+    # ANN search a consumer pays" vs "the exact-baseline verification
+    # the certificate deliberately recomputes".
+    from s3_manifest_spark.operators.similarity import (
+        similarity_ann_lsh_neighbors,
+        similarity_ivf_neighbors,
+        similarity_pq_neighbors,
+    )
+
+    def run_neighbors(fn):
+        def f():
+            fn(spark, sf).toPandas()
+
+        return f
+
+    legs = {
+        "documents_python_pass": identity_docs,
+        "embeddings_python_pass": identity_emb,
+        "manifest_project_raw_collect": raw_listing_collect,
+        "manifest_prune_model_agg": prune_model_agg,
+        "skew_perkey_agg": skew_perkey_agg,
+        # the weak queries themselves, same session, same interleaving
+        "q:lm_perplexity": run_query("lm_perplexity"),
+        "q:semdedup": run_query("semdedup"),
+        "q:dedup_embedding_lsh_hi": run_query("dedup_embedding_lsh_hi"),
+        "q:manifest_project": run_query("manifest_project"),
+        "q:manifest_prune": run_query("manifest_prune"),
+        "q:skew_report": run_query("skew_report"),
+        # raw-ANN vs certificate split
+        "ann:similarity_ann_lsh_neighbors": run_neighbors(
+            similarity_ann_lsh_neighbors
+        ),
+        "ann:similarity_ivf_neighbors": run_neighbors(similarity_ivf_neighbors),
+        "ann:similarity_pq_neighbors": run_neighbors(similarity_pq_neighbors),
+        "q:similarity_ann_lsh": run_query("similarity_ann_lsh"),
+        "q:similarity_ivf": run_query("similarity_ivf"),
+        "q:similarity_pq": run_query("similarity_pq"),
+    }
+    samples: dict[str, list] = {n: [] for n in legs}
+    for _ in range(RUNS):
+        for name, fn in legs.items():
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(round(time.perf_counter() - t0, 4))
+
+    out = {
+        "sf_dir": sf,
+        "cpus": int(cpus),
+        "runs": RUNS,
+        "samples": samples,
+        "min": {n: min(s) for n, s in samples.items()},
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "PROBE_FLOORS.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out["min"], indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
