@@ -93,6 +93,17 @@ HEADLINERS = {
     "embedding_quantize_int8": "one codegen projection of array "
     "higher-order functions (r9): scale/codes/saturation/MSE all "
     "derived in-task; no shuffle, no Python",
+    "dedup_canonical": "serves the session component-label model "
+    "(r13): the scanned checkpoint IS the converged labeling, so the "
+    "election is a left join over the docs scan + one co-keyed "
+    "max_by aggregation + the keeper join-back — the propagation "
+    "loop runs only at fit time (priced in cold_sec)",
+    "tfidf_topterms": "zero-exchange scoring (r7/r13): dfreq model "
+    "broadcast under TFIDF_VOCAB_BROADCAST_CAP feeds one Arrow "
+    "kernel pass — per-doc tf, idf gather, and in-batch top-k all "
+    "local; over the cap the model stays relational and the plan "
+    "switches to term-join + doc-window (pinned by "
+    "test_tfidf_relational_plan_is_two_keyed_exchanges)",
 }
 
 
