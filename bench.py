@@ -439,6 +439,10 @@ def main() -> int:
         "manifest_project": "manifest_project_raw_collect",
         "manifest_prune": "manifest_prune_model_agg",
         "skew_report": "skew_perkey_agg",
+        # bpe_train returns the trained merge table itself (12 local
+        # rows; the oracle retrains from scratch in-process): its warm
+        # wall IS the local-relation round-trip constant.
+        "bpe_train": "local_relation_roundtrip",
     }
     for q, leg in _floor_map.items():
         if q in timings and leg in _floors:

@@ -328,3 +328,48 @@ def test_wire_k2_multipart_path(
     assert head["ContentLength"] == summaries[0]["bytes"]
     got = _read_back(spark, dest_server["client"], [out_key], tmp_path)
     assert got.count() == 200_000
+
+
+def test_wire_k2_cli_end_to_end(
+    spark, moto_endpoint, dest_server, tmp_path, capsys
+):
+    """The full CLI surface over the wire (C3 + K2 + C1 both halves):
+    source endpoint/creds list the bucket, dest endpoint/creds receive
+    the single-object manifest, stats line reports the observed
+    counts."""
+    from s3_manifest_spark.manifest.cli import main
+
+    out_key = "manifests/cli-run.parquet"
+    rc = main(
+        [
+            f"s3://{BUCKET}/data/",
+            "-o",
+            f"s3://{DEST_BUCKET}/{out_key}",
+            "--source-endpoint",
+            moto_endpoint,
+            "--source-access-key",
+            "testing",
+            "--source-secret-key",
+            "testing",
+            "--dest-endpoint",
+            dest_server["endpoint"],
+            "--dest-access-key",
+            "dest-key",
+            "--dest-secret-key",
+            "dest-secret",
+            "--single-object",
+            "--no-progress",
+        ]
+    )
+    assert rc == 0
+    want = _expected_keys()
+    stats = capsys.readouterr().out
+    assert f"Processed {len(want)} objects" in stats
+    assert f"({sum(want.values())} bytes)" in stats
+    got = {
+        r["Key"]: r["Size"]
+        for r in _read_back(
+            spark, dest_server["client"], [out_key], tmp_path
+        ).collect()
+    }
+    assert got == want

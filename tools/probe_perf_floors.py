@@ -110,6 +110,16 @@ def main() -> int:
     def prune_model_agg():
         listing_model(spark, sf).agg(F.count(F.lit(1))).toPandas()
 
+    def local_relation_roundtrip():
+        # the createDataFrame + Arrow toPandas constant for a tiny
+        # LOCAL relation — the whole warm wall of queries that serve a
+        # session-trained table back as their result (bpe_train's 12
+        # merge rows): pure engine machinery, no plan to optimize.
+        spark.createDataFrame(
+            [(0, "a", "b", "ab", 1)],
+            "step long, lhs string, rhs string, merged string, pair_count long",
+        ).toPandas()
+
     def skew_perkey_agg():
         (
             load_table(spark, sf, "lineitem")
@@ -151,7 +161,9 @@ def main() -> int:
         "manifest_project_raw_collect": raw_listing_collect,
         "manifest_prune_model_agg": prune_model_agg,
         "skew_perkey_agg": skew_perkey_agg,
+        "local_relation_roundtrip": local_relation_roundtrip,
         # the weak queries themselves, same session, same interleaving
+        "q:bpe_train": run_query("bpe_train"),
         "q:lm_perplexity": run_query("lm_perplexity"),
         "q:semdedup": run_query("semdedup"),
         "q:dedup_embedding_lsh_hi": run_query("dedup_embedding_lsh_hi"),
