@@ -355,7 +355,9 @@ def main() -> int:
         for q in ("stream_index_update_live", "stream_cdc_apply_live"):
             if q in timings and q in _db.get("min", {}):
                 queries_meta.setdefault(q, {})["quiet_window_min3_sec"] = _db["min"][q]
-                queries_meta[q]["quiet_window_samples"] = _db["samples"][q]
+                queries_meta[q]["quiet_window_samples"] = _db.get(
+                    "samples", {}
+                ).get(q)
                 queries_meta[q]["quiet_window_artifact"] = "DRAIN_BUDGET.json"
     except Exception:
         pass

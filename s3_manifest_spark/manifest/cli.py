@@ -98,14 +98,18 @@ def main(argv: list[str] | None = None) -> int:
         access_key=args.source_access_key,
         secret_key=args.source_secret_key,
     )
-    # Destination client for the jar-free boto3 upload leg (used when
-    # hadoop-aws is absent): separate endpoint/creds from the source,
-    # exactly the reference's two-client split (C1, main.rs:294-319).
-    dest_factory = make_boto3_client_factory(
-        endpoint_url=args.dest_endpoint,
-        access_key=args.dest_access_key,
-        secret_key=args.dest_secret_key,
-    )
+    # Destination client for the boto3 upload leg: built ONLY when a
+    # dest flag is given (an explicit dest binding selects the boto3
+    # sink; otherwise s3a is preferred when its jars exist, and the
+    # boto3 fallback uses the default credential chain — exactly the
+    # reference's two-client split and defaulting, C1 main.rs:294-319).
+    dest_factory = None
+    if args.dest_endpoint or (args.dest_access_key and args.dest_secret_key):
+        dest_factory = make_boto3_client_factory(
+            endpoint_url=args.dest_endpoint,
+            access_key=args.dest_access_key,
+            secret_key=args.dest_secret_key,
+        )
     # observe() collects count/bytes from the same job that writes the
     # output (A1/A2, main.rs:231, 284-289) — a follow-up count() would
     # re-list the whole bucket.

@@ -198,18 +198,27 @@ def _tfidf_dfreq(spark: SparkSession, sf_dir: str):
         .agg(F.sum("pdf_").alias("dfreq"))
     )
     cap = TFIDF_VOCAB_BROADCAST_CAP
-    # take(cap+1) bounds the driver transfer by the cap itself: when the
-    # vocabulary fits, these rows ARE the whole relation; when it
+    # Checkpoint FIRST, then probe the checkpointed relation: the fit
+    # (corpus kernel + term shuffle) executes exactly ONCE either way.
+    # Probing with take() before checkpointing would run the whole fit
+    # for the probe and then AGAIN for the eager checkpoint — a 2x
+    # cold fit precisely on the largest corpora the overflow path
+    # exists for.  (Model frames localCheckpoint, never persist —
+    # CacheManager is plan-keyed and shared entries get swept.)
+    dfreq_ckpt = dfreq_rel.localCheckpoint(eager=True)
+    # take(cap+1) bounds the driver transfer by the cap itself: when
+    # the vocabulary fits, these rows ARE the whole relation; when it
     # doesn't, we stop at cap+1 rows and keep the model distributed.
-    head = dfreq_rel.take(cap + 1)
+    head = dfreq_ckpt.take(cap + 1)
     if len(head) <= cap:
         dfreq = {r["term"]: r["dfreq"] for r in head}
         value: object = spark.sparkContext.broadcast(dfreq)
+        # the dict is the model now; free the checkpoint blocks
+        from s3_manifest_spark.registry import _release_checkpoint_blocks
+
+        _release_checkpoint_blocks(dfreq_ckpt)
     else:
-        # Checkpoint so every scoring call reuses the fitted aggregate
-        # (model frames localCheckpoint, never persist — CacheManager
-        # is plan-keyed and shared entries get swept).
-        value = dfreq_rel.localCheckpoint(eager=True)
+        value = dfreq_ckpt
     model_cache[("tfidf_dfreq", sf_dir)] = value
     return value
 
@@ -354,8 +363,10 @@ def _tfidf_topterms_relational(
     broadcasts it when it is actually small) and ONE doc-keyed window
     for the per-document top-k.  Two exchanges total, both on short
     aggregated rows — the shape SCALE.md documents for corpora whose
-    vocabulary cannot broadcast.  Math/rounding/tie-break are identical
-    to the broadcast kernel; tests pin output equality between paths."""
+    vocabulary cannot broadcast.  Math and tie-break are identical to
+    the broadcast kernel; rounding agrees everywhere but an exact
+    6th-place decimal midpoint (see the inline note), and tests pin
+    output equality between paths on the fixtures."""
 
     def tf_rows(batches):
         import numpy as np
@@ -391,12 +402,34 @@ def _tfidf_topterms_relational(
     tf = docs.select("doc_id", "text").mapInPandas(
         tf_rows, schema="doc_id long, term string, cnt long, dlen long"
     )
-    scored = tf.join(dfreq, "term").select(
+    # LEFT join + raise_error on a miss: the broadcast kernel fails
+    # loud on a term absent from the fitted model (stale-model
+    # contract) and this path must not silently DROP those rows the
+    # way an inner join would.  raise_error feeds the tfidf formula,
+    # so the optimizer cannot prune the check away.
+    dfreq_checked = F.when(
+        F.col("dfreq").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("term "), F.col("term"),
+                F.lit(" absent from fitted dfreq model"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("dfreq"))
+    # Rounding note: F.round is half-up on the double's exact decimal
+    # expansion — for these strictly-positive scores that is the same
+    # half-away-from-zero the DuckDB oracle's round() applies, while
+    # the broadcast kernel's np.round is half-EVEN.  The three agree
+    # everywhere except an exact decimal midpoint at the 6th place,
+    # which this expression has never produced on any fixture (the
+    # kernel↔oracle hash would have caught it); the cross-path
+    # equality test pins the fixture behavior.
+    scored = tf.join(dfreq, "term", "left").select(
         "doc_id",
         "term",
         F.round(
             (F.col("cnt") / F.col("dlen"))
-            * F.log(F.lit(float(nd)) / F.col("dfreq")),
+            * F.log(F.lit(float(nd)) / dfreq_checked),
             6,
         ).alias("tfidf"),
     )

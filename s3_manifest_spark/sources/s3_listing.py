@@ -331,9 +331,16 @@ def manifest_from_s3(
     ``output="s3://…"`` works on every install.
 
     ``dest_client_factory`` binds the DESTINATION endpoint/credentials
-    for the boto3 leg (the reference's separate dest client, C1,
-    main.rs:294-319); it defaults to ``client_factory`` (same account
-    both sides) and then to the boto3 default chain.
+    (the reference's separate dest client, C1, main.rs:294-319).
+    Passing it explicitly SELECTS the boto3 sink even when hadoop-aws
+    is present — an explicit argument must not be silently ignored in
+    favor of whatever ambient ``fs.s3a.*`` conf the classpath
+    implies (s3a callers configure per-bucket conf instead, as the
+    CLI does).  When unset and the boto3 leg runs anyway (no
+    hadoop-aws), the dest client is the boto3 DEFAULT CHAIN — the
+    reference's defaulting for a missing dest config (main.rs:294-319)
+    — never the source-bound factory, whose endpoint override would
+    silently point the upload at the source endpoint.
 
     Pass a ``pyspark.sql.Observation`` to collect the reference's run
     stats (object count / total bytes, main.rs:231, 284-289) from the
@@ -364,7 +371,7 @@ def manifest_from_s3(
                 upload_parquet_boto3,
             )
 
-            if s3a_available(spark):
+            if dest_client_factory is None and s3a_available(spark):
                 write_manifest(
                     manifest,
                     f"s3a://{out_bucket}/{path}",
@@ -375,7 +382,7 @@ def manifest_from_s3(
                     manifest,
                     out_bucket,
                     path,
-                    client_factory=dest_client_factory or client_factory,
+                    client_factory=dest_client_factory,
                     single_object=single_object,
                 )
         else:

@@ -104,6 +104,12 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # loses the rename race just discards its staging dir.
         import uuid
 
+        # A markerless spool dir at the final path is debris from a
+        # crashed pre-staging build (the old in-place writer could die
+        # between parquet write and marker touch): clear it, or the
+        # rename below would fail ENOTEMPTY forever.
+        if os.path.isdir(spool):
+            shutil.rmtree(spool, ignore_errors=True)
         staging = f"{spool}.__build_{uuid.uuid4().hex}__"
         (
             spark.read.parquet(src)

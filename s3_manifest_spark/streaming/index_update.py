@@ -133,11 +133,29 @@ def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 8) -> str:
     )
     done = os.path.join(spool, "_SPOOL_READY")
     if not os.path.exists(done):
+        # Staging + atomic rename, same as cdc.py's listing spool: a
+        # concurrent builder/reader pair must never see a half-written
+        # spool, and a crash mid-build must not leave a markerless
+        # final dir behind.
+        import shutil
+        import uuid
+
+        # markerless final dir = debris from a crashed pre-staging
+        # build; clear it or the rename fails ENOTEMPTY forever
+        if os.path.isdir(spool):
+            shutil.rmtree(spool, ignore_errors=True)
+        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
         old = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % SNAPSHOT_MOD != 0
         )
-        old.repartition(files).write.mode("overwrite").parquet(spool)
-        open(done, "w").close()
+        old.repartition(files).write.mode("overwrite").parquet(staging)
+        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
+        try:
+            os.rename(staging, spool)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
     return spool
 
 

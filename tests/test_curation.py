@@ -423,3 +423,28 @@ def test_tfidf_relational_path_matches_broadcast_kernel(spark, q, monkeypatch):
     assert list(rel.columns) == list(base.columns)
     assert rel.equals(base), "relational TF-IDF diverged from the kernel"
     clear_model_cache(spark)
+
+
+def test_tfidf_relational_path_fails_loud_on_stale_model(spark, q, monkeypatch):
+    """The broadcast kernel raises on a term absent from the fitted
+    model; the relational path must honor the same stale-model
+    contract instead of silently inner-join-dropping the rows."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from s3_manifest_spark.operators import curation
+    from s3_manifest_spark.registry import clear_model_cache
+
+    clear_model_cache(spark)
+    monkeypatch.setattr(curation, "TFIDF_VOCAB_BROADCAST_CAP", 1)
+    # fit, then stale-ify: drop one term from the cached model frame
+    curation._tfidf_dfreq(spark, SF)
+    model = spark._smsp_model_cache[("tfidf_dfreq", SF)]
+    assert isinstance(model, DataFrame)
+    a_term = model.select("term").first()["term"]
+    spark._smsp_model_cache[("tfidf_dfreq", SF)] = model.filter(
+        F.col("term") != a_term
+    )
+    with pytest.raises(Exception, match="absent from fitted dfreq model"):
+        q["tfidf_topterms"](spark, SF).toPandas()
+    clear_model_cache(spark)
