@@ -139,29 +139,61 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunk files in the staged events spool.  A real event feed lands as
+#: many files per window, and the count is also the availableNow
+#: micro-batch's SCAN parallelism: the r13 audit found the old
+#: single-hardlink spool running every drain's addBatch projection +
+#: watermark pass in ONE task before the state shuffle (the same
+#: serial-addBatch defect the cdc listing spool fixed in r12).
+#: availableNow with no maxFilesPerTrigger still takes all chunks in
+#: one micro-batch, so the drains' one-batch determinism contracts
+#: (one update row per key, no late-drop) are unchanged.
+_EVENTS_CHUNKS = 8
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (ts normalized as in
     the batch loader).
 
     The file-stream source only accepts directories, so the fixture
-    file is staged (hard-linked when possible) into a per-sf spool dir
-    — which is also the production layout: a stream source watches a
-    directory that files land in, it doesn't tail a single file.
+    is staged as a multi-chunk spool dir — which is also the
+    production layout: a stream source watches a directory that files
+    land in, it doesn't tail a single file.  Built once per (sf,
+    content) in a staging dir and atomically renamed into place, so a
+    concurrent reader can never list half-written chunks.
     """
+    import hashlib
     import os
     import shutil
+    import uuid
 
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|v2x{_EVENTS_CHUNKS}".encode()
+    ).hexdigest()[:16]
     spool = os.path.join(
-        scratch_base(), f"smsp-events-{os.path.basename(sf_dir)}"
+        scratch_base(), f"smsp-events-{os.getuid()}-{tag}"
     )
-    os.makedirs(spool, exist_ok=True)
-    dst = os.path.join(spool, "events.parquet")
-    if not os.path.exists(dst):
+    done = os.path.join(spool, "_SPOOL_READY")
+    if not os.path.exists(done):
+        if os.path.isdir(spool):
+            shutil.rmtree(spool, ignore_errors=True)
+        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
+        (
+            spark.read.parquet(src)
+            .repartition(_EVENTS_CHUNKS)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
         try:
-            os.link(f"{sf_dir}/events.parquet", dst)
+            os.rename(staging, spool)
         except OSError:
-            shutil.copy(f"{sf_dir}/events.parquet", dst)
-
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
     return events_stream_source(spark, spool)
 
 
