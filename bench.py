@@ -445,6 +445,10 @@ def main() -> int:
         # rows; the oracle retrains from scratch in-process): its warm
         # wall IS the local-relation round-trip constant.
         "bpe_train": "local_relation_roundtrip",
+        # range_join_bands: scan + 20-group agg floor; the bucketed
+        # equi-join rewrite A/B'd slower than the 20-row BNLJ (probe
+        # leg comment), so the measured floor is the honest account.
+        "range_join_bands": "range_join_scan_agg",
     }
     for q, leg in _floor_map.items():
         if q in timings and leg in _floors:

@@ -149,6 +149,11 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     For big-big interval joins (both sides large), the scalable
     rewrite is interval bucketing: explode each interval into coarse
     buckets, equi-join on bucket, then re-apply the exact predicate.
+    That rewrite was implemented for THIS query too and A/B'd SLOWER
+    at sf0.1 (0.40 vs 0.35 s min-of-6, r13): with a 20-row build side
+    the BNLJ's per-row band scan already codegens tighter than the
+    explode×3-candidates + hash-join path, so the bucketing form is
+    reserved for band dims too big to scan per row.
 
     The revenue sum is round(…, 2) on both engines (the repo-wide
     float-aggregate convention): summation order differs between

@@ -129,6 +129,23 @@ def main() -> int:
             .toPandas()
         )
 
+    def range_join_scan_agg():
+        # range_join_bands minus the join: the same orders scan +
+        # 20-group combinable aggregation (banding key derived as a
+        # scalar) — the floor any band-join plan pays.  The bucketed
+        # equi-join rewrite was A/B'd SLOWER than the 20-row BNLJ
+        # (0.40 vs 0.35 s min-of-6), so the BNLJ stays.
+        from s3_manifest_spark.operators.joins_advanced import BAND_WIDTH
+
+        (
+            load_table(spark, sf, "orders")
+            .groupBy(
+                F.floor(F.col("o_totalprice") / F.lit(float(BAND_WIDTH))).alias("b")
+            )
+            .agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2))
+            .toPandas()
+        )
+
     def run_query(name):
         def f():
             getattr(spark, "_smsp_plan_cache", {}).clear()
@@ -161,6 +178,8 @@ def main() -> int:
         "manifest_project_raw_collect": raw_listing_collect,
         "manifest_prune_model_agg": prune_model_agg,
         "skew_perkey_agg": skew_perkey_agg,
+        "range_join_scan_agg": range_join_scan_agg,
+        "q:range_join_bands": run_query("range_join_bands"),
         "local_relation_roundtrip": local_relation_roundtrip,
         # the weak queries themselves, same session, same interleaving
         "q:bpe_train": run_query("bpe_train"),
