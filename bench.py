@@ -439,6 +439,7 @@ def main() -> int:
         "semdedup": "embeddings_python_pass",
         "dedup_embedding_lsh_hi": "embeddings_python_pass",
         "manifest_project": "manifest_project_raw_collect",
+        "manifest_prefix_filter": "manifest_prefix_raw_collect",
         "manifest_prune": "manifest_prune_model_agg",
         "skew_report": "skew_perkey_agg",
         # bpe_train returns the trained merge table itself (12 local

@@ -107,6 +107,21 @@ def main() -> int:
             F.to_timestamp("last_modified").alias("LastModified"),
         ).toPandas()
 
+    def prefix_filter_raw_collect():
+        # manifest_prefix_filter's floor: the same widened scan +
+        # startswith filter + output-width-matched Arrow collect,
+        # minus the manifest projection logic — like manifest_project,
+        # its output IS the (filtered) dataset.
+        synth_listing(spark, sf).filter(
+            F.col("key").startswith("data/A")
+        ).select(
+            F.lit("floor-probe").alias("Bucket"),
+            F.col("key").alias("Key"),
+            F.col("key").alias("FileName"),
+            F.col("size").alias("Size"),
+            F.to_timestamp("last_modified").alias("LastModified"),
+        ).toPandas()
+
     def prune_model_agg():
         listing_model(spark, sf).agg(F.count(F.lit(1))).toPandas()
 
@@ -176,6 +191,8 @@ def main() -> int:
         "documents_python_pass": identity_docs,
         "embeddings_python_pass": identity_emb,
         "manifest_project_raw_collect": raw_listing_collect,
+        "manifest_prefix_raw_collect": prefix_filter_raw_collect,
+        "q:manifest_prefix_filter": run_query("manifest_prefix_filter"),
         "manifest_prune_model_agg": prune_model_agg,
         "skew_perkey_agg": skew_perkey_agg,
         "range_join_scan_agg": range_join_scan_agg,
