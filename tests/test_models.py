@@ -37,15 +37,25 @@ TRAINED = {
     "graph": ("pagerank_graph", "graph_pagerank"),
     # bytes kind (r11): the serialized corpus Count-Min Sketch
     "bytes": ("cms_sketch", "heavy_hitters_cms"),
+    # second frames kind (r13): the converged component labels behind
+    # dedup_clusters / dedup_canonical
+    "components": ("dedup_components", "dedup_clusters"),
 }
 
 
 def _trainers(spark):
     from s3_manifest_spark.operators.bpe import train_bpe
     from s3_manifest_spark.operators.curation import _cms_sketch, _tfidf_dfreq
-    from s3_manifest_spark.operators.dedup import _minhash_index
+    from s3_manifest_spark.operators.dedup import _components_labels, _minhash_index
     from s3_manifest_spark.operators.graph import _pagerank_graph_cached
     from s3_manifest_spark.operators.ml import train_bigram_lm, train_quality_lr
+
+    def components():
+        # the trainer returns the labels FRAME; the cached entry is the
+        # 1-frame tuple the store persists — return the cache entry so
+        # the identity assertion targets what load_models reconstructs
+        _components_labels(spark, SF)
+        return spark._smsp_model_cache[("dedup_components", SF)]
 
     return {
         "lr_quality": lambda: train_quality_lr(spark, SF),
@@ -54,6 +64,7 @@ def _trainers(spark):
         "tfidf_dfreq": lambda: _tfidf_dfreq(spark, SF),
         "minhash_index": lambda: _minhash_index(spark, SF),
         "bigram_lm": lambda: train_bigram_lm(spark, SF),
+        "dedup_components": components,
         "pagerank_graph": lambda: _pagerank_graph_cached(spark, SF),
     }
 

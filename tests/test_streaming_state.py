@@ -485,3 +485,43 @@ def test_drain_index_feed_sink_is_idempotent_under_redelivery(spark):
     )
     after = norm(iu.read_index_store(spark, sdir), scols)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_spool_build_self_heals_and_is_concurrency_safe(spark):
+    """r13 spool-builder contract (staging + atomic rename): (a) a
+    markerless final dir — debris from a crashed pre-staging build —
+    is cleared and rebuilt instead of failing the rename forever;
+    (b) concurrent builders race safely: every caller gets the same
+    ready spool, and no staging debris is left behind."""
+    import glob
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from s3_manifest_spark.streaming.index_update import _spool_old_docs
+
+    sf = "/root/testdata/sf0.001"
+    spool = _spool_old_docs(spark, sf)
+    marker = os.path.join(spool, "_SPOOL_READY")
+    assert os.path.exists(marker)
+    n_files = len(glob.glob(os.path.join(spool, "*.parquet")))
+    assert n_files >= 2, "spool must be multi-chunk (addBatch width)"
+
+    # (a) stale markerless dir self-heals
+    os.unlink(marker)
+    spool2 = _spool_old_docs(spark, sf)
+    assert spool2 == spool
+    assert os.path.exists(marker), "builder must rebuild a ready spool"
+    assert len(glob.glob(os.path.join(spool, "*.parquet"))) == n_files
+
+    # (b) concurrent builders: wipe, then race 3 callers
+    shutil.rmtree(spool, ignore_errors=True)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        paths = list(ex.map(lambda _: _spool_old_docs(spark, sf), range(3)))
+    assert set(paths) == {spool}
+    assert os.path.exists(marker)
+    assert len(glob.glob(os.path.join(spool, "*.parquet"))) == n_files
+    # losers cleaned their staging dirs
+    assert not glob.glob(f"{spool}.__build_*__"), "staging debris left"
+    # and the spool is actually readable
+    assert spark.read.parquet(spool).count() > 0
