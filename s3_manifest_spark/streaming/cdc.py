@@ -28,8 +28,6 @@ Design (scale notes):
 
 from __future__ import annotations
 
-import hashlib
-import os
 import shutil
 import tempfile
 
@@ -38,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from s3_manifest_spark.operators.manifest_queries import APPLY_ORACLE_SQL
 from s3_manifest_spark.registry import defer_cleanup, register
 from s3_manifest_spark.streaming.metrics import record_progress
-from s3_manifest_spark.streaming.scratch import scratch_base
+from s3_manifest_spark.streaming.scratch import build_spool, scratch_base
 from s3_manifest_spark.sources.tables import listing_projection, parquet_row_count
 
 
@@ -82,50 +80,21 @@ def read_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged lineitem fixture with the SAME projection the batch
     ``synth_listing`` uses."""
     src = f"{sf_dir}/lineitem.parquet"
-    st = os.stat(src)
-    # Spool identity covers the full source path AND its (mtime, size):
-    # a regenerated fixture or a same-basename directory from another
-    # root gets a fresh spool instead of silently streaming stale data.
-    # os.getuid() keeps /tmp spools from colliding across users.
-    tag = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|v{_LISTING_SPOOL_V}x{_LISTING_CHUNKS}".encode()
-    ).hexdigest()[:16]
-    spool = os.path.join(
-        scratch_base(), f"smsp-listing-{os.getuid()}-{tag}"
-    )
-    done = os.path.join(spool, "_SPOOL_READY")
-    if not os.path.exists(done):
-        # Concurrency-safe spool build (ADVICE r12): stage into a
-        # builder-private temp directory, then os.rename into place —
-        # the spool (with its ready marker already inside) appears
-        # atomically, so a concurrent reader can never list
-        # half-written chunk files, and a concurrent builder that
-        # loses the rename race just discards its staging dir.
-        import uuid
-
-        # A markerless spool dir at the final path is debris from a
-        # crashed pre-staging build (the old in-place writer could die
-        # between parquet write and marker touch): clear it, or the
-        # rename below would fail ENOTEMPTY forever.
-        if os.path.isdir(spool):
-            shutil.rmtree(spool, ignore_errors=True)
-        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
-        (
+    # Shared spool protocol (scratch.build_spool, r13): content-
+    # fingerprint identity (path|mtime_ns|size|format-version, per-uid
+    # dir), staging + atomic rename so readers never see half-written
+    # chunks, marker-rechecked self-heal for crashed-build debris.
+    spool = build_spool(
+        "listing",
+        [src],
+        f"v{_LISTING_SPOOL_V}x{_LISTING_CHUNKS}",
+        lambda staging: (
             spark.read.parquet(src)
             .repartition(_LISTING_CHUNKS)
             .write.mode("overwrite")
             .parquet(staging)
-        )
-        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
-        try:
-            os.rename(staging, spool)
-        except OSError:
-            # Lost the race: another session renamed its spool in
-            # first.  Its content is identical by fingerprint; keep it.
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.exists(done):
-                raise
+        ),
+    )
     schema = spark.read.parquet(spool).schema
     raw = spark.readStream.schema(schema).format("parquet").load(spool)
     return listing_projection(raw)

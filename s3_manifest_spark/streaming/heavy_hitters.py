@@ -28,7 +28,6 @@ this extends the SURVEY.md §2B streaming family.
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,7 +45,7 @@ from s3_manifest_spark.operators.curation import (
 from s3_manifest_spark.registry import register
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 from s3_manifest_spark.streaming.metrics import record_progress
-from s3_manifest_spark.streaming.scratch import scratch_base
+from s3_manifest_spark.streaming.scratch import build_spool, scratch_base
 
 _HH_SPOOL_FORMAT_V = 1  # v1: (doc_id, text) parquet, `files` split files
 
@@ -54,35 +53,34 @@ _HH_LIVE_ORACLE = _HH_ORACLE.replace(
     "true AS cms_within_eps",
     "true AS cms_within_eps,\n       true AS merge_invariant",
 )
+# str.replace silently no-ops if the upstream oracle is reworded; the
+# live oracle would then lack merge_invariant and grading would fail
+# with a confusing schema mismatch far from the cause — fail at import.
+assert _HH_LIVE_ORACLE != _HH_ORACLE, (
+    "_HH_ORACLE no longer contains the replace target; "
+    "recompose _HH_LIVE_ORACLE"
+)
 
 
 def _spool_all_docs(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     """Stage the WHOLE documents corpus as a multi-file parquet spool
-    (2 files per trigger under maxFilesPerTrigger=2 → 2 micro-batches).
-    Content-fingerprinted like the index_update spool — a stale spool
-    from another corpus must never be reused."""
-    import hashlib
+    (2 files per trigger under maxFilesPerTrigger=2 -> 2 micro-batches).
+    Built through the shared spool protocol (scratch.build_spool, r13:
+    this builder previously wrote in place — two concurrent sessions
+    could overwrite each other mid-read)."""
 
-    src = f"{sf_dir}/documents.parquet"
-    # _HH_SPOOL_FORMAT_V rides the fingerprint (mirrors ingest's
-    # _SPOOL_FORMAT_V): changing the spool's columns or writer options
-    # must invalidate previously-staged spools.
-    fp = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{parquet_row_count(src)}|"
-        f"{int(os.stat(src).st_mtime)}|v{_HH_SPOOL_FORMAT_V}".encode()
-    ).hexdigest()[:12]
-    spool = os.path.join(
-        scratch_base(),
-        f"smsp-hhfeed-x{files}-{os.path.basename(sf_dir)}-{fp}",
-    )
-    done = os.path.join(spool, "_SPOOL_READY")
-    if not os.path.exists(done):
+    def build(staging: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        docs.repartition(files).write.mode("overwrite").parquet(spool)
-        open(done, "w").close()
-    return spool
+        docs.repartition(files).write.mode("overwrite").parquet(staging)
+
+    return build_spool(
+        "hhfeed",
+        [f"{sf_dir}/documents.parquet"],
+        f"v{_HH_SPOOL_FORMAT_V}x{files}",
+        build,
+    )
 
 
 def drain_merged_sketch(spark: SparkSession, sf_dir: str) -> bytes:
@@ -127,7 +125,10 @@ def drain_merged_sketch(spark: SparkSession, sf_dir: str) -> bytes:
             .start()
         )
         q.awaitTermination()
-        record_progress(q)
+        # foreachBatch queries have no queryName — pass the family
+        # explicitly (metrics.py contract) so progress aggregates under
+        # one key instead of a fresh per-run UUID.
+        record_progress(q, family="heavy_hitters")
     if merged["batches"] < 2:
         # Product-path contract, not a debug assert (survives python -O):
         # the merge-invariance certificate is vacuous on a 1-batch drain.

@@ -63,7 +63,7 @@ from s3_manifest_spark.operators.dedup import (
 from s3_manifest_spark.registry import defer_cleanup, register
 from s3_manifest_spark.sources.tables import load_table, parquet_row_count
 from s3_manifest_spark.streaming.metrics import record_progress
-from s3_manifest_spark.streaming.scratch import scratch_base
+from s3_manifest_spark.streaming.scratch import build_spool, scratch_base
 
 
 def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -110,53 +110,24 @@ def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _spool_old_docs(spark: SparkSession, sf_dir: str, files: int = 8) -> str:
-    """Stage the existing-corpus split as a multi-file parquet spool.
-    Built once per (sf, layout); content is deterministic and per-doc
-    closure makes the file assignment irrelevant to index content.
+    """Stage the existing-corpus split as a multi-file parquet spool
+    (``files`` chunks = the availableNow micro-batch's scan width).
+    Content is deterministic and per-doc closure makes the file
+    assignment irrelevant to index content.  Built through the shared
+    spool protocol (scratch.build_spool): full-precision content
+    fingerprint, staging + atomic rename, marker-rechecked self-heal
+    — a stale spool from a regenerated fixture or another corpus can
+    never be reused, and concurrent builders/readers are safe."""
 
-    The scratch key carries a CONTENT fingerprint of the source table
-    (full sf_dir path hash + parquet row count + mtime), not just its
-    basename — a stale spool from a different run, or a different
-    fixture tree whose leaf dir shares a name, must never be reused
-    (ADVICE r9: the oracle mismatch would catch it, but only as a
-    confusing downstream failure)."""
-    import hashlib
-
-    src = f"{sf_dir}/documents.parquet"
-    stat_mtime = int(os.stat(src).st_mtime)
-    fp = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{parquet_row_count(src)}|{stat_mtime}".encode()
-    ).hexdigest()[:12]
-    spool = os.path.join(
-        scratch_base(),
-        f"smsp-docfeed-x{files}-{os.path.basename(sf_dir)}-{fp}",
-    )
-    done = os.path.join(spool, "_SPOOL_READY")
-    if not os.path.exists(done):
-        # Staging + atomic rename, same as cdc.py's listing spool: a
-        # concurrent builder/reader pair must never see a half-written
-        # spool, and a crash mid-build must not leave a markerless
-        # final dir behind.
-        import shutil
-        import uuid
-
-        # markerless final dir = debris from a crashed pre-staging
-        # build; clear it or the rename fails ENOTEMPTY forever
-        if os.path.isdir(spool):
-            shutil.rmtree(spool, ignore_errors=True)
-        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
+    def build(staging: str) -> None:
         old = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % SNAPSHOT_MOD != 0
         )
         old.repartition(files).write.mode("overwrite").parquet(staging)
-        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
-        try:
-            os.rename(staging, spool)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.exists(done):
-                raise
-    return spool
+
+    return build_spool(
+        "docfeed", [f"{sf_dir}/documents.parquet"], f"v2x{files}", build
+    )
 
 
 @register("stream_index_update_live", oracle=INCREMENTAL_ORACLE_SQL)

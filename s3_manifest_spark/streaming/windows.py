@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from s3_manifest_spark.registry import register
 from s3_manifest_spark.streaming.metrics import record_progress
-from s3_manifest_spark.streaming.scratch import scratch_base
+from s3_manifest_spark.streaming.scratch import build_spool, scratch_base
 from s3_manifest_spark.sources.tables import load_table, normalize_event_ts
 
 
@@ -158,42 +158,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-stream source only accepts directories, so the fixture
     is staged as a multi-chunk spool dir — which is also the
     production layout: a stream source watches a directory that files
-    land in, it doesn't tail a single file.  Built once per (sf,
-    content) in a staging dir and atomically renamed into place, so a
-    concurrent reader can never list half-written chunks.
+    land in, it doesn't tail a single file.  Built through the shared
+    spool protocol (scratch.build_spool): content-fingerprinted,
+    staged + atomically renamed, marker-rechecked self-heal.
+    ``_EVENTS_CHUNKS`` chunks = the availableNow micro-batch's scan
+    width (the old single-hardlink spool ran every drain's addBatch
+    pass in ONE task); availableNow with no maxFilesPerTrigger still
+    takes all chunks in one micro-batch, so the drains' one-batch
+    determinism contracts are unchanged.
     """
-    import hashlib
-    import os
-    import shutil
-    import uuid
-
     src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    tag = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|v2x{_EVENTS_CHUNKS}".encode()
-    ).hexdigest()[:16]
-    spool = os.path.join(
-        scratch_base(), f"smsp-events-{os.getuid()}-{tag}"
-    )
-    done = os.path.join(spool, "_SPOOL_READY")
-    if not os.path.exists(done):
-        if os.path.isdir(spool):
-            shutil.rmtree(spool, ignore_errors=True)
-        staging = f"{spool}.__build_{uuid.uuid4().hex}__"
-        (
+    spool = build_spool(
+        "events",
+        [src],
+        f"v2x{_EVENTS_CHUNKS}",
+        lambda staging: (
             spark.read.parquet(src)
             .repartition(_EVENTS_CHUNKS)
             .write.mode("overwrite")
             .parquet(staging)
-        )
-        open(os.path.join(staging, "_SPOOL_READY"), "w").close()
-        try:
-            os.rename(staging, spool)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.exists(done):
-                raise
+        ),
+    )
     return events_stream_source(spark, spool)
 
 
@@ -227,19 +212,7 @@ def run_tumbling_stream(
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     agg = _tumbling_agg(stream)
     name = f"tumbling_{abs(hash(sf_dir)) % 10_000_000}"
-    with _stream_partitions(spark), tempfile.TemporaryDirectory(
-        prefix="smsp-ckpt-", dir=scratch_base()
-    ) as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        record_progress(q)
+    _drain(agg, name, "complete")
     return spark.table(name)
 
 
@@ -315,19 +288,7 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_state_{abs(hash(sf_dir)) % 10_000_000}"
-    with _stream_partitions(spark), tempfile.TemporaryDirectory(
-        prefix="smsp-ckpt-", dir=scratch_base()
-    ) as ckpt:
-        q = (
-            profiles.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        record_progress(q)
+    _drain(profiles, name, "update")
     return spark.table(name)
 
 
@@ -335,8 +296,8 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_user_state_live",
     # The custom-state profile IS a per-user GROUP BY: count and max
     # are exact, total_value carries the shared round-2 contract, and
-    # the single-file availableNow spool drains in one micro-batch →
-    # exactly one update-mode row per user.
+    # the availableNow drain takes the whole multi-chunk spool in one
+    # micro-batch → exactly one update-mode row per user.
     oracle="""
     SELECT user_id,
            count(*)             AS n_events,
@@ -410,25 +371,28 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
     """Stage the events fixture into a spool directory (the layout a
-    production file-stream source watches).  ``copies>1`` hard-links
-    the same parquet N times — a deterministic duplicated stream for
-    exactly-once/dedup scenarios."""
+    production file-stream source watches).  ``copies>1`` stages the
+    same parquet N times — a deterministic duplicated stream for
+    exactly-once/dedup scenarios.  Uses the shared spool protocol
+    (r13: this builder previously had NO content fingerprint, no ready
+    marker, and a non-atomic per-file copy — a concurrent reader could
+    stream a truncated file, and a regenerated fixture silently reused
+    stale bytes)."""
     import os
     import shutil
 
-    spool = os.path.join(
-        scratch_base(),
-        f"smsp-events{tag}-x{copies}-{os.path.basename(sf_dir)}",
-    )
-    os.makedirs(spool, exist_ok=True)
-    for i in range(copies):
-        dst = os.path.join(spool, f"events-{i}.parquet")
-        if not os.path.exists(dst):
+    src = f"{sf_dir}/events.parquet"
+
+    def build(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        for i in range(copies):
+            dst = os.path.join(staging, f"events-{i}.parquet")
             try:
-                os.link(f"{sf_dir}/events.parquet", dst)
+                os.link(src, dst)
             except OSError:
-                shutil.copy(f"{sf_dir}/events.parquet", dst)
-    return spool
+                shutil.copy(src, dst)
+
+    return build_spool(f"events{tag}-x{copies}", [src], "v2", build)
 
 
 def _drain(df: DataFrame, name: str, mode: str) -> None:
@@ -473,8 +437,6 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     newer than the watermark horizon, so memory is bounded by the
     duplication window, not the stream's lifetime.
     """
-    import os
-
     spool = _spool_events(sf_dir, copies=2, tag="-dup")
     deduped = (
         events_stream_source(spark, spool)
