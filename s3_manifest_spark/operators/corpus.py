@@ -1,0 +1,259 @@
+"""Corpus-level text operators for an LLM training-data pipeline
+(SURVEY.md §2B extension surface): Gopher-style quality-rule gating,
+corpus n-gram frequency, and chunk-level boilerplate detection.
+
+These complement ``operators/text.py`` (per-document, zero-shuffle
+features): everything here needs exactly one corpus-wide aggregation,
+expressed so the shuffle carries *summaries*, not documents —
+
+- ``gopher_quality_rules`` is still a pure projection (one codegen'd
+  scan, no shuffle): the rule thresholds are constants, so gating
+  100 TB is embarrassingly parallel.
+- ``ngram_corpus_topk`` shuffles (ngram, partial-count) pairs after a
+  map-side combine, then TakeOrdered merges per-partition top-K — the
+  corpus text itself never moves.
+- ``chunk_dedup_boilerplate`` is RefinedWeb-style duplicate-passage
+  detection re-keyed for this fixture (the synthetic documents have no
+  newlines, so the "line" unit is a fixed non-overlapping token
+  window): the corpus-frequency relation is keyed by a 128-bit chunk
+  hash, so the dedup shuffle carries 16-byte digests + doc ids, never
+  chunk text, and the per-doc rollup re-shuffles only (doc_id, flags).
+
+The reference engine (/root/reference/src/main.rs) has no text
+surface; these are extension operators per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_manifest_spark.registry import register
+from s3_manifest_spark.sources.tables import load_table
+
+#: Whitespace tokens (documents fixture is space-separated).
+_TOKENS = "split(text, ' ', -1)"
+
+#: Gopher-style rule constants (Rae et al. 2021 §A1.1, adapted to the
+#: synthetic fixture's scale — real corpora would use 50..100k words).
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8  # fraction of words containing [A-Za-z]
+GOPHER_MIN_STOPWORDS = 2
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+#: Corpus n-gram parameters.
+NGRAM_N = 3
+NGRAM_TOP_K = 50
+
+#: Boilerplate chunk unit: non-overlapping token windows of this size.
+CHUNK_TOKENS = 10
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             round(length(replace(text, ' ', '')) * 1.0
+                   / greatest(len(string_split(text, ' ')), 1), 4) AS mean_word_len,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                   / greatest(len(string_split(text, ' ')), 1), 4) AS alpha_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_STOP_SQL}))) AS BIGINT) AS stop_count
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_count,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                    AND {GOPHER_MAX_MEAN_WORD_LEN})
+             AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+             AND stop_count >= {GOPHER_MIN_STOPWORDS} AS passes
+    FROM feat
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate: word-count bounds, mean-word-length
+    band, alphabetic-word fraction, minimum stopword evidence — the
+    standard cheap pre-filter run before any expensive dedup or
+    training step.
+
+    One narrow projection, zero shuffles, all built-in higher-order
+    functions (no Python in the row path): at 100 TB this is a pure
+    scan whose only knob is input-split parallelism, and the rule
+    columns are emitted alongside the verdict so downstream audits can
+    recover WHY a document was dropped without recomputing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.expr(_TOKENS)).cast("long")
+    n1 = F.greatest(n, F.lit(1))
+    mean_wl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n1, 4
+    )
+    alpha = F.round(
+        F.expr(f"size(filter({_TOKENS}, w -> w rlike '[A-Za-z]'))") / n1, 4
+    )
+    stops = F.expr(
+        f"size(filter({_TOKENS}, w -> w IN ({_STOP_SQL})))"
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_ratio"),
+        stops.alias("stop_count"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("stop_count") >= GOPHER_MIN_STOPWORDS)
+    )
+    return feat.select("*", passes.alias("passes"))
+
+
+@register(
+    "ngram_corpus_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                    i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' '))) AS ngram
+      FROM toks
+    )
+    SELECT ngram,
+           CAST(count(*) AS BIGINT)               AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY ngram
+    ORDER BY n_occ DESC, ngram
+    LIMIT {NGRAM_TOP_K}
+    """,
+)
+def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{K} token {N}-grams with occurrence and
+    document frequencies — the profiling pass behind boilerplate
+    blocklists and contamination probes.
+
+    Shape at scale: the {N}-gram expansion is a codegen'd
+    transform+explode (linear in tokens, no Python); the aggregate is
+    map-side combinable so the exchange carries one (ngram, partials)
+    row per distinct ngram per task, and the final top-K is a
+    TakeOrdered merge of per-partition heaps — no global sort, no
+    driver relation beyond K rows.  Ordering (count desc, ngram asc)
+    is a total order, so LIMIT is deterministic at every scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_TOKENS}) >= {NGRAM_N} THEN "
+                f"transform(sequence(1, size({_TOKENS}) - {NGRAM_N - 1}), "
+                f"i -> concat_ws(' ', slice({_TOKENS}, i, {NGRAM_N}))) "
+                "ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "ngram")
+        .limit(NGRAM_TOP_K)
+    )
+
+
+@register(
+    "chunk_dedup_boilerplate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(floor(len(t) / {CHUNK_TOKENS}) AS INT)),
+               i -> md5(array_to_string(
+                      t[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}],
+                      ' ')))) AS h
+      FROM toks
+    ),
+    freq AS (SELECT h, count(*) AS n FROM ch GROUP BY h),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM ch JOIN freq USING (h)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(per.n_dup, 0) AS BIGINT)    AS n_dup_chunks,
+           round(COALESCE(per.n_dup, 0) * 1.0
+                 / greatest(COALESCE(per.n_chunks, 0), 1), 4)
+             AS boilerplate_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style duplicated-passage detection: split every
+    document into non-overlapping {CHUNK_TOKENS}-token chunks, count
+    each chunk's corpus frequency, and report per document how much of
+    it is boilerplate (chunks that also appear elsewhere).  The
+    fixture text has no newlines, so the fixed token window stands in
+    for the "line" unit real pipelines use.
+
+    Scale shape: the corpus-frequency relation is keyed by the md5
+    chunk digest — the dedup exchange moves 16-byte hashes + counts,
+    never chunk text; frequency lookup is a hash join on the same
+    digest key (AQE broadcasts it when the distinct-chunk relation is
+    small); the per-doc rollup re-aggregates only (doc_id, is_dup)
+    pairs.  Documents shorter than one chunk survive via the final
+    left join from the documents table (n_chunks = 0, ratio 0) — at
+    100 TB that join is doc_id-keyed and colocates with the rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            # sequence(0, -1) would yield a DESCENDING [0, -1] in Spark
+            # (not the empty list DuckDB's range gives) — guard short
+            # docs explicitly.
+            F.expr(
+                f"CASE WHEN size({_TOKENS}) >= {CHUNK_TOKENS} THEN "
+                f"transform(sequence(0, CAST(floor(size({_TOKENS}) / {CHUNK_TOKENS}) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice({_TOKENS}, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))) "
+                "ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_chunks"), F.lit(0)), F.lit(1)),
+            4,
+        ).alias("boilerplate_ratio"),
+    )

@@ -1481,3 +1481,224 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+#: kNN-graph fan-out (neighbors kept per corpus vector).
+KNN_GRAPH_K = 5
+#: corpus block count for the kNN-graph block sweep (see
+#: dedup.EMBED_BLOCKS for the sizing rule: ~64-256 MB per block at
+#: real scale, i.e. B ~= N*dim*8 / 1e8 — far above 8 at 100 TB).
+KNN_BLOCKS = 8
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_GRAPH_K}
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the whole corpus: every
+    vector's top-:data:`KNN_GRAPH_K` cosine neighbors — the relation
+    SemDeDup-style clustering, kNN-graph community detection, and
+    graph-based ANN indexes are built from.
+
+    Physical strategy — DISTRIBUTED blocked self-join, no driver
+    collect (``similarity_topk`` broadcasts its bounded query set;
+    here every corpus vector is a query, so broadcasting is not an
+    option): the corpus is hashed into :data:`KNN_BLOCKS` packed
+    block rows (id array + flattened matrix — dedup_embedding's
+    packing, dedup.py:430), the block relation is cross-joined with
+    itself into ALL B^2 ordered block pairs (kNN needs both
+    orientations, unlike the dedup sweep's upper triangle), and each
+    pair runs one BLAS ``blockA @ blockB^T`` keeping only each
+    A-row's local top-k against that B block under the FINAL order
+    (rounded cosine desc, neighbor_id asc) — sound because a global
+    top-k member is a top-k member of every B-block slice it appears
+    in.  The merge window then ranks <= k*B candidates per vector,
+    never N.
+
+    Scale accounting: flops are the unavoidable O(N^2 d) of an exact
+    kNN graph, spread over B^2 independent tasks; shuffle volume is
+    one corpus pass into B packed rows plus B*(B+1) block copies out
+    of the cross join, then k*B candidate rows per vector into the
+    merge exchange.  At 100 TB the exact sweep is the CERTIFIED
+    BASELINE; the production path swaps the B^2 pair relation for
+    LSH/IVF candidate block pairs (similarity_ann_lsh /
+    similarity_ivf buckets) feeding this same per-pair scorer and
+    merge — identical output contract, candidate-bounded work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = KNN_GRAPH_K
+
+    packed = (
+        v.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(KNN_BLOCKS)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rs"))
+        .select(
+            "blk",
+            F.expr("transform(rs, r -> r.vec_id)").alias("ids"),
+            F.expr("flatten(transform(rs, r -> r.embedding))").alias("mat"),
+        )
+    )
+    block_pairs = (
+        packed.alias("x")
+        .crossJoin(packed.alias("y"))
+        .select(
+            F.col("x.ids").alias("ids_a"),
+            F.col("x.mat").alias("mat_a"),
+            F.col("y.ids").alias("ids_b"),
+            F.col("y.mat").alias("mat_b"),
+        )
+    )
+
+    def unpack(ids, mat):
+        i = np.asarray(list(ids), dtype="int64")
+        m = np.asarray(list(mat), dtype="float64").reshape(len(i), -1)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return i, m
+
+    def score(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ia, ma = unpack(row["ids_a"], row["mat_a"])
+                ib, mb = unpack(row["ids_b"], row["mat_b"])
+                sims = np.round(ma @ mb.T, 6)  # (|A|, |B|)
+                out_v, out_n, out_s = [], [], []
+                for r in range(len(ia)):
+                    keep = ib != ia[r]  # self only matters on diagonal
+                    cand_ids, cand_sims = ib[keep], sims[r, keep]
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_v.append(np.full(len(order), ia[r]))
+                    out_n.append(cand_ids[order])
+                    out_s.append(cand_sims[order])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_v),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    cand = block_pairs.mapInPandas(
+        score, schema="vec_id long, neighbor_id long, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+#: centroid components are rounded to this many decimals on BOTH
+#: engines before the cosine pass: the quantum (5e-8) is ~7 orders
+#: above cross-engine float-sum noise (~1e-15 relative), so the
+#: rounded centroids are bit-identical and the per-row cosines agree
+#: to ~1e-15 — safely inside the 6-decimal output rounding.
+CENTROID_ROUND = 7
+
+
+@register(
+    "embedding_centroid_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    comp AS (
+      SELECT label, i, round(avg(e[i]), {CENTROID_ROUND}) AS c
+      FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i FROM v)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(c ORDER BY i) AS ce FROM comp GROUP BY label),
+    scored AS (
+      SELECT v.label,
+             round(list_dot_product(e, ce)
+                   / (sqrt(list_dot_product(e, e))
+                      * sqrt(list_dot_product(ce, ce))), 6) AS cos
+      FROM v JOIN cent USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(cos), 6)       AS mean_cos,
+           round(min(cos), 6)       AS min_cos
+    FROM scored
+    GROUP BY label
+    """,
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion report: class centroid, then each
+    member's cosine to its centroid, aggregated to (count, mean, min)
+    — the quality gauge run on labeled/clustered embeddings before
+    trusting them for semantic dedup or stratified sampling (a low
+    min_cos flags mislabeled or outlier vectors).
+
+    Two passes, both scale-shaped: (1) the centroid is an elementwise
+    mean computed as ``posexplode -> groupBy(label, pos) avg`` — the
+    partial aggregate combines map-side, so the exchange carries at
+    most labels x dim rows PER TASK (tiny), never the corpus; the
+    per-label component rows then fold into one centroid array row
+    via sort_array(collect_list) over <= labels x dim rows.  (2) the
+    centroid relation (labels rows) is broadcast back onto the corpus
+    and the cosine is a codegen'd zip_with/aggregate fold — no
+    Python, no second corpus shuffle; the final rollup is again
+    map-side combinable.  Centroid components are rounded to
+    :data:`CENTROID_ROUND` decimals on both engines, which absorbs
+    cross-engine float-sum ordering noise (see constant docstring).
+    """
+    v = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    comp = (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), CENTROID_ROUND).alias("c"))
+    )
+    cent = (
+        comp.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, r -> r.c)").alias("ce"))
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, ce, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " 0D, (a, x) -> a + x)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x),"
+                        " 0D, (a, x) -> a + x)"
+                    )
+                )
+                * F.sqrt(
+                    F.expr("aggregate(transform(ce, y -> y * y), 0D, (a, x) -> a + x)")
+                )
+            ),
+            6,
+        ).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )

@@ -253,6 +253,7 @@ def load_all() -> None:
         manifest_queries,
         lakehouse,
         ingest,
+        corpus,
         relational,
         bpe,
         dedup,
