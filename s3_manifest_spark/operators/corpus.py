@@ -154,13 +154,19 @@ def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a total order, so LIMIT is deterministic at every scale.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # Materialize the token array BEFORE the lambda (the _shingled
+    # lesson, dedup.py:40): higher-order functions are interpreted,
+    # and slice(split(text), i, N) inside the transform re-splits the
+    # text per window — O(tokens²)/doc, measured 2.2 s vs 0.5 s at
+    # sf0.1 for this query.
+    toks = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("t"))
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size({_TOKENS}) >= {NGRAM_N} THEN "
-                f"transform(sequence(1, size({_TOKENS}) - {NGRAM_N - 1}), "
-                f"i -> concat_ws(' ', slice({_TOKENS}, i, {NGRAM_N}))) "
+                f"CASE WHEN size(t) >= {NGRAM_N} THEN "
+                f"transform(sequence(1, size(t) - {NGRAM_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {NGRAM_N}))) "
                 "ELSE array() END"
             )
         ).alias("ngram"),
@@ -224,16 +230,19 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that join is doc_id-keyed and colocates with the rollup.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # token array materialized before the lambda (see ngram_corpus_topk)
     chunks = docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    ).select(
         "doc_id",
         F.explode(
             # sequence(0, -1) would yield a DESCENDING [0, -1] in Spark
             # (not the empty list DuckDB's range gives) — guard short
             # docs explicitly.
             F.expr(
-                f"CASE WHEN size({_TOKENS}) >= {CHUNK_TOKENS} THEN "
-                f"transform(sequence(0, CAST(floor(size({_TOKENS}) / {CHUNK_TOKENS}) AS INT) - 1), "
-                f"i -> md5(concat_ws(' ', slice({_TOKENS}, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))) "
+                f"CASE WHEN size(t) >= {CHUNK_TOKENS} THEN "
+                f"transform(sequence(0, CAST(floor(size(t) / {CHUNK_TOKENS}) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))) "
                 "ELSE array() END"
             )
         ).alias("h"),
@@ -257,3 +266,97 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("boilerplate_ratio"),
     )
+
+
+#: Collocation-mining parameters.
+LIFT_MIN_SUPPORT = 5
+LIFT_TOP_K = 50
+
+
+@register(
+    "bigram_lift_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS u FROM toks),
+    ucount AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY u),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS b
+      FROM toks
+    ),
+    bcount AS (SELECT b, CAST(count(*) AS BIGINT) AS n_ab FROM bi GROUP BY b),
+    scored AS (
+      SELECT b AS bigram, n_ab,
+             round(n_ab * 1.0 * (SELECT nn FROM tot)
+                   / (ua.n * ub.n), 6) AS lift
+      FROM bcount
+      JOIN ucount ua ON ua.u = string_split(b, ' ')[1]
+      JOIN ucount ub ON ub.u = string_split(b, ' ')[2]
+      WHERE n_ab >= {LIFT_MIN_SUPPORT}
+    )
+    SELECT bigram, n_ab, lift
+    FROM scored
+    ORDER BY lift DESC, bigram
+    LIMIT {LIFT_TOP_K}
+    """,
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{K} token bigrams by LIFT —
+    ``P(ab) / (P(a)·P(b))`` computed as the exact integer ratio
+    ``n_ab·N / (n_a·n_b)`` — with a minimum-support floor.  The
+    word2vec/PMI-style association statistic, kept log-free on
+    purpose: every product is an exact int64 (< 2^53 far beyond this
+    corpus), so the single IEEE division is bit-identical across
+    engines — ``ln()`` is libm-defined and would not be (the
+    lsh_tuning_curve precedent).
+
+    Shape at scale: two map-side-combinable token aggregates (unigram,
+    bigram — shuffle keys are vocabulary terms, never documents), a
+    1-row total, and two term-keyed joins of the bigram relation
+    against the unigram counts (AQE broadcasts the vocabulary side
+    when it fits, stays a shuffle join when a 100 TB corpus's
+    vocabulary doesn't); the final top-K is TakeOrdered under the
+    total order (rounded lift desc, bigram asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("u"))
+    ucount = toks.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    # token array materialized before the lambda (see ngram_corpus_topk)
+    bi = docs.select(F.split(F.col("text"), " ", -1).alias("t")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', slice(t, i, 2))) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    )
+    bcount = (
+        bi.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("nn"))
+    w1 = F.split(F.col("b"), " ").getItem(0)
+    w2 = F.split(F.col("b"), " ").getItem(1)
+    ua = ucount.select(F.col("u").alias("u1"), F.col("n").alias("na"))
+    ub = ucount.select(F.col("u").alias("u2"), F.col("n").alias("nb"))
+    scored = (
+        bcount.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(ua, F.col("w1") == F.col("u1"))
+        .join(ub, F.col("w2") == F.col("u2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("b").alias("bigram"),
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.lit(1.0) * F.col("nn"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(LIFT_TOP_K)

@@ -2335,3 +2335,101 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("df").alias("n_postings"),
         F.max("df").alias("max_df"),
     )
+
+
+CONTAIN_THRESHOLD = 0.8  # |A ∩ B| / |A| for "A is contained in B"
+
+_CONTAINMENT_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM toks
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    valued AS (
+      SELECT doc_a, doc_b, inter, ca.n AS na, cb.n AS nb
+      FROM pairs
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+    )
+    SELECT doc_a AS contained, doc_b AS container,
+           round(inter * 1.0 / na, 4) AS containment
+    FROM valued WHERE inter * 1.0 / na >= {CONTAIN_THRESHOLD}
+    UNION ALL
+    SELECT doc_b, doc_a, round(inter * 1.0 / nb, 4)
+    FROM valued WHERE inter * 1.0 / nb >= {CONTAIN_THRESHOLD}
+"""
+
+
+@register("doc_containment", oracle=_CONTAINMENT_SQL)
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: ``(contained, container)`` pairs
+    where ≥ :data:`CONTAIN_THRESHOLD` of the contained document's
+    distinct 3-gram shingles also appear in the container —
+    containment ``|A ∩ B| / |A|``, the signal symmetric Jaccard
+    misses (a short document quoted whole inside a long one dilutes
+    the union and sails under the Jaccard threshold; its containment
+    is still ~1.0).  Both directions are evaluated per unordered
+    pair, so mutual near-copies emit two rows.
+
+    Plan: identical join-free shape to :func:`dedup_ngram_jaccard`
+    (one shingle-keyed exchange with in-group ordered-pair expansion,
+    one pair-keyed count — the 18×-faster form vs the self-join; at
+    100 TB the same ``cap_document_frequency`` guard and MinHash-LSH
+    prefilter apply), then each unordered pair fans out to its ≤2
+    qualifying directions in the final codegen projection — no extra
+    shuffle for the asymmetry.  Shingles travel as 64-bit
+    fingerprints; the string-shingle oracle hash-check re-certifies
+    fingerprint injectivity on the corpus.
+    """
+    sh = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents", widen=True), with_count=True
+    )
+    grp = (
+        sh.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = grp.select(
+        F.explode(F.expr(_PAIRS.format(c="ds"))).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.a.n").alias("na"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.b.n").alias("nb"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    # fan the unordered pair out to its qualifying directions without
+    # another exchange: build both candidate rows, explode, filter
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    (F.col("inter") / F.col("na")).alias("c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    (F.col("inter") / F.col("nb")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    )
+    return both.filter(F.col("d.c") >= CONTAIN_THRESHOLD).select(
+        F.col("d.contained").alias("contained"),
+        F.col("d.container").alias("container"),
+        F.round(F.col("d.c"), 4).alias("containment"),
+    )

@@ -1702,3 +1702,94 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos"), 6).alias("mean_cos"),
         F.round(F.min("cos"), 6).alias("min_cos"),
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (
+      SELECT DISTINCT i
+      FROM (SELECT unnest(range(1, len(e) + 1)) AS i FROM v)
+    ),
+    pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+    terms AS (
+      SELECT p.i, p.j, v.e[p.i] AS x, v.e[p.j] AS y
+      FROM v CROSS JOIN pairs p
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           -- + 0.0 canonicalizes IEEE -0.0 to +0.0: a covariance that
+           -- rounds to zero can carry either sign depending on the
+           -- engine's summation order, and the driver hash is bitwise
+           round(avg(x * y) - avg(x) * avg(y), 6) + 0.0 AS cov
+    FROM terms
+    GROUP BY i, j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the relation PCA / whitening / dimension-pruning decisions are
+    made from (the driver-side step after this query is a dim×dim
+    eigensolve, trivial at any corpus size BECAUSE this reduction is
+    distributed).
+
+    Physical strategy — two-phase vectorized Gram reduction, the
+    pattern a naive posexplode pair-join would get catastrophically
+    wrong (dim²× row blowup through the exchange): each Arrow batch
+    computes ONE ``Eᵀ@E`` BLAS call plus column sums and emits
+    dim·(dim+1)/2 partial rows (i, j, Σxy, Σx, Σy, n); the exchange
+    therefore carries ~2080 rows PER BATCH regardless of corpus size,
+    and the final combine is an ordinary map-side-combinable
+    groupBy(i,j) sum.  Covariance assembles as E[xy] − E[x]E[y] from
+    the combined sums; 6-dp output rounding absorbs cross-engine
+    float-sum ordering (both engines sum the identical
+    float32→float64-promoted values).  1-based (i, j) matches the
+    oracle's DuckDB list indexing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            e = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            n, d = e.shape
+            g = e.T @ e  # (d, d)
+            s = e.sum(axis=0)  # (d,)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "sxy": g[iu, ju],
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "cnt": np.full(len(iu), n, dtype="int64"),
+                }
+            )
+
+    partial = v.mapInPandas(
+        gram, schema="i long, j long, sxy double, sx double, sy double, cnt long"
+    )
+    comb = partial.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("cnt").alias("n"),
+    )
+    return comb.select(
+        "i",
+        "j",
+        # + 0.0 canonicalizes -0.0 (see oracle comment)
+        (
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
+    )

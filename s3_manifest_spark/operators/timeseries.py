@@ -530,3 +530,87 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_events"),
         F.max("c").alias("longest_session"),
     )
+
+
+@register(
+    "attribution_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER w AS first_touch_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS last_touch_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           first_touch_type, CAST(first_touch_id AS BIGINT) AS first_touch_id,
+           last_touch_type,  CAST(last_touch_id AS BIGINT)  AS last_touch_id
+    FROM e WHERE event_type = 'purchase'
+    """,
+)
+def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every ``purchase``
+    event, the user's earliest and latest strictly-preceding
+    non-purchase events under the (ts, event_id) total order — the
+    marketing-analytics primitive behind conversion credit, and the
+    anchor view funnel audits join against.  Purchases with no prior
+    touch keep NULL attribution columns (a real report must count
+    them, not drop them).
+
+    ONE user-keyed exchange total: all four attribution columns are
+    ``first``/``last(ignorenulls)`` over the same
+    unboundedPreceding→-1 frame of the same user window, so they
+    share one sort + one Window operator; the purchase filter is a
+    post-window codegen projection.  At 100 TB the only skew surface
+    is a pathological single user — the user_sessions salting note
+    applies unchanged.  The conditional-struct trick is NOT needed:
+    the type/id column pairs pick from the same source row because
+    both use the identical (frame, predicate, ordering).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.col("event_type") != "purchase"
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.first(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("first_touch_type"),
+        F.first(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("first_touch_id"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+        F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_id"),
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "first_touch_type",
+        "first_touch_id",
+        "last_touch_type",
+        "last_touch_id",
+    )

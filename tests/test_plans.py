@@ -399,3 +399,87 @@ def test_tfidf_relational_plan_is_two_keyed_exchanges(spark, monkeypatch):
     # term join (≤1 keyed exchange on each side collapses to ≤2 here:
     # the tf side + the window; the checkpointed dfreq side is a scan)
     assert _n_exchanges(plan) <= 3, plan
+
+
+def test_gopher_rules_pure_scan(spark):
+    """The quality gate is a single codegen projection — zero keyed
+    exchanges, no Python in the row path — so at 100 TB it is a pure
+    scan whose only knob is split parallelism."""
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert _n_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_ngram_topk_is_takeordered_over_partial_agg(spark):
+    """Corpus n-gram top-K must be per-partition heaps merged on the
+    driver (TakeOrderedAndProject), never a global Sort, and the
+    count must combine map-side before its single keyed exchange."""
+    plan = plan_of(spark, "ngram_corpus_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), plan
+
+
+def test_chunk_boilerplate_digest_keyed_shuffles_only(spark):
+    """Boilerplate detection exchanges carry md5 digests + ids, never
+    chunk text: the frequency aggregate and the doc rollup are the
+    only keyed shuffles besides the final doc-keyed left join (<=4
+    total; AQE may broadcast the freq side at fixture scale)."""
+    plan = plan_of(spark, "chunk_dedup_boilerplate")
+    assert _n_exchanges(plan) <= 4, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_centroid_stats_broadcasts_centroids(spark):
+    """The labels-row centroid relation must broadcast back onto the
+    corpus — the corpus itself is never re-shuffled for the scoring
+    pass (its only exchange is the tiny (label,pos) partial-agg)."""
+    plan = plan_of(spark, "embedding_centroid_stats")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # (label,pos) partial agg + label rollups: every HashAggregate is
+    # two-phase, visible as >=2 pairs
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+
+
+def test_knn_graph_no_corpus_window_before_partial_topk(spark):
+    """The merge window must rank candidate rows (<= k*B per vector),
+    not raw scores: the plan's window sits above the Arrow-batched
+    block scorer, and the corpus reaches it only through the packed
+    block relation (one keyed exchange for the packing groupBy + the
+    window's vec_id exchange)."""
+    plan = plan_of(spark, "knn_graph")
+    assert "Window" in plan, plan
+    assert re.search(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas|PythonMapInArrow", plan), plan
+
+
+def test_bigram_lift_takeordered(spark):
+    plan = plan_of(spark, "bigram_lift_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_doc_containment_is_join_free(spark):
+    """Containment rides dedup_ngram_jaccard's join-free shape: one
+    shingle-keyed exchange + one pair-keyed count, the direction
+    fan-out is a post-agg explode — no Join operator anywhere."""
+    plan = plan_of(spark, "doc_containment")
+    assert not re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan), plan
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_embedding_covariance_single_combine_exchange(spark):
+    """The Gram reduction's only keyed exchange is the (i, j) partial
+    combine — dim²-sized rows, never the corpus — after the Arrow
+    kernel; a posexplode pair-join would show dim²× corpus rows here."""
+    plan = plan_of(spark, "embedding_covariance")
+    assert re.search(r"MapInPandas|ArrowEvalPython|PythonMapInArrow", plan), plan
+    assert _n_exchanges(plan) <= 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_attribution_single_user_exchange(spark):
+    """All four attribution columns share one user-keyed sort+window:
+    exactly one keyed exchange, one Window operator."""
+    plan = plan_of(spark, "attribution_touch")
+    assert _n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
