@@ -104,6 +104,26 @@ HEADLINERS = {
     "local; over the cap the model stays relational and the plan "
     "switches to term-join + doc-window (pinned by "
     "test_tfidf_relational_plan_is_two_keyed_exchanges)",
+    "ngram_corpus_topk": "token array materialized BEFORE the "
+    "interpreted transform lambda (r13 — slice(split(text)) inside "
+    "the lambda re-splits per window, O(tokens²)/doc, measured 15× "
+    "slower); explode stays in-task, ONE combinable (ngram, partial) "
+    "shuffle, TakeOrdered top-K",
+    "knn_graph": "exact corpus kNN graph (r13): packed block rows "
+    "cross-joined into B² ordered pairs, one BLAS A@Bᵀ per pair with "
+    "per-row local top-k under the final order, window merges ≤k·B "
+    "candidates per vector — corpus never broadcast, no driver "
+    "collect",
+    "embedding_covariance": "two-phase Gram reduction (r13): one "
+    "Eᵀ@E per Arrow batch emits dim(dim+1)/2 partial rows; the only "
+    "keyed exchange carries ~2080 rows/batch regardless of corpus "
+    "size (a posexplode pair-join would ship dim²× the corpus)",
+    "doc_containment": "join-free asymmetric dedup (r13): the "
+    "jaccard shape's shingle-keyed exchange + pair-keyed count, then "
+    "direction fan-out as a post-agg explode — zero Join operators",
+    "attribution_touch": "ONE user-keyed exchange (r13): all four "
+    "first/last(ignorenulls) attribution columns share a single "
+    "window frame; purchase filter is post-window codegen",
 }
 
 

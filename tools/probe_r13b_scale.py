@@ -96,6 +96,10 @@ def timed(name, sf_dir):
     best = None
     rows = 0
     for _ in range(3):
+        # fresh plan per rep (the bench's discipline): re-serving the
+        # memoized DataFrame lets Spark SKIP already-computed shuffle
+        # stages, which would measure only the final stage
+        getattr(spark, "_smsp_plan_cache", {}).clear()
         t0 = time.perf_counter()
         rows = len(QS[name](spark, sf_dir).toPandas())
         dt = time.perf_counter() - t0
