@@ -152,21 +152,33 @@ def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered merge of per-partition heaps — no global sort, no
     driver relation beyond K rows.  Ordering (count desc, ngram asc)
     is a total order, so LIMIT is deterministic at every scale.
+
+    Measured A/Bs (sf0.1, min-of-4 quiet window): element_at beats
+    slice+concat_ws ~15%; the no-Expand rewrite (union of occurrence
+    + per-doc-distinct explodes) is 7× SLOWER (3.55 vs 0.48 s — the
+    transform recomputes per branch and the explode volume doubles),
+    so countDistinct's Expand stays.  Floor decomposition rides
+    PROBE_FLOORS.json (trigram_expand_count leg).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widen=True: the expansion lambda is interpreted per-row work and
+    # the fixture is a single row group — without the (production-
+    # self-disabling) widen gate the whole corpus expands on ONE task.
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     # Materialize the token array BEFORE the lambda (the _shingled
     # lesson, dedup.py:40): higher-order functions are interpreted,
     # and slice(split(text), i, N) inside the transform re-splits the
     # text per window — O(tokens²)/doc, measured 2.2 s vs 0.5 s at
-    # sf0.1 for this query.
+    # sf0.1 for this query.  element_at over the materialized array
+    # beats slice+concat_ws (no per-window array allocation, ~15%).
     toks = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("t"))
+    tri = " , ' ', ".join(f"element_at(t, i + {k})" for k in range(NGRAM_N))
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"CASE WHEN size(t) >= {NGRAM_N} THEN "
                 f"transform(sequence(1, size(t) - {NGRAM_N - 1}), "
-                f"i -> concat_ws(' ', slice(t, i, {NGRAM_N}))) "
+                f"i -> concat({tri})) "
                 "ELSE array() END"
             )
         ).alias("ngram"),
@@ -229,7 +241,9 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join from the documents table (n_chunks = 0, ratio 0) — at
     100 TB that join is doc_id-keyed and colocates with the rollup.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widen=True: interpreted per-row expansion over a single-row-group
+    # fixture (see ngram_corpus_topk)
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     # token array materialized before the lambda (see ngram_corpus_topk)
     chunks = docs.select(
         "doc_id", F.split(F.col("text"), " ", -1).alias("t")
@@ -319,7 +333,9 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary doesn't); the final top-K is TakeOrdered under the
     total order (rounded lift desc, bigram asc).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widen=True: interpreted per-row expansion over a single-row-group
+    # fixture (see ngram_corpus_topk)
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select(F.explode(F.expr(_TOKENS)).alias("u"))
     ucount = toks.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
     # token array materialized before the lambda (see ngram_corpus_topk)
@@ -328,7 +344,7 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN size(t) >= 2 THEN "
                 "transform(sequence(1, size(t) - 1), "
-                "i -> concat_ws(' ', slice(t, i, 2))) "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
                 "ELSE array() END"
             )
         ).alias("b")

@@ -161,6 +161,78 @@ def main() -> int:
             .toPandas()
         )
 
+    def trigram_expand_count():
+        # ngram_corpus_topk minus the distinct-agg/top-K: the widened
+        # scan + token split + interpreted trigram transform + explode
+        # + 1-row count — the expansion cost ANY plan of this shape
+        # pays before aggregation logic starts.
+        toks = (
+            load_table(spark, sf, "documents", widen=True)
+            .select(F.split(F.col("text"), " ", -1).alias("t"))
+        )
+        (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 3 THEN "
+                        "transform(sequence(1, size(t) - 2), "
+                        "i -> concat(element_at(t, i), ' ', "
+                        "element_at(t, i + 1), ' ', element_at(t, i + 2))) "
+                        "ELSE array() END"
+                    )
+                ).alias("g")
+            )
+            .agg(F.count(F.lit(1)))
+            .toPandas()
+        )
+
+    def chunk_expand_count():
+        # chunk_dedup_boilerplate minus freq-join/rollup/doc-join: the
+        # widened scan + md5 chunk expansion + 1-row count.
+        toks = (
+            load_table(spark, sf, "documents", widen=True)
+            .select(F.split(F.col("text"), " ", -1).alias("t"))
+        )
+        (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 10 THEN "
+                        "transform(sequence(0, CAST(floor(size(t) / 10) AS INT) - 1), "
+                        "i -> md5(concat_ws(' ', slice(t, i*10+1, 10)))) "
+                        "ELSE array() END"
+                    )
+                ).alias("h")
+            )
+            .agg(F.count(F.lit(1)))
+            .toPandas()
+        )
+
+    def bigram_unigram_expand_count():
+        # bigram_lift_topk minus joins/top-K: BOTH token expansions
+        # (unigram explode + bigram transform-explode), each to a
+        # 1-row count — the two corpus passes the lift statistic
+        # inherently needs.
+        docs = load_table(spark, sf, "documents", widen=True)
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("u")
+        ).agg(F.count(F.lit(1))).toPandas()
+        (
+            docs.select(F.split(F.col("text"), " ", -1).alias("t"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 2 THEN "
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+                        "ELSE array() END"
+                    )
+                ).alias("b")
+            )
+            .agg(F.count(F.lit(1)))
+            .toPandas()
+        )
+
     def run_query(name):
         def f():
             getattr(spark, "_smsp_plan_cache", {}).clear()
@@ -198,7 +270,15 @@ def main() -> int:
         "range_join_scan_agg": range_join_scan_agg,
         "q:range_join_bands": run_query("range_join_bands"),
         "local_relation_roundtrip": local_relation_roundtrip,
+        "trigram_expand_count": trigram_expand_count,
+        "chunk_expand_count": chunk_expand_count,
+        "bigram_unigram_expand_count": bigram_unigram_expand_count,
+        "q:ngram_corpus_topk": run_query("ngram_corpus_topk"),
+        "q:chunk_dedup_boilerplate": run_query("chunk_dedup_boilerplate"),
+        "q:bigram_lift_topk": run_query("bigram_lift_topk"),
         # the weak queries themselves, same session, same interleaving
+        "q:tfidf_topterms": run_query("tfidf_topterms"),
+        "q:dedup_embedding": run_query("dedup_embedding"),
         "q:bpe_train": run_query("bpe_train"),
         "q:lm_perplexity": run_query("lm_perplexity"),
         "q:semdedup": run_query("semdedup"),
