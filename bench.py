@@ -476,7 +476,12 @@ def main() -> int:
     # point a consumer pays for) vs the full certificate query (which
     # ALSO recomputes the exact baseline + membership flags) — both
     # measured warm in one probe session (PROBE_FLOORS.json).
-    for q in ("similarity_ann_lsh", "similarity_ivf", "similarity_pq"):
+    for q in (
+        "similarity_ann_lsh",
+        "similarity_ivf",
+        "similarity_pq",
+        "similarity_ivf_pq",
+    ):
         leg = f"ann:{q}_neighbors"
         if q in timings and leg in _floors:
             queries_meta.setdefault(q, {})["certificate_split"] = {

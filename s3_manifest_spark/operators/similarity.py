@@ -198,6 +198,87 @@ IVF_TRAIN_STRIDE = 2  # 1-in-N deterministic sample for quantizer training
 IVF_LLOYD_STEPS = 2
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """The trained IVF coarse quantizer (K × dim float64), distributed
+    Lloyd over a deterministic 1-in-:data:`IVF_TRAIN_STRIDE` sample —
+    factored out of :func:`similarity_ivf_neighbors` (r13) so the
+    IVF-PQ composition shares ONE quantizer model.
+
+    The trained quantizer is cached per (session, sf_dir): an ANN
+    index is built once and queried many times — that lifecycle, not
+    per-query retraining, is the system being modeled (FAISS trains
+    IVF once).  Deterministic (seed round vec_id % K, stable argmax),
+    so a cached quantizer is value-identical to a retrained one; the
+    cache dies with the session and is NOT the plan memo the bench
+    harnesses clear (training is work the DuckDB oracle never does,
+    so amortizing it skews no comparison).  Each Lloyd round is the
+    treeAggregate shape: every Arrow batch assigns its vectors to
+    cells and emits ONE partial row per cell — (cell, count,
+    component sum) — so the driver combines at most K·partitions
+    short rows per round and never sees a sample vector; driver
+    memory is O(K·d), independent of sample and corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from s3_manifest_spark.registry import track_persist
+
+    model_cache = session_model_cache(spark)
+    cached_cent = model_cache.get(("ivf", sf_dir))
+    if cached_cent is not None:
+        return cached_cent
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tr = track_persist(v.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0))
+    cent: np.ndarray | None = None  # None -> seed round (vec_id % K)
+
+    def lloyd_partials(cents):
+        def gen(batches):
+            for b in batches:
+                ids = b["vec_id"].to_numpy(dtype="int64")
+                e = np.stack(b["embedding"].to_numpy()).astype("float64")
+                en = e / np.linalg.norm(e, axis=1, keepdims=True)
+                if cents is None:
+                    cells = (ids % IVF_K).astype("int64")
+                else:
+                    cn = cents / np.maximum(
+                        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+                    )
+                    cells = np.argmax(en @ cn.T, axis=1)  # ties -> lowest
+                # one pass over the block: bincount for sizes,
+                # add.at for per-cell component sums (vs a masked
+                # rescan per occupied cell — K passes)
+                counts = np.bincount(cells, minlength=IVF_K)
+                sums = np.zeros((IVF_K, en.shape[1]))
+                np.add.at(sums, cells, en)
+                uniq = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": uniq.astype("int32"),
+                        "n": counts[uniq].astype("int64"),
+                        "s": [sums[c].tolist() for c in uniq],
+                    }
+                )
+
+        return gen
+
+    for _ in range(IVF_LLOYD_STEPS):
+        partials = tr.mapInPandas(
+            lloyd_partials(cent), schema="cell int, n long, s array<double>"
+        ).collect()  # <= K * partitions short rows
+        dim = len(partials[0]["s"])
+        sums = np.zeros((IVF_K, dim))
+        counts = np.zeros(IVF_K)
+        for r in partials:
+            sums[r["cell"]] += np.asarray(r["s"])
+            counts[r["cell"]] += r["n"]
+        new_cent = np.zeros((IVF_K, dim)) if cent is None else cent.copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]  # empty cells keep previous
+        cent = new_cent
+    model_cache[("ivf", sf_dir)] = cent
+    return cent
+
+
 def similarity_ivf_neighbors(
     spark: SparkSession,
     sf_dir: str,
@@ -233,74 +314,8 @@ def similarity_ivf_neighbors(
     import numpy as np
     import pandas as pd
 
-    from s3_manifest_spark.registry import track_persist
-
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # -- train: distributed Lloyd, one partial-aggregation job per round.
-    # The trained quantizer is cached per (session, sf_dir): an ANN
-    # index is built once and queried many times — that lifecycle, not
-    # per-query retraining, is the system being modeled (FAISS trains
-    # IVF once).  Deterministic (seed round vec_id % K, stable argmax),
-    # so a cached quantizer is value-identical to a retrained one; the
-    # cache dies with the session and is NOT the plan memo the bench
-    # harnesses clear (training is work the DuckDB oracle never does,
-    # so amortizing it skews no comparison).
-    model_cache = session_model_cache(spark)
-    cached_cent = model_cache.get(("ivf", sf_dir))
-    tr = None
-    if cached_cent is None:
-        tr = track_persist(v.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0))
-    cent: np.ndarray | None = None  # None -> seed round (vec_id % K)
-
-    def lloyd_partials(cents):
-        def gen(batches):
-            for b in batches:
-                ids = b["vec_id"].to_numpy(dtype="int64")
-                e = np.stack(b["embedding"].to_numpy()).astype("float64")
-                en = e / np.linalg.norm(e, axis=1, keepdims=True)
-                if cents is None:
-                    cells = (ids % IVF_K).astype("int64")
-                else:
-                    cn = cents / np.maximum(
-                        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
-                    )
-                    cells = np.argmax(en @ cn.T, axis=1)  # ties -> lowest
-                # one pass over the block: bincount for sizes,
-                # add.at for per-cell component sums (vs a masked
-                # rescan per occupied cell — K passes)
-                counts = np.bincount(cells, minlength=IVF_K)
-                sums = np.zeros((IVF_K, en.shape[1]))
-                np.add.at(sums, cells, en)
-                uniq = np.nonzero(counts)[0]
-                yield pd.DataFrame(
-                    {
-                        "cell": uniq.astype("int32"),
-                        "n": counts[uniq].astype("int64"),
-                        "s": [sums[c].tolist() for c in uniq],
-                    }
-                )
-
-        return gen
-
-    for _ in range(IVF_LLOYD_STEPS if cached_cent is None else 0):
-        partials = tr.mapInPandas(
-            lloyd_partials(cent), schema="cell int, n long, s array<double>"
-        ).collect()  # <= K * partitions short rows
-        dim = len(partials[0]["s"])
-        sums = np.zeros((IVF_K, dim))
-        counts = np.zeros(IVF_K)
-        for r in partials:
-            sums[r["cell"]] += np.asarray(r["s"])
-            counts[r["cell"]] += r["n"]
-        new_cent = np.zeros((IVF_K, dim)) if cent is None else cent.copy()
-        nz = counts > 0
-        new_cent[nz] = sums[nz] / counts[nz, None]  # empty cells keep previous
-        cent = new_cent
-    if cached_cent is not None:
-        cent = cached_cent
-    else:
-        model_cache[("ivf", sf_dir)] = cent
+    cent = _ivf_centroids(spark, sf_dir)
     centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     # -- query probe lists (queries are corpus rows; tiny, driver-side)
@@ -1793,3 +1808,283 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cov"),
     )
+
+
+def similarity_ivf_pq_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    with_membership: bool = False,
+    exact: DataFrame | None = None,
+    corrupt_lut: bool = False,
+):
+    """IVF-PQ approximate top-k — the production FAISS composition of
+    the two indexes this module already trains: the IVF coarse
+    quantizer (:func:`_ivf_centroids`, shared session model) routes
+    each query to its :data:`IVF_NPROBE` nearest cells, PQ codes
+    (:func:`_pq_codebooks`, shared session model) ADC-score ONLY the
+    rows living in probed cells, the global top-:data:`PQ_REFINE` ADC
+    candidates per query re-score exactly, and the final
+    top-:data:`TOP_K` emits exact rounded cosine.
+
+    Why this is THE 100 TB shape: IVF-Flat still touches full float
+    vectors for every probed row (512 B/vector at dim 64); PQ-Flat
+    scans every row's codes.  Composed, the scan touches 8 B codes
+    for ~nprobe/K of the corpus — both the memory story and the
+    selectivity story at once, exactly like a FAISS ``IVFx,PQy``
+    index.  One distributed pass, corpus never shuffled, the only
+    driver rows are the Lloyd/codebook partials and the bounded query
+    set.
+
+    ``corrupt_lut=True`` is the deliberate BROKEN mode for the
+    certificate falsification test (negated ADC tables, as
+    similarity_pq).  ``with_membership`` returns the canonical
+    (query, exact-member) → should_find relation: member's cell is
+    probed AND its ADC rank among probed-cell candidates is below
+    {PQ_REFINE} under uncorrupted tables — both conditions
+    deterministic, so the completeness flag falsifies mechanically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _ivf_centroids(spark, sf_dir)
+    centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    books = _pq_codebooks(spark, sf_dir)
+    qpdf = _query_pdf(v)
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qm @ centn.T), kind="stable", axis=1)[:, :IVF_NPROBE]
+    dsub = books.shape[2]
+    lut = np.stack(
+        [qm[:, m * dsub : (m + 1) * dsub] @ books[m].T for m in range(PQ_M)],
+        axis=1,
+    )  # (Q, M, K)
+    scan_lut = -lut if corrupt_lut else lut
+    bc = spark.sparkContext.broadcast((qids, qm, books, scan_lut, probes, centn))
+    r_keep = PQ_REFINE
+
+    def scan(batches):
+        ids_q, _, bks, tables, probe_cells, cents = bc.value
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            cells = np.argmax(en @ cents.T, axis=1)
+            codes = _pq_encode(en, bks)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                keep = np.isin(cells, probe_cells[j]) & (nids != qid)
+                if not keep.any():
+                    continue
+                adc = _pq_adc(codes[keep], tables[j])
+                cand_ids = nids[keep]
+                order = np.lexsort((cand_ids, -adc))[:r_keep]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(cand_ids[order])
+                out_s.append(adc[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cands = v.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    global_cands = (
+        cands.select("*", F.row_number().over(w_adc).alias("rn"))
+        .filter(F.col("rn") <= r_keep)
+        .select("query_id", "neighbor_id")
+    )
+    refine_src = v.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(global_cands), "neighbor_id"
+    )
+
+    def refine(batches):
+        ids_q, queries, _, _, _, _ = bc.value
+        qrow = {int(q): i for i, q in enumerate(ids_q)}
+        for b in batches:
+            if not len(b):
+                continue
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            qi = np.array(
+                [qrow[int(q)] for q in b["query_id"].to_numpy()], dtype=np.int64
+            )
+            sims = np.round(np.einsum("ij,ij->i", queries[qi], en), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy().astype("int64"),
+                    "neighbor_id": b["neighbor_id"].to_numpy().astype("int64"),
+                    "cos_sim": sims,
+                }
+            )
+
+    refined = refine_src.mapInPandas(
+        refine, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        refined.select("*", F.row_number().over(w_cos).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+    if not with_membership:
+        return topk
+
+    def membership(exact_df):
+        return _ivf_pq_membership(spark, sf_dir, bc, exact_df)
+
+    return topk, membership
+
+
+def _ivf_pq_membership(spark, sf_dir, bc, exact):
+    """(query_id, neighbor_id, should_find) for the IVF-PQ ANN:
+    the exact member's centroid cell is among the query's canonical
+    nearest :data:`IVF_NPROBE` cells AND its canonical ADC rank among
+    probed-cell candidates (predecessors under (adc desc, id asc),
+    self-query excluded) is below :data:`PQ_REFINE`.  Same two
+    bounded passes as :func:`_pq_membership`, with the cell filter
+    applied to both the member and its predecessor candidates —
+    canonical (UNcorrupted) tables throughout, so the broken-mode
+    certificate falsifies against this relation."""
+    import numpy as np
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact_ids = exact.select("query_id", "neighbor_id")
+    memb_src = v.join(
+        F.broadcast(
+            exact_ids.select(F.col("neighbor_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    )
+
+    def member_adc(batches):
+        ids_q, queries, bks, _, probe_cells, cents = bc.value
+        dsub = bks.shape[2]
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            cells = np.argmax(en @ cents.T, axis=1)
+            codes = _pq_encode(en, bks)
+            out = []
+            for j, qid in enumerate(ids_q):
+                lut_q = np.stack(
+                    [
+                        queries[j, m * dsub : (m + 1) * dsub] @ bks[m].T
+                        for m in range(PQ_M)
+                    ]
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(nids), qid),
+                            "neighbor_id": nids,
+                            "madc": _pq_adc(codes, lut_q),
+                            "probed": np.isin(cells, probe_cells[j]),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    madc = (
+        memb_src.mapInPandas(
+            member_adc,
+            schema="query_id long, neighbor_id long, madc double, probed boolean",
+        )
+        .join(F.broadcast(exact_ids), ["query_id", "neighbor_id"])
+    )
+    thresholds = madc.toPandas()  # <= k·queries rows, bounded
+    bc_thr = spark.sparkContext.broadcast(
+        (
+            thresholds["query_id"].to_numpy("int64"),
+            thresholds["neighbor_id"].to_numpy("int64"),
+            thresholds["madc"].to_numpy("float64"),
+        )
+    )
+
+    def count_predecessors(batches):
+        ids_q, queries, bks, _, probe_cells, cents = bc.value
+        tq, tn, tm = bc_thr.value
+        dsub = bks.shape[2]
+        qrow = {int(q): j for j, q in enumerate(ids_q)}
+        tj = np.array([qrow[int(q)] for q in tq], dtype=np.int64)
+        by_query: dict[int, list] = {}
+        for i, j in enumerate(tj):
+            by_query.setdefault(int(j), []).append(i)
+        for b in batches:
+            nids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            cells = np.argmax(en @ cents.T, axis=1)
+            codes = _pq_encode(en, bks)
+            cnts = np.empty(len(tq), dtype=np.int64)
+            for j, idxs in by_query.items():
+                lut_q = np.stack(
+                    [
+                        queries[j, m * dsub : (m + 1) * dsub] @ bks[m].T
+                        for m in range(PQ_M)
+                    ]
+                )
+                adc = _pq_adc(codes, lut_q)
+                in_probe = np.isin(cells, probe_cells[j]) & (nids != ids_q[j])
+                for i in idxs:
+                    better = (adc > tm[i]) | ((adc == tm[i]) & (nids < tn[i]))
+                    better &= in_probe & (nids != tn[i])
+                    cnts[i] = int(better.sum())
+            yield pd.DataFrame(
+                {"query_id": tq, "neighbor_id": tn, "cnt": cnts}
+            )
+
+    counts = (
+        v.mapInPandas(
+            count_predecessors,
+            schema="query_id long, neighbor_id long, cnt long",
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("cnt").alias("rank"))
+    )
+    probed_flag = spark.createDataFrame(
+        thresholds[["query_id", "neighbor_id", "probed"]]
+    )
+    return counts.join(probed_flag, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("probed") & (F.col("rank") < PQ_REFINE)).alias("should_find"),
+    )
+
+
+@register("similarity_ivf_pq", oracle=_ANN_CERT_SQL)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness certificate for
+    :func:`similarity_ivf_pq_neighbors` (the composed FAISS-style
+    IVF-PQ index: coarse-cell routing + in-cell ADC scan + exact
+    refine) — see :func:`_ann_certificate`.  The raw neighbor
+    relation stays available as ``similarity_ivf_pq_neighbors``."""
+    exact = _exact_topk_cached(spark, sf_dir)
+    cached = _mc(spark).get(("ann_membership_ivf_pq", sf_dir))
+    if cached is None:
+        ann, membership = similarity_ivf_pq_neighbors(
+            spark, sf_dir, with_membership=True, exact=exact
+        )
+        membership = _membership_cached(
+            spark, sf_dir, "ivf_pq", lambda: membership(exact)
+        )
+    else:
+        ann = similarity_ivf_pq_neighbors(spark, sf_dir, exact=exact)
+        membership = cached[0]
+    return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)

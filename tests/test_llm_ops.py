@@ -1096,3 +1096,56 @@ def test_corpus_pos_certifies_positive_path(spark):
         i + CORPUS_POS_OFFSET for i in range(CORPUS_POS_SEEDS)
     ]
     assert (out["cos_sim"] == 1.0).all()
+
+
+def test_ivf_pq_certificate_falsification_and_routing(spark, q):
+    """similarity_ivf_pq composes the two trained indexes: the
+    certificate must hold for the working scan, must FALSIFY with
+    negated ADC tables, and the raw neighbor relation must respect
+    cell routing — every returned neighbor lives in one of its
+    query's canonical probed cells (the composition's defining
+    property; a PQ-only scan would violate it)."""
+    import numpy as np
+
+    from s3_manifest_spark.operators.similarity import (
+        IVF_NPROBE,
+        _ann_certificate,
+        _ivf_centroids,
+        _query_pdf,
+        similarity_ivf_pq_neighbors,
+    )
+    from s3_manifest_spark.sources.tables import load_table
+
+    cert = q["similarity_ivf_pq"](spark, SF).toPandas()
+    assert set(cert.columns) == {"query_id", "exact_kth_sim", "ann_complete_ok"}
+    assert len(cert) > 0
+    assert cert["ann_complete_ok"].all()
+
+    ann, membership = similarity_ivf_pq_neighbors(
+        spark, SF, with_membership=True, corrupt_lut=True
+    )
+    broken = _ann_certificate(spark, SF, ann, membership).toPandas()
+    assert not broken["ann_complete_ok"].all()
+
+    # routing check, recomputed independently in numpy
+    v = load_table(spark, SF, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in v], dtype="int64")
+    m = np.stack([np.asarray(r["embedding"], dtype="float64") for r in v])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cent = _ivf_centroids(spark, SF)
+    centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cells = {int(i): int(c) for i, c in zip(ids, np.argmax(m @ centn.T, axis=1))}
+    qpdf = _query_pdf(
+        load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    )
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qm @ centn.T), kind="stable", axis=1)[:, :IVF_NPROBE]
+    probe_of = {
+        int(qid): set(int(c) for c in probes[i])
+        for i, qid in enumerate(qpdf["vec_id"])
+    }
+    out = similarity_ivf_pq_neighbors(spark, SF).toPandas()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        assert cells[int(row["neighbor_id"])] in probe_of[int(row["query_id"])], row

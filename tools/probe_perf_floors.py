@@ -250,6 +250,7 @@ def main() -> int:
     from s3_manifest_spark.operators.similarity import (
         similarity_ann_lsh_neighbors,
         similarity_ivf_neighbors,
+        similarity_ivf_pq_neighbors,
         similarity_pq_neighbors,
     )
 
@@ -292,9 +293,13 @@ def main() -> int:
         ),
         "ann:similarity_ivf_neighbors": run_neighbors(similarity_ivf_neighbors),
         "ann:similarity_pq_neighbors": run_neighbors(similarity_pq_neighbors),
+        "ann:similarity_ivf_pq_neighbors": run_neighbors(
+            similarity_ivf_pq_neighbors
+        ),
         "q:similarity_ann_lsh": run_query("similarity_ann_lsh"),
         "q:similarity_ivf": run_query("similarity_ivf"),
         "q:similarity_pq": run_query("similarity_pq"),
+        "q:similarity_ivf_pq": run_query("similarity_ivf_pq"),
     }
     samples: dict[str, list] = {n: [] for n in legs}
     for _ in range(RUNS):
