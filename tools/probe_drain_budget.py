@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DRAINS = ("stream_index_update_live", "stream_cdc_apply_live")
-RUNS = 3
+RUNS = int(os.environ.get("DRAIN_PROBE_RUNS", "3"))
 
 
 def main() -> int:
