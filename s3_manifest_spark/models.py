@@ -78,6 +78,7 @@ _KINDS = {
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",
+    "ann_membership_ivf_pq": "frames",
     "pagerank_graph": "frames+scalars",
     "dedup_components": "frames",
 }

@@ -232,14 +232,17 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture text has no newlines, so the fixed token window stands in
     for the "line" unit real pipelines use.
 
-    Scale shape: the corpus-frequency relation is keyed by the md5
-    chunk digest — the dedup exchange moves 16-byte hashes + counts,
-    never chunk text; frequency lookup is a hash join on the same
-    digest key (AQE broadcasts it when the distinct-chunk relation is
-    small); the per-doc rollup re-aggregates only (doc_id, is_dup)
-    pairs.  Documents shorter than one chunk survive via the final
-    left join from the documents table (n_chunks = 0, ratio 0) — at
-    100 TB that join is doc_id-keyed and colocates with the rollup.
+    Scale shape: corpus frequency is ONE digest-keyed count window —
+    the exchange moves 16-byte hashes + doc ids, never chunk text,
+    and the expensive md5 expansion is evaluated exactly once — the
+    groupBy+join-back formulation evaluates that subtree twice and
+    interleaved-A/B'd slower here too (0.59 vs 0.50 s min-of-5 paired
+    at sf0.1), consistent with cap_document_frequency's 2× finding on
+    the same shape (dedup.py:81); the per-doc
+    rollup re-aggregates only (doc_id, is_dup) pairs.  Documents
+    shorter than one chunk survive via the final left join from the
+    documents table (n_chunks = 0, ratio 0) — at 100 TB that join is
+    doc_id-keyed and colocates with the rollup.
     """
     # widen=True: interpreted per-row expansion over a single-row-group
     # fixture (see ngram_corpus_topk)
@@ -261,14 +264,19 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
-    per = (
-        chunks.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup"),
-        )
+    # corpus frequency as ONE digest-keyed window shuffle — the
+    # groupBy+join-back formulation evaluates the md5 expansion subtree
+    # TWICE (freq side + probe side; nothing forces exchange reuse
+    # when AQE broadcasts the freq relation), the exact shape
+    # cap_document_frequency (dedup.py:81) measured 2x slower.
+    from pyspark.sql import Window
+
+    annotated = chunks.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    per = annotated.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup"),
     )
     return docs.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id",
@@ -354,7 +362,10 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= LIFT_MIN_SUPPORT)
     )
-    total = toks.agg(F.count(F.lit(1)).alias("nn"))
+    # N from the vocabulary-sized count relation — a separate
+    # toks.agg(count) would re-scan and re-explode the whole corpus
+    # for one scalar (global agg cannot reuse the keyed agg's exchange)
+    total = ucount.agg(F.sum("n").alias("nn"))
     w1 = F.split(F.col("b"), " ").getItem(0)
     w2 = F.split(F.col("b"), " ").getItem(1)
     ua = ucount.select(F.col("u").alias("u1"), F.col("n").alias("na"))

@@ -1814,7 +1814,6 @@ def similarity_ivf_pq_neighbors(
     spark: SparkSession,
     sf_dir: str,
     with_membership: bool = False,
-    exact: DataFrame | None = None,
     corrupt_lut: bool = False,
 ):
     """IVF-PQ approximate top-k — the production FAISS composition of
@@ -2079,12 +2078,12 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _mc(spark).get(("ann_membership_ivf_pq", sf_dir))
     if cached is None:
         ann, membership = similarity_ivf_pq_neighbors(
-            spark, sf_dir, with_membership=True, exact=exact
+            spark, sf_dir, with_membership=True
         )
         membership = _membership_cached(
             spark, sf_dir, "ivf_pq", lambda: membership(exact)
         )
     else:
-        ann = similarity_ivf_pq_neighbors(spark, sf_dir, exact=exact)
+        ann = similarity_ivf_pq_neighbors(spark, sf_dir)
         membership = cached[0]
     return _ann_certificate(spark, sf_dir, ann, membership, exact=exact)

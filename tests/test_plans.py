@@ -422,11 +422,13 @@ def test_ngram_topk_is_takeordered_over_partial_agg(spark):
 
 def test_chunk_boilerplate_digest_keyed_shuffles_only(spark):
     """Boilerplate detection exchanges carry md5 digests + ids, never
-    chunk text: the frequency aggregate and the doc rollup are the
-    only keyed shuffles besides the final doc-keyed left join (<=4
-    total; AQE may broadcast the freq side at fixture scale)."""
+    chunk text — corpus frequency is ONE digest-keyed count window
+    (the md5 expansion subtree appears once; the groupBy+join-back
+    form evaluated it twice), then the doc rollup and the final
+    doc-keyed left join (<=3 keyed exchanges total)."""
     plan = plan_of(spark, "chunk_dedup_boilerplate")
-    assert _n_exchanges(plan) <= 4, plan
+    assert _n_exchanges(plan) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
 
 
