@@ -372,6 +372,7 @@ def main() -> int:
         "similarity_ann_lsh",
         "similarity_ivf",
         "similarity_pq",
+        "knn_graph_ann",
         "dedup_embedding_lsh_hi",
         "dedup_embedding_lsh_hi_corpus",
         "dedup_embedding_lsh_hi_corpus_pos",
@@ -462,6 +463,12 @@ def main() -> int:
         "ngram_corpus_topk": "trigram_expand_count",
         "chunk_dedup_boilerplate": "chunk_expand_count",
         "bigram_lift_topk": "bigram_unigram_expand_count",
+        # r14: the last two >2x rows without itemization (VERDICT r13
+        # item 3) — navigation-window and as-of floors are the shared
+        # scan + keyed-shuffle-sort + full-result Arrow collect, with
+        # the O(1)-state window logic replaced by column copies.
+        "window_lead_lag": "window_orders_sort_collect",
+        "asof_join": "asof_union_sort_collect",
     }
     for q, leg in _floor_map.items():
         if q in timings and leg in _floors:
@@ -481,6 +488,7 @@ def main() -> int:
         "similarity_ivf",
         "similarity_pq",
         "similarity_ivf_pq",
+        "knn_graph_ann",
     ):
         leg = f"ann:{q}_neighbors"
         if q in timings and leg in _floors:

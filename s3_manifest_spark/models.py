@@ -75,6 +75,8 @@ _KINDS = {
     "bigram_lm": "frames+scalars",
     "minhash_index": "frames",
     "ann_exact": "frames",
+    "knn_exact": "frames",
+    "ann_membership_knn": "frames",
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",

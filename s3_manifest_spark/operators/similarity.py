@@ -147,9 +147,12 @@ LSH_SEED = 0xA11_5EED
 
 
 def _ann_signatures(
-    v: DataFrame, seed_offset: int = 0, with_embedding: bool = True
+    v: DataFrame,
+    seed_offset: int = 0,
+    with_embedding: bool = True,
+    planes: int = LSH_PLANES,
 ) -> DataFrame:
-    """``(vec_id, sig[, embedding])``: {LSH_PLANES}-bit sign-pattern
+    """``(vec_id, sig[, embedding])``: ``planes``-bit sign-pattern
     bucket id per vector via ONE seeded BLAS matmul per Arrow batch
     (``E @ planesᵀ`` against a RandomState(LSH_SEED+offset) Gaussian
     plane matrix — identical on every executor).  Collision
@@ -164,11 +167,13 @@ def _ann_signatures(
 
     ``seed_offset`` exists for the certificate's broken-ANN test:
     hashing queries with different planes than the corpus probes
-    unrelated buckets."""
+    unrelated buckets.  ``planes`` defaults to the query-ANN's
+    :data:`LSH_PLANES`; the corpus-scale kNN-graph path passes its
+    own corpus-size-adaptive count (:func:`_knn_ann_planes`)."""
     import numpy as np
     import pandas as pd
 
-    r = LSH_PLANES
+    r = planes
 
     def kernel(batches):
         planes = None
@@ -1506,6 +1511,87 @@ KNN_GRAPH_K = 5
 KNN_BLOCKS = 8
 
 
+def _pack_blocks(v: DataFrame, key) -> DataFrame:
+    """Pack ``(vec_id, embedding)`` rows into ``(blk, ids, mat)`` block
+    rows keyed by ``key`` (a Column) — dedup_embedding's packed-matrix
+    layout (dedup.py:430), shared by the exact block sweep and the
+    LSH-bucketed candidate sweep.  ``sort_array`` pins member order so
+    the packed matrix is deterministic under any shuffle schedule."""
+    return (
+        v.groupBy(key.alias("blk"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("rs")
+        )
+        .select(
+            "blk",
+            F.expr("transform(rs, r -> r.vec_id)").alias("ids"),
+            F.expr("flatten(transform(rs, r -> r.embedding))").alias("mat"),
+        )
+    )
+
+
+def _block_pair_topk(block_pairs: DataFrame, k: int) -> DataFrame:
+    """Per-pair BLAS scorer + global merge shared by :func:`knn_graph`
+    (all B² ordered block pairs) and :func:`knn_graph_ann_neighbors`
+    (LSH candidate block pairs): each ``(ids_a, mat_a, ids_b, mat_b)``
+    row runs one ``blockA @ blockBᵀ`` keeping only each A-row's local
+    top-``k`` against that B block under the FINAL order (rounded
+    cosine desc, neighbor_id asc) — sound because a global top-k
+    member is a top-k member of every B-block slice it appears in.
+    The merge window then ranks ≤ k·(pairs touching the vector)
+    candidates per vector, never N."""
+    import numpy as np
+    import pandas as pd
+
+    def unpack(ids, mat):
+        i = np.asarray(list(ids), dtype="int64")
+        m = np.asarray(list(mat), dtype="float64").reshape(len(i), -1)
+        # zero-norm guard (ADVICE r13): a zero vector must score 0, not
+        # NaN-poison every ranking it appears in (same clamp as centn).
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return i, m
+
+    def score(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ia, ma = unpack(row["ids_a"], row["mat_a"])
+                ib, mb = unpack(row["ids_b"], row["mat_b"])
+                sims = np.round(ma @ mb.T, 6)  # (|A|, |B|)
+                out_v, out_n, out_s = [], [], []
+                for r in range(len(ia)):
+                    keep = ib != ia[r]  # self only matters on diagonal
+                    cand_ids, cand_sims = ib[keep], sims[r, keep]
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_v.append(np.full(len(order), ia[r]))
+                    out_n.append(cand_ids[order])
+                    out_s.append(cand_sims[order])
+                if not out_v:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_v),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    cand = block_pairs.mapInPandas(
+        score, schema="vec_id long, neighbor_id long, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 @register(
     "knn_graph",
     oracle=f"""
@@ -1552,25 +1638,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus pass into B packed rows plus B*(B+1) block copies out
     of the cross join, then k*B candidate rows per vector into the
     merge exchange.  At 100 TB the exact sweep is the CERTIFIED
-    BASELINE; the production path swaps the B^2 pair relation for
-    LSH/IVF candidate block pairs (similarity_ann_lsh /
-    similarity_ivf buckets) feeding this same per-pair scorer and
+    BASELINE; the production path (:func:`knn_graph_ann_neighbors`,
+    certified by ``knn_graph_ann``) swaps the B^2 pair relation for
+    LSH candidate block pairs feeding this same per-pair scorer and
     merge — identical output contract, candidate-bounded work.
     """
-    import numpy as np
-    import pandas as pd
-
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = KNN_GRAPH_K
-
-    packed = (
-        v.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(KNN_BLOCKS)).alias("blk"))
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rs"))
-        .select(
-            "blk",
-            F.expr("transform(rs, r -> r.vec_id)").alias("ids"),
-            F.expr("flatten(transform(rs, r -> r.embedding))").alias("mat"),
-        )
+    packed = _pack_blocks(
+        v, F.pmod(F.xxhash64("vec_id"), F.lit(KNN_BLOCKS))
     )
     block_pairs = (
         packed.alias("x")
@@ -1582,48 +1657,235 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.mat").alias("mat_b"),
         )
     )
+    return _block_pair_topk(block_pairs, KNN_GRAPH_K)
 
-    def unpack(ids, mat):
-        i = np.asarray(list(ids), dtype="int64")
-        m = np.asarray(list(mat), dtype="float64").reshape(len(i), -1)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return i, m
 
-    def score(batches):
-        for batch in batches:
-            for _, row in batch.iterrows():
-                ia, ma = unpack(row["ids_a"], row["mat_a"])
-                ib, mb = unpack(row["ids_b"], row["mat_b"])
-                sims = np.round(ma @ mb.T, 6)  # (|A|, |B|)
-                out_v, out_n, out_s = [], [], []
-                for r in range(len(ia)):
-                    keep = ib != ia[r]  # self only matters on diagonal
-                    cand_ids, cand_sims = ib[keep], sims[r, keep]
-                    order = np.lexsort((cand_ids, -cand_sims))[:k]
-                    out_v.append(np.full(len(order), ia[r]))
-                    out_n.append(cand_ids[order])
-                    out_s.append(cand_sims[order])
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.concatenate(out_v),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cos_sim": np.concatenate(out_s),
-                    }
-                )
+# ---------------------------------------------------------------------------
+# Production kNN-graph path (VERDICT r13 item 1): LSH candidate block
+# pairs feeding knn_graph's per-pair BLAS scorer — the sub-quadratic
+# sweep a 100 TB corpus actually runs, certified against the exact
+# baseline by the registered ``knn_graph_ann`` completeness query.
+# ---------------------------------------------------------------------------
 
-    cand = block_pairs.mapInPandas(
-        score, schema="vec_id long, neighbor_id long, cos_sim double"
+#: target expected bucket occupancy for the corpus-adaptive plane
+#: count: planes ≈ log2(N / OCC) keeps per-bucket membership roughly
+#: constant as the corpus grows, which is what makes the candidate
+#: sweep ~O(N·occ·planes·d) instead of O(N²d) — bucket count scales
+#: WITH the corpus (FAISS sizes nlist ~ sqrt(N) for the same reason;
+#: LSH sizes bits ~ log N).
+KNN_ANN_TARGET_OCC = 32
+#: plane-count clamp: ≥4 keeps the sweep sub-all-pairs even on tiny
+#: fixtures; ≤24 bounds the probe fan-out (1+planes block copies).
+KNN_ANN_MIN_PLANES = 4
+KNN_ANN_MAX_PLANES = 24
+#: probe radius in signature Hamming distance: each vector's block is
+#: scored against its own bucket plus every 1-bit-flip bucket — the
+#: multi-probe trick (a near neighbor's most likely disagreement is
+#: ONE flipped hyperplane), same as similarity_ann_lsh's query side.
+KNN_ANN_MULTIPROBE = 1
+#: distinct seed stream from the query-ANN planes so the two indexes
+#: never share hyperplanes (and the falsification tests stay
+#: independent).
+KNN_ANN_SEED_OFFSET = 7
+
+
+def _knn_ann_planes(n: int) -> int:
+    """Corpus-adaptive LSH plane count for the kNN-graph sweep."""
+    import math
+
+    return min(
+        KNN_ANN_MAX_PLANES,
+        max(
+            KNN_ANN_MIN_PLANES,
+            round(math.log2(max(n, 1) / KNN_ANN_TARGET_OCC)),
+        ),
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+
+def knn_graph_ann_neighbors(
+    spark: SparkSession, sf_dir: str, probe_radius: int = KNN_ANN_MULTIPROBE
+) -> DataFrame:
+    """Candidate-pair kNN graph — the production sibling of
+    :func:`knn_graph`: every vector's top-:data:`KNN_GRAPH_K` cosine
+    neighbors AMONG the vectors sharing an LSH bucket within Hamming
+    radius :data:`KNN_ANN_MULTIPROBE` of its own.  Identical output
+    contract (vec_id, neighbor_id, cos_sim ≤ k rows per vector);
+    candidate-bounded work instead of the exact sweep's O(N²d).
+
+    Physical strategy: one narrow signature pass
+    (:func:`_ann_signatures`, corpus-adaptive plane count
+    :func:`_knn_ann_planes`), the same packed-block relation as the
+    exact sweep but keyed by BUCKET instead of a uniform hash, then
+    ordered block pairs restricted to (bucket, bucket ⊕ one bit) —
+    (1+planes)·2^planes pairs instead of all B².  Each ordered pair
+    appears exactly once (pair (a,b) arises only from a's probe list),
+    and every vector lives in exactly one bucket, so no candidate is
+    scored twice and the shared merge window
+    (:func:`_block_pair_topk`) ranks exact distinct candidates.
+
+    Scale accounting: with planes ≈ log2(N/occ) the flop count is
+    Σ_pairs |A|·|B|·d ≈ N·occ·(1+planes)·d — linear·log in N versus
+    the exact sweep's quadratic (the committed 10× probe measures
+    both).  Shuffle volume: one corpus pass into 2^planes packed
+    bucket rows, (1+planes) copies of each out of the probe join, then
+    ≤ k·(1+planes) candidate rows per vector into the merge exchange.
+    Skewed buckets (real corpora cluster) fall out of AQE skew
+    handling at the probe join; pathological hot buckets would take
+    the dedup module's salting treatment (split a bucket by a
+    secondary hash and sweep its sub-blocks all-pairs).
+
+    ``probe_radius=0`` (self-bucket only) is the deliberate BROKEN
+    mode the falsification test uses: the canonical membership still
+    promises radius-1 completeness, so dropping the flip probes must
+    flip ``ann_complete_ok`` to false wherever an exact member sits
+    one bit away.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    p = _knn_ann_planes(n)
+    sigs = _ann_signatures(
+        v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
+    ).withColumnRenamed("sig", "bucket")
+    packed = _pack_blocks(
+        sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
+    )
+    probe_arr = F.array(
+        F.col("blk"),
+        *[
+            F.col("blk").bitwiseXOR(F.lit(1 << b))
+            for b in range(p)
+            if probe_radius >= 1
+        ],
+    )
+    left = packed.select(
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        F.explode(probe_arr).alias("pblk"),
+    )
+    right = packed.select(
+        F.col("blk").alias("pblk"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    pairs = left.join(right, "pblk").drop("pblk")
+    return _block_pair_topk(pairs, KNN_GRAPH_K)
+
+
+def _knn_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized exact kNN-graph relation (``knn_graph``) the
+    certificate verifies against — N·k small rows, session-cached like
+    :func:`_exact_topk_cached` (scored once per session, persisted,
+    released by ``registry.clear_model_cache``, cold build priced in
+    bench cold_sec, persisted/reloaded by models.py)."""
+    mc = _mc(spark)
+    key = ("knn_exact", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    exact = knn_graph(spark, sf_dir).persist()
+    exact.count()
+    mc[key] = (exact,)
+    return exact
+
+
+def _knn_ann_membership(
+    spark: SparkSession, sf_dir: str, exact: DataFrame
+) -> DataFrame:
+    """(vec_id, neighbor_id, should_find) for the kNN-graph ANN: the
+    exact member's canonical bucket is within Hamming radius
+    :data:`KNN_ANN_MULTIPROBE` of the vector's own — recomputed from
+    the canonical signature assignment, independent of the candidate
+    sweep under test.  Signatures are one narrow corpus pass (no
+    embedding carried); the two equi-joins move only the N·k exact
+    relation, so the membership build is scan + two bounded joins,
+    never an all-pairs relation."""
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    p = _knn_ann_planes(n)
+    sigs = _ann_signatures(
+        v, seed_offset=KNN_ANN_SEED_OFFSET, with_embedding=False, planes=p
+    )
+    exact_ids = exact.select("vec_id", "neighbor_id")
+    sa = sigs.select("vec_id", F.col("sig").alias("sig_a"))
+    sb = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("sig_b")
     )
     return (
-        cand.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+        exact_ids.join(sa, "vec_id")
+        .join(sb, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= KNN_ANN_MULTIPROBE
+            ).alias("should_find"),
+        )
     )
+
+
+#: DuckDB twin of the kNN-graph certificate's exact side: knn_graph's
+#: own oracle aggregated to the k-th (minimum) kept similarity per
+#: vector.  As with _ANN_CERT_SQL, ann_complete_ok is literal true on
+#: the oracle side BY DESIGN — DuckDB cannot re-run the engine-seeded
+#: LSH sweep; the flag's falsifiability is pinned by the local
+#: broken-ANN test (probe_radius=0 must flip rows false), and the
+#: hash match proves the flag ACTUALLY came out true on the Spark
+#: side plus an independently recomputed exact_kth_sim per vector.
+_KNN_ANN_CERT_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_GRAPH_K}
+)
+SELECT vec_id,
+       round(min(cos_sim), 6) AS exact_kth_sim,
+       true                   AS ann_complete_ok
+FROM topk
+GROUP BY vec_id
+"""
+
+
+@register("knn_graph_ann", oracle=_KNN_ANN_CERT_SQL)
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness certificate for :func:`knn_graph_ann_neighbors`
+    (the LSH-candidate-pair production kNN graph) — the
+    :func:`_ann_certificate` contract applied corpus-wide: per VECTOR
+    (every corpus row is a query here), the k-th exact similarity from
+    the certified baseline (:func:`knn_graph`, session-cached) and a
+    deterministic ``ann_complete_ok`` — every exact top-k member
+    whose canonical bucket the vector PROBES (Hamming distance at most
+    :data:`KNN_ANN_MULTIPROBE` under the canonical signature
+    assignment) must appear in the candidate sweep's output.  The raw neighbor
+    relation stays available as ``knn_graph_ann_neighbors``."""
+    exact = _knn_exact_cached(spark, sf_dir)
+    membership = _membership_cached(
+        spark,
+        sf_dir,
+        "knn",
+        lambda: _knn_ann_membership(spark, sf_dir, exact),
+    )
+    cert = _ann_certificate(
+        spark,
+        sf_dir,
+        knn_graph_ann_neighbors(spark, sf_dir).withColumnRenamed(
+            "vec_id", "query_id"
+        ),
+        membership.withColumnRenamed("vec_id", "query_id"),
+        exact=exact.withColumnRenamed("vec_id", "query_id"),
+    )
+    return cert.withColumnRenamed("query_id", "vec_id")
 
 
 #: centroid components are rounded to this many decimals on BOTH
@@ -2057,8 +2319,11 @@ def _ivf_pq_membership(spark, sf_dir, bc, exact):
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("cnt").alias("rank"))
     )
+    # explicit schema (ADVICE r13): inference raises on an empty pandas
+    # frame, and an empty exact/membership relation is a legal input.
     probed_flag = spark.createDataFrame(
-        thresholds[["query_id", "neighbor_id", "probed"]]
+        thresholds[["query_id", "neighbor_id", "probed"]],
+        schema="query_id long, neighbor_id long, probed boolean",
     )
     return counts.join(probed_flag, ["query_id", "neighbor_id"]).select(
         "query_id",

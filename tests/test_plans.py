@@ -454,6 +454,36 @@ def test_knn_graph_no_corpus_window_before_partial_topk(spark):
     assert re.search(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas|PythonMapInArrow", plan), plan
 
 
+def test_knn_graph_ann_is_candidate_bounded(spark):
+    """The production kNN-graph sweep must NOT contain the exact
+    sweep's cartesian block product: block pairs come from an
+    equi-join on the probed bucket id (hash/merge join, AQE-skew
+    eligible), and the corpus reaches the scorer only through the
+    packed bucket relation.  The merge window sits above the Arrow
+    scorer exactly as in knn_graph."""
+    from s3_manifest_spark.operators.similarity import (
+        knn_graph_ann_neighbors,
+    )
+
+    getattr(spark, "_smsp_plan_cache", {}).clear()
+    df = knn_graph_ann_neighbors(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan
+    ), plan
+    assert "Window" in plan, plan
+    assert re.search(r"MapInPandas|PythonMapInArrow", plan), plan
+    # the certificate's membership build is join-bounded too: the
+    # registered query adds equi-joins and aggregates, never a second
+    # all-pairs relation.
+    cert_plan = plan_of(spark, "knn_graph_ann")
+    assert "CartesianProduct" not in cert_plan, cert_plan
+
+
 def test_bigram_lift_takeordered(spark):
     plan = plan_of(spark, "bigram_lift_topk")
     assert "TakeOrderedAndProject" in plan, plan

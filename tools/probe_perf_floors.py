@@ -233,6 +233,72 @@ def main() -> int:
             .toPandas()
         )
 
+    def window_orders_sort_collect():
+        # window_lead_lag minus the navigation functions: the same
+        # orders scan, the same one keyed shuffle + in-partition sort,
+        # and an output-WIDTH-matched Arrow collect of the full result
+        # (the output IS the table + 4 derived columns) with lag/lead/
+        # first/row_number replaced by column copies — the floor any
+        # navigation-window plan of this shape pays.
+        (
+            load_table(spark, sf, "orders")
+            .repartition(F.col("o_custkey"))
+            .sortWithinPartitions("o_orderdate", "o_orderkey")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                F.col("o_totalprice").alias("prev_price"),
+                F.col("o_totalprice").alias("next_price"),
+                F.col("o_totalprice").alias("first_price"),
+                F.col("o_orderkey").alias("order_seq"),
+            )
+            .toPandas()
+        )
+
+    def asof_union_sort_collect():
+        # asof_join minus the running last(ignorenulls) pair: both
+        # scans (events + orders — serialized on single-row-group
+        # fixtures, the scan_ceiling note), the same tagged union, the
+        # same one keyed shuffle + 3-key in-partition sort, the events-
+        # only filter, and the width-matched collect of the event-count
+        # result.  What the real query adds on top is exactly the two
+        # O(1)-state window columns.
+        ev = load_table(spark, sf, "events").select(
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_order"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            "event_id",
+        )
+        od = load_table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(1).alias("is_order"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+        (
+            od.unionByName(ev)
+            .repartition(F.col("k"))
+            .sortWithinPartitions(
+                F.col("t").asc(),
+                F.col("is_order").desc(),
+                F.col("o_orderkey").asc(),
+            )
+            .filter(F.col("is_order") == 0)
+            .select(
+                "event_id",
+                F.col("k").alias("user_id"),
+                F.col("t").alias("ts"),
+                F.col("k").alias("asof_orderkey"),
+                F.col("o_totalprice").alias("asof_totalprice"),
+            )
+            .toPandas()
+        )
+
     def run_query(name):
         def f():
             getattr(spark, "_smsp_plan_cache", {}).clear()
@@ -248,6 +314,7 @@ def main() -> int:
     # ANN search a consumer pays" vs "the exact-baseline verification
     # the certificate deliberately recomputes".
     from s3_manifest_spark.operators.similarity import (
+        knn_graph_ann_neighbors,
         similarity_ann_lsh_neighbors,
         similarity_ivf_neighbors,
         similarity_ivf_pq_neighbors,
@@ -274,6 +341,10 @@ def main() -> int:
         "trigram_expand_count": trigram_expand_count,
         "chunk_expand_count": chunk_expand_count,
         "bigram_unigram_expand_count": bigram_unigram_expand_count,
+        "window_orders_sort_collect": window_orders_sort_collect,
+        "q:window_lead_lag": run_query("window_lead_lag"),
+        "asof_union_sort_collect": asof_union_sort_collect,
+        "q:asof_join": run_query("asof_join"),
         "q:ngram_corpus_topk": run_query("ngram_corpus_topk"),
         "q:chunk_dedup_boilerplate": run_query("chunk_dedup_boilerplate"),
         "q:bigram_lift_topk": run_query("bigram_lift_topk"),
@@ -296,6 +367,8 @@ def main() -> int:
         "ann:similarity_ivf_pq_neighbors": run_neighbors(
             similarity_ivf_pq_neighbors
         ),
+        "ann:knn_graph_ann_neighbors": run_neighbors(knn_graph_ann_neighbors),
+        "q:knn_graph_ann": run_query("knn_graph_ann"),
         "q:similarity_ann_lsh": run_query("similarity_ann_lsh"),
         "q:similarity_ivf": run_query("similarity_ivf"),
         "q:similarity_pq": run_query("similarity_pq"),
