@@ -55,6 +55,32 @@ CHUNK_TOKENS = 10
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
+def chunk_digest_rows(docs: "DataFrame") -> "DataFrame":
+    """``(doc_id, h)``: one md5 digest per non-overlapping
+    :data:`CHUNK_TOKENS`-token window of each document — the chunk
+    expansion shared by the batch boilerplate query and the streaming
+    chunk-index maintainer (streaming/boilerplate.py).  Token array
+    materialized before the interpreted lambda (the ngram_corpus_topk
+    lesson); only 16-byte digests + doc ids leave this projection,
+    never chunk text."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            # sequence(0, -1) would yield a DESCENDING [0, -1] in Spark
+            # (not the empty list DuckDB's range gives) — guard short
+            # docs explicitly.
+            F.expr(
+                f"CASE WHEN size(t) >= {CHUNK_TOKENS} THEN "
+                f"transform(sequence(0, CAST(floor(size(t) / {CHUNK_TOKENS}) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))) "
+                "ELSE array() END"
+            )
+        ).alias("h"),
+    )
+
+
 @register(
     "gopher_quality_rules",
     oracle=f"""
@@ -194,9 +220,10 @@ def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "chunk_dedup_boilerplate",
-    oracle=f"""
+#: Shared by the batch query and the streaming maintainer's twin
+#: (streaming/boilerplate.py) — the hash match on the streamed path
+#: certifies maintenance converges to exactly the batch-built state.
+BOILERPLATE_ORACLE_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     ch AS (
       SELECT doc_id,
@@ -222,8 +249,10 @@ def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / greatest(COALESCE(per.n_chunks, 0), 1), 4)
              AS boilerplate_ratio
     FROM documents d LEFT JOIN per USING (doc_id)
-    """,
-)
+    """
+
+
+@register("chunk_dedup_boilerplate", oracle=BOILERPLATE_ORACLE_SQL)
 def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style duplicated-passage detection: split every
     document into non-overlapping {CHUNK_TOKENS}-token chunks, count
@@ -247,28 +276,20 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen=True: interpreted per-row expansion over a single-row-group
     # fixture (see ngram_corpus_topk)
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    # token array materialized before the lambda (see ngram_corpus_topk)
-    chunks = docs.select(
-        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
-    ).select(
-        "doc_id",
-        F.explode(
-            # sequence(0, -1) would yield a DESCENDING [0, -1] in Spark
-            # (not the empty list DuckDB's range gives) — guard short
-            # docs explicitly.
-            F.expr(
-                f"CASE WHEN size(t) >= {CHUNK_TOKENS} THEN "
-                f"transform(sequence(0, CAST(floor(size(t) / {CHUNK_TOKENS}) AS INT) - 1), "
-                f"i -> md5(concat_ws(' ', slice(t, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))) "
-                "ELSE array() END"
-            )
-        ).alias("h"),
-    )
-    # corpus frequency as ONE digest-keyed window shuffle — the
-    # groupBy+join-back formulation evaluates the md5 expansion subtree
-    # TWICE (freq side + probe side; nothing forces exchange reuse
-    # when AQE broadcasts the freq relation), the exact shape
-    # cap_document_frequency (dedup.py:81) measured 2x slower.
+    return boilerplate_report(docs, chunk_digest_rows(docs))
+
+
+def boilerplate_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Per-document boilerplate rollup over a ``(doc_id, h)`` chunk
+    relation — shared by the batch query (chunks expanded inline) and
+    the streaming maintainer's read-time probe (chunks read from the
+    maintained index store).
+
+    Corpus frequency is ONE digest-keyed window shuffle — the
+    groupBy+join-back formulation evaluates the chunk subtree TWICE
+    (freq side + probe side; nothing forces exchange reuse when AQE
+    broadcasts the freq relation), the exact shape
+    cap_document_frequency (dedup.py:81) measured 2x slower."""
     from pyspark.sql import Window
 
     annotated = chunks.withColumn(

@@ -272,6 +272,7 @@ def load_all() -> None:
     )
     from s3_manifest_spark.functions import scalar  # noqa: F401
     from s3_manifest_spark.streaming import (  # noqa: F401
+        boilerplate,
         cdc,
         heavy_hitters,
         index_update,

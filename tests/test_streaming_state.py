@@ -525,3 +525,42 @@ def test_spool_build_self_heals_and_is_concurrency_safe(spark):
     assert not glob.glob(f"{spool}.__build_*__"), "staging debris left"
     # and the spool is actually readable
     assert spark.read.parquet(spool).count() > 0
+
+
+def test_streamed_boilerplate_equals_batch_report(spark):
+    """The streaming chunk-index maintainer must converge to EXACTLY
+    the batch boilerplate report — in one availableNow micro-batch
+    (the registered drain) AND with batch boundaries forced between
+    every file (maxFilesPerTrigger=1): per-doc closure makes the
+    chunk index indifferent to batching."""
+    import pandas as pd
+
+    from s3_manifest_spark.operators.corpus import boilerplate_report
+    from s3_manifest_spark.registry import QUERIES
+    from s3_manifest_spark.sources.tables import load_table
+    from s3_manifest_spark.streaming import boilerplate as bp
+
+    sf = "/root/testdata/sf0.001"
+    getattr(spark, "_smsp_plan_cache", {}).clear()
+    batch = QUERIES["chunk_dedup_boilerplate"](spark, sf).toPandas()
+    live = QUERIES["stream_boilerplate_live"](spark, sf).toPandas()
+    cols = ["doc_id", "n_chunks", "n_dup_chunks", "boilerplate_ratio"]
+
+    def norm(pdf):
+        return pdf[cols].sort_values("doc_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(live), norm(batch))
+    # short docs must appear as (0, 0, 0.0) rows, not be dropped
+    assert len(live) == len(batch)
+
+    # forced multi-batch arrival: one file per trigger
+    spool = bp._spool_docs(spark, sf)
+    store = bp.drain_chunk_feed(spark, spool, max_files_per_trigger=1)
+    chunks = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store)
+        .select("doc_id", "h")
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    multi = boilerplate_report(docs, chunks).toPandas()
+    pd.testing.assert_frame_equal(norm(multi), norm(batch))

@@ -19,7 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DRAINS = ("stream_index_update_live", "stream_cdc_apply_live")
+DRAINS = (
+    "stream_index_update_live",
+    "stream_cdc_apply_live",
+    # r14: the boilerplate chunk-index maintainer joins the budget —
+    # same stateless foreachBatch shape as index_update.
+    "stream_boilerplate_live",
+)
 RUNS = int(os.environ.get("DRAIN_PROBE_RUNS", "3"))
 
 
@@ -61,7 +67,16 @@ def main() -> int:
         "samples": samples,
         "min": mins,
         "sum_min_sec": round(sum(mins.values()), 4),
+        # the r12 Σ ≤ 4.0 s commitment names the index+cdc maintainer
+        # PAIR; the r14 boilerplate drain is reported alongside, not
+        # retrofitted into that target's population.
+        "core_pair_sum_sec": round(
+            mins.get("stream_index_update_live", 0.0)
+            + mins.get("stream_cdc_apply_live", 0.0),
+            4,
+        ),
         "target_sec": 4.0,
+        "target_scope": ["stream_index_update_live", "stream_cdc_apply_live"],
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "DRAIN_BUDGET.json"), "w") as f:

@@ -41,7 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RUNS = 3
+RUNS = int(os.environ.get("FLOOR_PROBE_RUNS", "3"))
 
 
 def main() -> int:
