@@ -1773,17 +1773,25 @@ def knn_graph_ann_neighbors(
 
 def _knn_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized exact kNN-graph relation (``knn_graph``) the
-    certificate verifies against — N·k small rows, session-cached like
-    :func:`_exact_topk_cached` (scored once per session, persisted,
-    released by ``registry.clear_model_cache``, cold build priced in
-    bench cold_sec, persisted/reloaded by models.py)."""
+    certificate verifies against — N·k small rows, session-cached
+    (scored once per session, released by
+    ``registry.clear_model_cache``, cold build priced in bench
+    cold_sec, persisted/reloaded by models.py).
+
+    ``localCheckpoint``, NOT ``.persist()`` (the r12 model-frame rule,
+    and here it is load-bearing in the OTHER direction too): a
+    persisted frame registers its logical plan in Spark's CacheManager,
+    and ``knn_graph``'s plan is byte-identical across calls (the
+    scorer closure captures only ``k``) — so a warm re-run of the
+    knn_graph QUERY itself would be silently served from this cache
+    and the bench would report the cached read, not the sweep.  The
+    checkpoint's LogicalRDD can never plan-match a fresh query."""
     mc = _mc(spark)
     key = ("knn_exact", sf_dir)
     cached = mc.get(key)
     if cached is not None:
         return cached[0]
-    exact = knn_graph(spark, sf_dir).persist()
-    exact.count()
+    exact = knn_graph(spark, sf_dir).localCheckpoint(eager=True)
     mc[key] = (exact,)
     return exact
 

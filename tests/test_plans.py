@@ -484,6 +484,29 @@ def test_knn_graph_ann_is_candidate_bounded(spark):
     assert "CartesianProduct" not in cert_plan, cert_plan
 
 
+def test_knn_exact_cache_cannot_serve_knn_graph_plan(spark):
+    """The certificate's session-cached exact relation must be a
+    localCheckpoint, not a persist: knn_graph's plan is byte-identical
+    across calls (the scorer closure captures only k), so a persisted
+    copy would register in the plan-keyed CacheManager and a warm
+    re-run of the knn_graph QUERY would silently time a cached read
+    instead of the sweep (the r14 bench caught exactly this: 0.13 s
+    vs the honest 1.4 s)."""
+    from s3_manifest_spark.operators.similarity import (
+        _knn_exact_cached,
+        knn_graph,
+    )
+
+    _knn_exact_cached(spark, SF)
+    df = knn_graph(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan, (
+        "knn_graph plan served from the certificate's cache"
+    )
+
+
 def test_bigram_lift_takeordered(spark):
     plan = plan_of(spark, "bigram_lift_topk")
     assert "TakeOrderedAndProject" in plan, plan

@@ -124,6 +124,12 @@ HEADLINERS = {
     "attribution_touch": "ONE user-keyed exchange (r13): all four "
     "first/last(ignorenulls) attribution columns share a single "
     "window frame; purchase filter is post-window codegen",
+    "knn_graph_ann": "production kNN graph (r14): bucket-keyed packed "
+    "blocks EQUI-joined on the probed bucket id ((1+planes)·2^planes "
+    "candidate pairs, no CartesianProduct — pinned by "
+    "test_knn_graph_ann_is_candidate_bounded), same per-pair BLAS "
+    "scorer + window merge as the exact sweep; plane count scales "
+    "log2(N/occ) so the pair relation grows ~linearly with the corpus",
 }
 
 
