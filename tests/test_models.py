@@ -40,6 +40,10 @@ TRAINED = {
     # second frames kind (r13): the converged component labels behind
     # dedup_clusters / dedup_canonical
     "components": ("dedup_components", "dedup_clusters"),
+    # third frames kind (r14): the exact kNN-graph baseline behind the
+    # knn_graph_ann certificate (a localCheckpoint frame — the store
+    # round-trip must serve it back without retraining the O(N²) sweep)
+    "knn_exact": ("knn_exact", "knn_graph_ann"),
 }
 
 
@@ -57,6 +61,12 @@ def _trainers(spark):
         _components_labels(spark, SF)
         return spark._smsp_model_cache[("dedup_components", SF)]
 
+    def knn_exact():
+        from s3_manifest_spark.operators.similarity import _knn_exact_cached
+
+        _knn_exact_cached(spark, SF)
+        return spark._smsp_model_cache[("knn_exact", SF)]
+
     return {
         "lr_quality": lambda: train_quality_lr(spark, SF),
         "cms_sketch": lambda: _cms_sketch(spark, SF),
@@ -66,6 +76,7 @@ def _trainers(spark):
         "bigram_lm": lambda: train_bigram_lm(spark, SF),
         "dedup_components": components,
         "pagerank_graph": lambda: _pagerank_graph_cached(spark, SF),
+        "knn_exact": knn_exact,
     }
 
 

@@ -161,3 +161,58 @@ def test_attribution_all_purchase_user(spark, monkeypatch):
     assert len(res) == 3
     assert res["first_touch_type"].isna().all()
     assert res["last_touch_id"].isna().all()
+
+
+def test_knn_graph_ann_zero_vector_yields_no_nan(spark, monkeypatch):
+    """The zero-norm guard in the shared block scorer (ADVICE r13) is
+    load-bearing: a zero vector must score cos 0 against everything —
+    never NaN, which would silently poison every ranking the block
+    pair touches."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 0),  # zero vector
+        (4, [0.0, 1.0], 0),
+    ]
+    monkeypatch.setattr(
+        S, "load_table", lambda s, d, n, widen=False: _emb_df(spark, rows)
+    )
+    for fn in (S.knn_graph, S.knn_graph_ann_neighbors):
+        out = fn(spark, SF).toPandas()
+        assert out["cos_sim"].notna().all(), fn.__name__
+        assert (out["vec_id"] != out["neighbor_id"]).all()
+        # the zero vector's similarities are exactly 0 wherever it
+        # appears as a neighbor
+        z = out[out["neighbor_id"] == 3]
+        assert (z["cos_sim"] == 0.0).all()
+
+
+def test_knn_graph_ann_candidates_respect_probe_radius(spark, monkeypatch):
+    """Every (vec, neighbor) edge the candidate sweep emits must lie
+    within Hamming radius KNN_ANN_MULTIPROBE of the seeded signature
+    assignment — recomputed independently in numpy (the sweep may
+    RETURN fewer per vector than knn_graph; it must never return a
+    pair its buckets cannot have generated)."""
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], 0)
+        for i in range(40)
+    ]
+    monkeypatch.setattr(
+        S, "load_table", lambda s, d, n, widen=False: _emb_df(spark, rows)
+    )
+    out = S.knn_graph_ann_neighbors(spark, SF).toPandas()
+    assert len(out) > 0
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    p = S._knn_ann_planes(parquet_row_count(f"{SF}/embeddings.parquet"))
+    planes = np.random.RandomState(
+        S.LSH_SEED + S.KNN_ANN_SEED_OFFSET
+    ).standard_normal((p, 8))
+    m = np.array([r[1] for r in rows])
+    powers = 1 << np.arange(p, dtype=np.int64)
+    sigs = (((m @ planes.T) > 0) * powers).sum(axis=1)
+    sig_of = {r[0]: int(s) for r, s in zip(rows, sigs)}
+    for _, row in out.iterrows():
+        ham = bin(sig_of[row["vec_id"]] ^ sig_of[row["neighbor_id"]]).count("1")
+        assert ham <= S.KNN_ANN_MULTIPROBE, (row["vec_id"], row["neighbor_id"])
