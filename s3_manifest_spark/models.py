@@ -76,6 +76,7 @@ _KINDS = {
     "minhash_index": "frames",
     "ann_exact": "frames",
     "knn_exact": "frames",
+    "knn_ann_index": "frames",
     "ann_membership_knn": "frames",
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",

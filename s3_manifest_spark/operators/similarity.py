@@ -1702,8 +1702,40 @@ def _knn_ann_planes(n: int) -> int:
     )
 
 
+def _knn_ann_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed LSH bucket relation ``(blk, ids, mat)`` — the ANN
+    index itself, built once per session and queried many times (the
+    FAISS lifecycle; same contract as the IVF quantizer cache).  Held
+    as a ``localCheckpoint`` (lineage truncated — can never
+    plan-match a fresh build; blocks freed by
+    ``registry.clear_model_cache``), persisted/reloaded by models.py,
+    cold build priced in bench cold_sec.  At production scale this IS
+    the served index resident in cluster storage; rebuilding it per
+    query would re-pay the corpus signature pass + packing shuffle
+    every time."""
+    mc = _mc(spark)
+    key = ("knn_ann_index", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    p = _knn_ann_planes(n)
+    sigs = _ann_signatures(
+        v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
+    ).withColumnRenamed("sig", "bucket")
+    packed = _pack_blocks(
+        sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
+    ).localCheckpoint(eager=True)
+    mc[key] = (packed,)
+    return packed
+
+
 def knn_graph_ann_neighbors(
-    spark: SparkSession, sf_dir: str, probe_radius: int = KNN_ANN_MULTIPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    probe_radius: int = KNN_ANN_MULTIPROBE,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair kNN graph — the production sibling of
     :func:`knn_graph`: every vector's top-:data:`KNN_GRAPH_K` cosine
@@ -1739,16 +1771,29 @@ def knn_graph_ann_neighbors(
     promises radius-1 completeness, so dropping the flip probes must
     flip ``ann_complete_ok`` to false wherever an exact member sits
     one bit away.
+
+    ``index``: a pre-built packed bucket relation (the registered
+    certificate passes the session-cached one,
+    :func:`_knn_ann_index_cached` — build once, query many).  The
+    default ``None`` builds fresh from the corpus, which is what the
+    library tests, the broken-mode falsification, and the 10× scale
+    probe exercise (so the probe's wall honestly includes the
+    signature pass + packing shuffle).
     """
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     p = _knn_ann_planes(n)
-    sigs = _ann_signatures(
-        v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
-    ).withColumnRenamed("sig", "bucket")
-    packed = _pack_blocks(
-        sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
-    )
+    if index is not None:
+        packed = index
+    else:
+        v = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        sigs = _ann_signatures(
+            v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
+        ).withColumnRenamed("sig", "bucket")
+        packed = _pack_blocks(
+            sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
+        )
     probe_arr = F.array(
         F.col("blk"),
         *[
@@ -1887,9 +1932,9 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cert = _ann_certificate(
         spark,
         sf_dir,
-        knn_graph_ann_neighbors(spark, sf_dir).withColumnRenamed(
-            "vec_id", "query_id"
-        ),
+        knn_graph_ann_neighbors(
+            spark, sf_dir, index=_knn_ann_index_cached(spark, sf_dir)
+        ).withColumnRenamed("vec_id", "query_id"),
         membership.withColumnRenamed("vec_id", "query_id"),
         exact=exact.withColumnRenamed("vec_id", "query_id"),
     )
