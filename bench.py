@@ -377,6 +377,7 @@ def main() -> int:
         "similarity_ann_lsh",
         "similarity_ivf",
         "similarity_pq",
+        "similarity_ivf_pq",
         "knn_graph_ann",
         "dedup_embedding_lsh_hi",
         "dedup_embedding_lsh_hi_corpus",
@@ -384,6 +385,13 @@ def main() -> int:
     ):
         if q in timings:
             queries_meta.setdefault(q, {})["ann_certificate"] = True
+    # profile_table_approx is a sketch CERTIFICATE: the Spark wall
+    # includes the exact multi-column distincts recomputed to bound
+    # the HLL estimates, while the oracle runs only the exact side.
+    if "profile_table_approx" in timings:
+        queries_meta.setdefault("profile_table_approx", {})[
+            "sketch_certificate"
+        ] = True
     # Trained-model scoring queries whose plan is explode-corpus →
     # model join(s) → per-doc aggregate: the warm wall is dominated by
     # the token-level exchange constants Spark pays per stage (the r7

@@ -1555,25 +1555,41 @@ def _block_pair_topk(block_pairs: DataFrame, k: int) -> DataFrame:
 
     def score(batches):
         for batch in batches:
-            for _, row in batch.iterrows():
-                ia, ma = unpack(row["ids_a"], row["mat_a"])
-                ib, mb = unpack(row["ids_b"], row["mat_b"])
+            # zip over the raw column arrays, not iterrows: the
+            # row-materialization overhead (~100 us/row) dominates at
+            # production pair counts (the adaptive-plane sweep emits
+            # ~N/occ * (1+planes) pair rows).
+            for raw_ia, raw_ma, raw_ib, raw_mb in zip(
+                batch["ids_a"].to_numpy(),
+                batch["mat_a"].to_numpy(),
+                batch["ids_b"].to_numpy(),
+                batch["mat_b"].to_numpy(),
+            ):
+                ia, ma = unpack(raw_ia, raw_ma)
+                ib, mb = unpack(raw_ib, raw_mb)
                 sims = np.round(ma @ mb.T, 6)  # (|A|, |B|)
-                out_v, out_n, out_s = [], [], []
-                for r in range(len(ia)):
-                    keep = ib != ia[r]  # self only matters on diagonal
-                    cand_ids, cand_sims = ib[keep], sims[r, keep]
-                    order = np.lexsort((cand_ids, -cand_sims))[:k]
-                    out_v.append(np.full(len(order), ia[r]))
-                    out_n.append(cand_ids[order])
-                    out_s.append(cand_sims[order])
-                if not out_v:
+                # Vectorized exact per-row top-k (r14 — replaced a
+                # per-A-row Python lexsort loop, the wall of the 10x
+                # sweep): packing sorts ids ASCENDING, so ONE stable
+                # argsort of -sims along axis 1 yields exactly the
+                # final (rounded sim desc, neighbor_id asc) order per
+                # row.  Self-matches exist only when A and B are the
+                # SAME bucket/block (each vector lives in exactly one),
+                # i.e. on the diagonal — masked to -inf, which sorts
+                # last and is dropped by the finite filter.
+                if len(ia) == len(ib) and bool((ia == ib).all()):
+                    np.fill_diagonal(sims, -np.inf)
+                kk = min(k, sims.shape[1])
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                top = np.take_along_axis(sims, order, axis=1)
+                valid = np.isfinite(top).ravel()
+                if not valid.any():
                     continue
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.concatenate(out_v),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cos_sim": np.concatenate(out_s),
+                        "vec_id": np.repeat(ia, kk)[valid],
+                        "neighbor_id": ib[order.ravel()[valid]],
+                        "cos_sim": top.ravel()[valid],
                     }
                 )
 
