@@ -1703,6 +1703,56 @@ KNN_ANN_MULTIPROBE = 1
 #: never share hyperplanes (and the falsification tests stay
 #: independent).
 KNN_ANN_SEED_OFFSET = 7
+#: expected-size cap on packed sub-block membership.  The adaptive
+#: plane count holds EXPECTED occupancy at KNN_ANN_TARGET_OCC, but
+#: real corpora cluster — a hot direction can put millions of vectors
+#: in one bucket, and an uncapped packed row is occ×dim×8 bytes on a
+#: single task (the OOM shape).  Buckets past the cap split into
+#: ceil(occ/cap) salted sub-blocks (secondary hash, so sub-block size
+#: is ~cap in expectation with binomial spread); the probe join pairs
+#: every sub-block of a probed bucket automatically because all
+#: sub-blocks keep the BUCKET as their join key — the candidate set,
+#: and therefore the output, is unchanged, while per-task memory
+#: drops from occ×dim×8 to ~cap×dim×8 (≈2 MB at dim 64).
+KNN_ANN_MAX_BLOCK = 4096
+
+
+def _pack_buckets_salted(sigs: DataFrame) -> DataFrame:
+    """Pack ``(vec_id, embedding, bucket)`` rows into bucket-keyed
+    block rows with the :data:`KNN_ANN_MAX_BLOCK` occupancy cap: one
+    vocabulary-sized occupancy aggregate decides each bucket's salt
+    count, a secondary ``xxhash64`` spreads members across the salted
+    sub-blocks, and the packed relation keeps the BUCKET as ``blk``
+    (the probe-join key) so downstream pair generation is oblivious
+    to the split.  Sub-blocks of one bucket have disjoint members, so
+    the scorer's same-array diagonal mask still fires exactly on true
+    self-pairs."""
+    occ = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    nsalt = occ.select(
+        "bucket",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("n_b") / F.lit(KNN_ANN_MAX_BLOCK)),
+        )
+        .cast("long")
+        .alias("nsalt"),
+    )
+    vb = sigs.join(nsalt, "bucket").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("vec_id"), F.lit(1)), F.col("nsalt"))
+    )
+    return (
+        vb.groupBy("bucket", "salt")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("rs")
+        )
+        .select(
+            F.col("bucket").alias("blk"),
+            F.expr("transform(rs, r -> r.vec_id)").alias("ids"),
+            F.expr("flatten(transform(rs, r -> r.embedding))").alias("mat"),
+        )
+    )
 
 
 def _knn_ann_planes(n: int) -> int:
@@ -1740,8 +1790,8 @@ def _knn_ann_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _ann_signatures(
         v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
     ).withColumnRenamed("sig", "bucket")
-    packed = _pack_blocks(
-        sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
+    packed = _pack_buckets_salted(
+        sigs.select("vec_id", "embedding", "bucket")
     ).localCheckpoint(eager=True)
     mc[key] = (packed,)
     return packed
@@ -1773,14 +1823,16 @@ def knn_graph_ann_neighbors(
 
     Scale accounting: with planes ≈ log2(N/occ) the flop count is
     Σ_pairs |A|·|B|·d ≈ N·occ·(1+planes)·d — linear·log in N versus
-    the exact sweep's quadratic (the committed 10× probe measures
-    both).  Shuffle volume: one corpus pass into 2^planes packed
-    bucket rows, (1+planes) copies of each out of the probe join, then
-    ≤ k·(1+planes) candidate rows per vector into the merge exchange.
-    Skewed buckets (real corpora cluster) fall out of AQE skew
-    handling at the probe join; pathological hot buckets would take
-    the dedup module's salting treatment (split a bucket by a
-    secondary hash and sweep its sub-blocks all-pairs).
+    the exact sweep's quadratic (the committed 10×/100× probes
+    measure it).  Shuffle volume: one corpus pass into bucket-keyed
+    packed rows, (1+planes) copies of each out of the probe join,
+    then ≤ k·(pairs touching the vector) candidate rows into the
+    merge exchange.  Hot buckets (real corpora cluster) are handled
+    STRUCTURALLY, not just by AQE: packing caps sub-block membership
+    at :data:`KNN_ANN_MAX_BLOCK` (:func:`_pack_buckets_salted` —
+    per-bucket adaptive salt counts; the bucket stays the join key,
+    so candidates and output are unchanged while per-task memory is
+    bounded at cap×dim×8 bytes).
 
     ``probe_radius=0`` (self-bucket only) is the deliberate BROKEN
     mode the falsification test uses: the canonical membership still
@@ -1807,8 +1859,8 @@ def knn_graph_ann_neighbors(
         sigs = _ann_signatures(
             v, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
         ).withColumnRenamed("sig", "bucket")
-        packed = _pack_blocks(
-            sigs.select("vec_id", "embedding", "bucket"), F.col("bucket")
+        packed = _pack_buckets_salted(
+            sigs.select("vec_id", "embedding", "bucket")
         )
     probe_arr = F.array(
         F.col("blk"),

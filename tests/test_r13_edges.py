@@ -216,3 +216,59 @@ def test_knn_graph_ann_candidates_respect_probe_radius(spark, monkeypatch):
     for _, row in out.iterrows():
         ham = bin(sig_of[row["vec_id"]] ^ sig_of[row["neighbor_id"]]).count("1")
         assert ham <= S.KNN_ANN_MULTIPROBE, (row["vec_id"], row["neighbor_id"])
+
+
+def test_knn_graph_ann_hot_bucket_salting(spark, monkeypatch):
+    """A pathological hot bucket (every vector in one direction →
+    one LSH bucket) must split into capped sub-blocks WITHOUT
+    changing the output: same top-k as an uncapped all-in-one-bucket
+    sweep, and no packed block larger than the cap."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(8)
+    rows = [
+        (
+            int(i),
+            [float(x) for x in (base + 0.01 * rng.standard_normal(8))],
+            0,
+        )
+        for i in range(120)
+    ]
+    monkeypatch.setattr(
+        S, "load_table", lambda s, d, n, widen=False: _emb_df(spark, rows)
+    )
+    baseline = (
+        S.knn_graph_ann_neighbors(spark, SF)
+        .toPandas()
+        .sort_values(["vec_id", "cos_sim", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(S, "KNN_ANN_MAX_BLOCK", 16)
+    capped = (
+        S.knn_graph_ann_neighbors(spark, SF)
+        .toPandas()
+        .sort_values(["vec_id", "cos_sim", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped, baseline)
+    # and the packed relation actually respected the cap
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    p = S._knn_ann_planes(parquet_row_count(f"{SF}/embeddings.parquet"))
+    sigs = S._ann_signatures(
+        _emb_df(spark, rows).select("vec_id", "embedding"),
+        seed_offset=S.KNN_ANN_SEED_OFFSET,
+        planes=p,
+    ).withColumnRenamed("sig", "bucket")
+    packed = S._pack_buckets_salted(
+        sigs.select("vec_id", "embedding", "bucket")
+    ).toPandas()
+    sizes = packed["ids"].map(len)
+    # the salt hash balances sub-blocks in EXPECTATION (binomial
+    # spread around occ/nsalt) — a 120-member hot bucket at cap 16
+    # must land far below the uncapped 120, not exactly at 16
+    assert sizes.max() <= 2 * 16, sizes.tolist()
+    assert sizes.mean() <= 16, sizes.tolist()
+    # the hot direction really did concentrate: >1 sub-block per bucket
+    assert (packed.groupby("blk").size() > 1).any()
