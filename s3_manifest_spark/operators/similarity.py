@@ -1737,7 +1737,12 @@ def _pack_buckets_salted(sigs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("nsalt"),
     )
-    vb = sigs.join(nsalt, "bucket").withColumn(
+    # EXPLICIT broadcast: the salt-count relation is ≤ 2^planes short
+    # rows, but it hangs off a mapInPandas output with no stats, so
+    # without the hint Spark picks a sort-merge join and SHUFFLES the
+    # full (vec_id, embedding) corpus — measured 3× the whole sweep's
+    # wall at the 100× probe scale.
+    vb = sigs.join(F.broadcast(nsalt), "bucket").withColumn(
         "salt", F.pmod(F.xxhash64(F.col("vec_id"), F.lit(1)), F.col("nsalt"))
     )
     return (
