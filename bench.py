@@ -432,7 +432,12 @@ def main() -> int:
     # ratios 0.90-1.17 across a 1.25-2.59 s wall range) — the signature
     # of shared noisy-neighbor load, not a plan change.  The full
     # sample arrays in this artifact make the check re-runnable.
-    for q in ("dedup_simhash", "contamination_bloom"):
+    # shingle_df_profile joined the list in r14: the final-tree bench
+    # read 0.65 s / 2.2x while an immediately-following paired
+    # min-of-5 quiet re-measure read 0.70 s / 1.73x (oracle 0.405 vs
+    # the bench pass's noise-depressed 0.30) — same both-walls-swing
+    # signature as the other two rows.
+    for q in ("dedup_simhash", "contamination_bloom", "shingle_df_profile"):
         if q in timings:
             queries_meta.setdefault(q, {})["host_noise_spread"] = True
     # Per-line floor itemization for the perf-weak rows (VERDICT r12

@@ -161,8 +161,13 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar surface: size / slice / contains / distinct / sort,
     folded to strings for engine-neutral comparison.  All built-in
-    array expressions over one tokenize — narrow, shuffle-free."""
-    docs = load_table(spark, sf_dir, "documents")
+    array expressions over one tokenize — narrow, shuffle-free.
+
+    widen=True (r14): array_distinct/array_sort are per-row work over
+    the token arrays, and the single-row-group fixture otherwise runs
+    the whole corpus on ONE task — measured 0.21 → 0.11 s at sf0.1
+    (the gate self-disables at production layouts)."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = F.split("text", " ", -1)
     t = docs.select("doc_id", toks.alias("toks"))
     return t.select(
