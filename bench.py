@@ -379,6 +379,7 @@ def main() -> int:
         "similarity_pq",
         "similarity_ivf_pq",
         "knn_graph_ann",
+        "knn_graph_ann_sampled",
         "dedup_embedding_lsh_hi",
         "dedup_embedding_lsh_hi_corpus",
         "dedup_embedding_lsh_hi_corpus_pos",

@@ -76,8 +76,10 @@ _KINDS = {
     "minhash_index": "frames",
     "ann_exact": "frames",
     "knn_exact": "frames",
+    "knn_exact_sampled": "frames",
     "knn_ann_index": "frames",
     "ann_membership_knn": "frames",
+    "ann_membership_knn_s": "frames",
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",

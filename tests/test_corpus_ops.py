@@ -351,3 +351,27 @@ def test_triangles_identity_sum(spark):
     res = graph_triangles(spark, SF).toPandas()
     total = int(res["triangle_count"].sum())
     assert total % 3 == 0
+
+
+def test_knn_sampled_certificate_equals_full_restricted(spark):
+    """The production-scale sampled certificate must equal the full
+    certificate restricted to the sampled vectors — the sampled exact
+    side (broadcast-query O(|S|N) pass) and the full O(N^2) graph
+    must agree on every sampled vector's k-th similarity and
+    completeness flag."""
+    import pandas as pd
+    import __spark_entry__ as entrymod
+
+    from s3_manifest_spark.operators.similarity import KNN_CERT_STRIDE
+
+    qs = entrymod.queries()
+    full = qs["knn_graph_ann"](spark, SF).toPandas()
+    sampled = qs["knn_graph_ann_sampled"](spark, SF).toPandas()
+    want = (
+        full[full["vec_id"] % KNN_CERT_STRIDE == 0]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = sampled.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0 and got["ann_complete_ok"].all()
