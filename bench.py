@@ -335,6 +335,7 @@ def main() -> int:
         "stream_join_live": 0.78,
         "stream_index_update_live": 0.26,
         "stream_boilerplate_live": 0.26,
+        "stream_knn_index_live": 0.26,
         "stream_heavy_hitters_live": 0.51,
     }
     for q in timings:
@@ -357,6 +358,7 @@ def main() -> int:
             "stream_index_update_live",
             "stream_cdc_apply_live",
             "stream_boilerplate_live",
+            "stream_knn_index_live",
         ):
             if q in timings and q in _db.get("min", {}):
                 queries_meta.setdefault(q, {})["quiet_window_min3_sec"] = _db["min"][q]
@@ -380,6 +382,7 @@ def main() -> int:
         "similarity_ivf_pq",
         "knn_graph_ann",
         "knn_graph_ann_sampled",
+        "stream_knn_index_live",
         "dedup_embedding_lsh_hi",
         "dedup_embedding_lsh_hi_corpus",
         "dedup_embedding_lsh_hi_corpus_pos",
@@ -516,6 +519,48 @@ def main() -> int:
                 "certificate_query_sec_same_session": _floors.get(f"q:{q}"),
                 "probe": "tools/probe_perf_floors.py",
             }
+    # knn_graph_ann_sampled (VERDICT r14 item 2): its wall splits into
+    # the served-index candidate sweep (shared with the full
+    # certificate), the sampled exact-BLAS side, and the membership
+    # joins — the latter two served from the session cache on the warm
+    # path, measured as fresh rebuilds in the same probe session.
+    if (
+        "knn_graph_ann_sampled" in timings
+        and "ann:knn_graph_ann_neighbors_served" in _floors
+    ):
+        queries_meta.setdefault("knn_graph_ann_sampled", {})[
+            "certificate_split"
+        ] = {
+            "served_index_sweep_sec": _floors[
+                "ann:knn_graph_ann_neighbors_served"
+            ],
+            "sampled_exact_blas_sec": _floors.get(
+                "cert:knn_sampled_exact_blas"
+            ),
+            "membership_joins_sec": _floors.get(
+                "cert:knn_sampled_membership"
+            ),
+            "certificate_query_sec_same_session": _floors.get(
+                "q:knn_graph_ann_sampled"
+            ),
+            "probe": "tools/probe_perf_floors.py",
+        }
+    # the streamed-index maintainer pays the same certificate tree on
+    # top of its drain: point its row at the full certificate's split.
+    if (
+        "stream_knn_index_live" in timings
+        and "ann:knn_graph_ann_neighbors_served" in _floors
+    ):
+        queries_meta.setdefault("stream_knn_index_live", {})[
+            "certificate_split"
+        ] = {
+            "served_index_sweep_sec": _floors[
+                "ann:knn_graph_ann_neighbors_served"
+            ],
+            "probe": "tools/probe_perf_floors.py",
+            "note": "drain + read-time pack + the knn_graph_ann "
+            "certificate tree over the streamed index",
+        }
     # skew_report additionally carries the measured verdict on the
     # suggested single-job fusion: observe-metrics totals riding the
     # TakeOrdered pass were implemented and benched SLOWER (paired

@@ -77,7 +77,11 @@ _KINDS = {
     "ann_exact": "frames",
     "knn_exact": "frames",
     "knn_exact_sampled": "frames",
-    "knn_ann_index": "frames",
+    # (packed bucket relation, plane count): the probe bit width
+    # travels WITH the served index (ADVICE r14) — a reloaded index
+    # must be probed with the planes it was packed under, never a
+    # count re-derived from the current corpus file.
+    "knn_ann_index": "frames+scalars",
     "ann_membership_knn": "frames",
     "ann_membership_knn_s": "frames",
     "ann_membership_lsh": "frames",

@@ -1610,13 +1610,17 @@ def _block_pair_topk(block_pairs: DataFrame, k: int) -> DataFrame:
 
 @register(
     "knn_graph",
+    # greatest(..., 1e-12) mirrors the Spark scorer's zero-norm clamp
+    # (_block_pair_topk): a zero vector must score cos 0 on BOTH
+    # engines, not divide-by-zero on the oracle side (ADVICE r14).
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     scored AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
              round(list_dot_product(a.e, b.e)
-                   / (sqrt(list_dot_product(a.e, a.e))
-                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                   / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-12)
+                      * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12)),
+                   6) AS cos_sim
       FROM v a JOIN v b ON a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id, cos_sim
@@ -1773,22 +1777,31 @@ def _knn_ann_planes(n: int) -> int:
     )
 
 
-def _knn_ann_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The packed LSH bucket relation ``(blk, ids, mat)`` — the ANN
-    index itself, built once per session and queried many times (the
-    FAISS lifecycle; same contract as the IVF quantizer cache).  Held
-    as a ``localCheckpoint`` (lineage truncated — can never
-    plan-match a fresh build; blocks freed by
+def _knn_ann_index_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """The packed LSH bucket relation ``((blk, ids, mat), planes)`` —
+    the ANN index itself, built once per session and queried many
+    times (the FAISS lifecycle; same contract as the IVF quantizer
+    cache).  Held as a ``localCheckpoint`` (lineage truncated — can
+    never plan-match a fresh build; blocks freed by
     ``registry.clear_model_cache``), persisted/reloaded by models.py,
     cold build priced in bench cold_sec.  At production scale this IS
     the served index resident in cluster storage; rebuilding it per
     query would re-pay the corpus signature pass + packing shuffle
-    every time."""
+    every time.
+
+    The PLANE COUNT travels with the packed relation (ADVICE r14): a
+    cached index built when the corpus sat on the other side of a
+    :func:`_knn_ann_planes` boundary must be probed with ITS OWN bit
+    width, not one re-derived from the current file — a mismatched
+    flip set silently degrades candidate completeness."""
     mc = _mc(spark)
     key = ("knn_ann_index", sf_dir)
     cached = mc.get(key)
     if cached is not None:
-        return cached[0]
+        packed, p = cached[0], int(cached[1])
+        return packed, p
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     p = _knn_ann_planes(n)
@@ -1798,15 +1811,15 @@ def _knn_ann_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = _pack_buckets_salted(
         sigs.select("vec_id", "embedding", "bucket")
     ).localCheckpoint(eager=True)
-    mc[key] = (packed,)
-    return packed
+    mc[key] = (packed, p)
+    return packed, p
 
 
 def knn_graph_ann_neighbors(
     spark: SparkSession,
     sf_dir: str,
     probe_radius: int = KNN_ANN_MULTIPROBE,
-    index: DataFrame | None = None,
+    index: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Candidate-pair kNN graph — the production sibling of
     :func:`knn_graph`: every vector's top-:data:`KNN_GRAPH_K` cosine
@@ -1845,19 +1858,24 @@ def knn_graph_ann_neighbors(
     flip ``ann_complete_ok`` to false wherever an exact member sits
     one bit away.
 
-    ``index``: a pre-built packed bucket relation (the registered
-    certificate passes the session-cached one,
-    :func:`_knn_ann_index_cached` — build once, query many).  The
+    ``index``: a pre-built ``(packed bucket relation, plane count)``
+    pair (the registered certificate passes the session-cached one,
+    :func:`_knn_ann_index_cached` — build once, query many; the
+    streamed maintainer passes its post-drain state).  The
     default ``None`` builds fresh from the corpus, which is what the
     library tests, the broken-mode falsification, and the 10× scale
     probe exercise (so the probe's wall honestly includes the
     signature pass + packing shuffle).
     """
-    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
-    p = _knn_ann_planes(n)
     if index is not None:
-        packed = index
+        # probe with the INDEX'S OWN plane count (ADVICE r14): the
+        # served relation may have been packed when the corpus sat on
+        # the other side of a _knn_ann_planes boundary, and a flip set
+        # derived from the current file would probe the wrong bits.
+        packed, p = index
     else:
+        n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+        p = _knn_ann_planes(n)
         v = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
@@ -1867,14 +1885,24 @@ def knn_graph_ann_neighbors(
         packed = _pack_buckets_salted(
             sigs.select("vec_id", "embedding", "bucket")
         )
-    probe_arr = F.array(
-        F.col("blk"),
-        *[
-            F.col("blk").bitwiseXOR(F.lit(1 << b))
-            for b in range(p)
-            if probe_radius >= 1
-        ],
-    )
+    # Full multi-probe up to the requested Hamming radius (ADVICE r14:
+    # the old comprehension emitted only single-bit flips, so any
+    # radius >= 1 silently probed radius 1 while _knn_ann_membership
+    # promised Hamming <= radius).  Masks are distinct, so each ordered
+    # block pair is still generated exactly once.  Fan-out is
+    # sum_{j<=r} C(p, j) block copies — r=1 keeps the documented
+    # (1+planes) shape; r=2 is the quadratic widening a recall-starved
+    # corpus would opt into (see knn_ann_tuning_curve for the dial).
+    import itertools
+
+    flips = [F.col("blk")]
+    for rr in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(p), rr):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            flips.append(F.col("blk").bitwiseXOR(F.lit(mask)))
+    probe_arr = F.array(*flips)
     left = packed.select(
         F.col("ids").alias("ids_a"),
         F.col("mat").alias("mat_a"),
@@ -1958,13 +1986,16 @@ def _knn_ann_membership(
 #: broken-ANN test (probe_radius=0 must flip rows false), and the
 #: hash match proves the flag ACTUALLY came out true on the Spark
 #: side plus an independently recomputed exact_kth_sim per vector.
+#: greatest(..., 1e-12) mirrors the Spark scorer's zero-norm clamp
+#: (ADVICE r14: without it a zero vector diverges the engines).
 _KNN_ANN_CERT_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          round(list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+               / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-12)
+                  * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12)),
+               6) AS cos_sim
   FROM v a JOIN v b ON a.vec_id <> b.vec_id
 ),
 topk AS (
@@ -2104,8 +2135,9 @@ q AS (SELECT vec_id, e FROM v
 scored AS (
   SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
          round(list_dot_product(q.e, b.e)
-               / (sqrt(list_dot_product(q.e, q.e))
-                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+               / (greatest(sqrt(list_dot_product(q.e, q.e)), 1e-12)
+                  * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12)),
+               6) AS cos_sim
   FROM q JOIN v b ON b.vec_id <> q.vec_id
 ),
 topk AS (
@@ -2152,6 +2184,138 @@ def knn_graph_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact=exact.withColumnRenamed("vec_id", "query_id"),
     )
     return cert.withColumnRenamed("query_id", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# kNN-ANN tuning curve (VERDICT r14 item 5): the evidence behind the
+# KNN_ANN_* constants, the lsh_tuning_curve precedent applied to
+# random-hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+#: the (planes, probe_radius) grid the curve evaluates: every plane
+#: count the adaptive rule can pick (min..max in steps of 4) crossed
+#: with the probe radii the sweep supports (0 = self-bucket only — the
+#: falsification mode; 1 = the production default; 2 = the quadratic
+#: widening a recall-starved corpus would opt into).
+KNN_ANN_TUNING_PLANES = (4, 8, 12, 16, 20, 24)
+KNN_ANN_TUNING_RADII = (0, 1, 2)
+
+
+def _hyperplane_capture_expr(p: int, radius: int) -> str:
+    """Analytic probability that one exact kNN edge survives the
+    candidate sweep at ``p`` planes / probe radius ``radius``: with
+    per-plane agreement probability ``q = 1 - acos(cos_sim)/pi``
+    (random-hyperplane LSH — Goemans-Williamson / Charikar SimHash),
+    the two endpoints' signatures differ by a Binomial(p, 1-q) bit
+    count, so capture = ``sum_{j<=radius} C(p,j) q^(p-j) (1-q)^j``.
+    Powers expand to repeated multiplication — identical IEEE product
+    chains in both engines (libm ``pow`` is implementation-defined,
+    multiplication is not; the lsh_tuning_curve recipe) — over the
+    same 6-dp-rounded cos_sim both relations share.  ``acos``/``pi``
+    may differ by an ulp across libm builds; the final 6-dp rounding
+    of an AVERAGE absorbs that (no intermediate rounding, which would
+    amplify an ulp into the rounding quantum)."""
+    import math
+
+    q = "(1.0 - acos(least(greatest(cos_sim, -1.0), 1.0)) / pi())"
+    miss = f"(1.0 - {q})"
+    terms = []
+    for j in range(radius + 1):
+        factors = [q] * (p - j) + [miss] * j
+        prod = " * ".join(factors)
+        terms.append(f"({math.comb(p, j)}.0 * ({prod}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _knn_ann_tuning_oracle() -> str:
+    arms = []
+    for p in KNN_ANN_TUNING_PLANES:
+        for r in KNN_ANN_TUNING_RADII:
+            cap = _hyperplane_capture_expr(p, r)
+            arms.append(
+                f"""SELECT CAST({p} AS BIGINT) AS planes,
+       CAST({r} AS BIGINT) AS probe_radius,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       round(avg({cap}), 6) AS expected_capture,
+       round(min({cap}), 6) AS min_capture
+FROM topk"""
+            )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.e, b.e)
+               / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-12)
+                  * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12)),
+               6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+topk AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_GRAPH_K}
+)
+{body}"""
+
+
+@register("knn_ann_tuning_curve", oracle=_knn_ann_tuning_oracle())
+def knn_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How should the kNN-graph ANN pick (planes, probe_radius) for a
+    new corpus?  For every config on the
+    :data:`KNN_ANN_TUNING_PLANES` × :data:`KNN_ANN_TUNING_RADII` grid,
+    the EXPECTED per-edge capture probability — the chance an exact
+    top-k edge survives LSH candidate generation — over the corpus's
+    ACTUAL neighbor-similarity distribution (the exact kNN relation),
+    plus the worst edge's capture.  ``knn_graph_ann`` runs the
+    adaptive plane count (~log2(N/32)) at radius 1; this query is the
+    committed evidence for that choice and the dial for retuning when
+    the neighbor-similarity profile shifts: capture falls with more
+    planes (smaller buckets — less candidate work) and rises with
+    probe radius (more block pairs) — the same recall-vs-cost S-curve
+    ``lsh_tuning_curve`` plots for the MinHash banding split.
+
+    One aggregate pass over the (already k·N-bounded) exact kNN
+    relation, which is the SAME session-cached baseline the
+    ``knn_graph_ann`` certificate verifies against — scored once per
+    session, priced in cold_sec: the 18 configs are computed as 36
+    aggregate columns and unpivoted with ``stack``; no joins, no
+    shuffle beyond the (tiny) relation's own agg exchange.
+    Determinism: see :func:`_hyperplane_capture_expr` (multiplication
+    chains, one final 6-dp rounding).
+
+    The completeness certificates (``knn_graph_ann``) verify the sweep
+    returns what its buckets PROMISE; this curve quantifies how much
+    the buckets promise — empirical capture under the engine's actual
+    seeded planes is pinned against this expectation in
+    tests/test_r15_knn_lifecycle.py and measured per-config in the
+    committed KNN_ANN_TUNING.json (tools/probe_knn_ann_tuning.py)."""
+    edges = _knn_exact_cached(spark, sf_dir).select("cos_sim")
+    aggs = [F.count(F.lit(1)).alias("n_edges")]
+    for p in KNN_ANN_TUNING_PLANES:
+        for r in KNN_ANN_TUNING_RADII:
+            cap = _hyperplane_capture_expr(p, r)
+            aggs += [
+                F.round(F.avg(F.expr(cap)), 6).alias(f"ec_{p}_{r}"),
+                F.round(F.min(F.expr(cap)), 6).alias(f"mc_{p}_{r}"),
+            ]
+    wide = edges.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({p} AS BIGINT), CAST({r} AS BIGINT), ec_{p}_{r}, mc_{p}_{r}"
+        for p in KNN_ANN_TUNING_PLANES
+        for r in KNN_ANN_TUNING_RADII
+    )
+    n_cfg = len(KNN_ANN_TUNING_PLANES) * len(KNN_ANN_TUNING_RADII)
+    return wide.selectExpr(
+        "n_edges",
+        f"stack({n_cfg}, {stack_args}) AS "
+        "(planes, probe_radius, expected_capture, min_capture)",
+    ).select(
+        "planes", "probe_radius", "n_edges", "expected_capture", "min_capture"
+    )
 
 
 #: centroid components are rounded to this many decimals on BOTH

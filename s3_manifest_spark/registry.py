@@ -276,5 +276,6 @@ def load_all() -> None:
         cdc,
         heavy_hitters,
         index_update,
+        knn_index,
         windows,
     )

@@ -538,3 +538,17 @@ def test_attribution_single_user_exchange(spark):
     plan = plan_of(spark, "attribution_touch")
     assert _n_exchanges(plan) == 1, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_knn_ann_tuning_curve_is_one_agg_pass(spark):
+    """The tuning curve is ONE aggregate pass over the session-cached
+    exact relation: no join anywhere in the plan (the 18 configs are
+    agg columns + a stack unpivot), and the source is the checkpointed
+    baseline (Scan ExistingRDD), never a rebuilt O(N²d) sweep."""
+    plan = plan_of(spark, "knn_ann_tuning_curve")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the exact baseline arrives via localCheckpoint, not a fresh sweep
+    assert "MapInPandas" not in plan and "PythonMapInArrow" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan

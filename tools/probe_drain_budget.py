@@ -25,6 +25,10 @@ DRAINS = (
     # r14: the boilerplate chunk-index maintainer joins the budget —
     # same stateless foreachBatch shape as index_update.
     "stream_boilerplate_live",
+    # r15: the kNN-ANN index maintainer (VERDICT r14 item 1) — its
+    # registered query is drain + read-time pack + the full
+    # completeness certificate over the streamed index.
+    "stream_knn_index_live",
 )
 RUNS = int(os.environ.get("DRAIN_PROBE_RUNS", "3"))
 
@@ -67,16 +71,22 @@ def main() -> int:
         "samples": samples,
         "min": mins,
         "sum_min_sec": round(sum(mins.values()), 4),
-        # the r12 Σ ≤ 4.0 s commitment names the index+cdc maintainer
-        # PAIR; the r14 boilerplate drain is reported alongside, not
-        # retrofitted into that target's population.
+        # the r12 Σ ≤ 4.0 s commitment named the index+cdc maintainer
+        # PAIR — kept for continuity; the FAMILY target below covers
+        # every registered maintainer drain (VERDICT r14 item 4).
         "core_pair_sum_sec": round(
             mins.get("stream_index_update_live", 0.0)
             + mins.get("stream_cdc_apply_live", 0.0),
             4,
         ),
-        "target_sec": 4.0,
-        "target_scope": ["stream_index_update_live", "stream_cdc_apply_live"],
+        "core_pair_target_sec": 4.0,
+        # family target: 4 maintainers x (~0.26-0.53 s machinery floor
+        # + addBatch work at sf0.1) — 8.0 s keeps every drain under
+        # ~2x its r14 quiet floor while leaving room for the knn
+        # maintainer's certificate tree (the only drain whose
+        # registered query re-verifies completeness after the drain).
+        "target_sec": 8.0,
+        "target_scope": list(DRAINS),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "DRAIN_BUDGET.json"), "w") as f:

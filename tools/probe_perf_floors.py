@@ -327,6 +327,36 @@ def main() -> int:
 
         return f
 
+    # knn_graph_ann_sampled split (VERDICT r14 item 2): the sampled
+    # certificate's wall decomposes into (a) the served-index candidate
+    # sweep — the cost knn_graph_ann ALSO pays warm, (b) the sampled
+    # exact-BLAS side (one broadcast-query corpus pass, served from the
+    # session cache on the warm path — measured here as a fresh build),
+    # and (c) the membership joins (ditto).  Legs (b)/(c) evict their
+    # model-cache entries first so the timing is the honest rebuild,
+    # then leave the rebuilt cache in place for the interleaved warm
+    # query leg.
+    from s3_manifest_spark.operators.similarity import (
+        _knn_ann_index_cached,
+        _knn_ann_membership,
+        _knn_exact_sampled,
+    )
+    from s3_manifest_spark.registry import session_model_cache
+
+    def served_index_sweep():
+        knn_graph_ann_neighbors(
+            spark, sf, index=_knn_ann_index_cached(spark, sf)
+        ).toPandas()
+
+    def sampled_exact_blas():
+        session_model_cache(spark).pop(("knn_exact_sampled", sf), None)
+        _knn_exact_sampled(spark, sf).toPandas()
+
+    def sampled_membership():
+        session_model_cache(spark).pop(("ann_membership_knn_s", sf), None)
+        exact = _knn_exact_sampled(spark, sf)
+        _knn_ann_membership(spark, sf, exact).toPandas()
+
     legs = {
         "documents_python_pass": identity_docs,
         "embeddings_python_pass": identity_emb,
@@ -368,7 +398,11 @@ def main() -> int:
             similarity_ivf_pq_neighbors
         ),
         "ann:knn_graph_ann_neighbors": run_neighbors(knn_graph_ann_neighbors),
+        "ann:knn_graph_ann_neighbors_served": served_index_sweep,
+        "cert:knn_sampled_exact_blas": sampled_exact_blas,
+        "cert:knn_sampled_membership": sampled_membership,
         "q:knn_graph_ann": run_query("knn_graph_ann"),
+        "q:knn_graph_ann_sampled": run_query("knn_graph_ann_sampled"),
         "q:similarity_ann_lsh": run_query("similarity_ann_lsh"),
         "q:similarity_ivf": run_query("similarity_ivf"),
         "q:similarity_pq": run_query("similarity_pq"),
