@@ -94,63 +94,77 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: stddev/variance/corr/covar +
     exact interpolated percentiles.
 
-    The moments are single-pass partial aggregates (Spark keeps
-    running moments per partition and merges) and stay in whole-stage
-    codegen.  The exact interpolated percentiles do NOT use Spark's
+    The exact interpolated percentiles do NOT use Spark's
     ``percentile`` aggregate: it is a TypedImperativeAggregate that
     buffers every value in a per-group OpenHashMap and serializes the
     whole buffer between partial and merge — measured ~0.7 s of the
     query's 1.0 s wall at sf0.1.  Instead one ``applyInPandas`` over
-    the group key ships each group's value column once through Arrow
-    and takes ``np.percentile`` (C quickselect, same (n-1)·q linear
+    the group key ships each group's columns once through Arrow and
+    takes ``np.percentile`` (C quickselect, same (n-1)·q linear
     interpolation as Spark's percentile and DuckDB's quantile_cont —
-    parity is driver-hash-checked).  One shuffle of (char, double)
-    pairs; per-group state is one numpy array, the same memory the
-    JVM aggregate would have buffered, minus the object overhead.  At
-    100 TB the sketch path (``approx_percentile``) or the sort-based
+    parity is driver-hash-checked).  The MOMENTS ride the SAME Arrow
+    pass (r15 — previously a second JVM aggregation): the percentile
+    shuffle already ships every group row, so folding stddev/var/
+    corr/cov into the same kernel (numpy two-pass — numerically
+    stable, agrees with both engines' single-pass co-moments to
+    ~1e-10, absorbed by the 4-6 dp output rounding) removes an ENTIRE
+    second fact-table scan + aggregation job for the cost of two
+    extra double columns through the exchange the query pays anyway —
+    the trade that wins at any scale where the scan dominates.  At
+    100 TB the per-group buffering itself is the limit: the sketch
+    path (``approx_percentile``) or the sort-based
     :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`
     replaces exactness-per-group buffering entirely.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    moments = li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "qty_price_covar"
-        ),
-    )
 
-    def pct(pdf):
+    def stats(pdf):
         import numpy as np
         import pandas as pd
 
-        med, p95 = np.percentile(
-            pdf["l_extendedprice"].to_numpy(), [50.0, 95.0]
-        )
+        price = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        qty = pdf["l_quantity"].to_numpy(dtype="float64")
+        disc = pdf["l_discount"].to_numpy(dtype="float64")
+        med, p95 = np.percentile(price, [50.0, 95.0])
+        cov = np.cov(qty, price, ddof=1)
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "price_stddev": [float(np.std(price, ddof=1))],
+                "disc_var": [float(np.var(disc, ddof=1))],
+                "qty_price_corr": [
+                    float(cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1]))
+                ],
+                "qty_price_covar": [float(cov[0, 1])],
                 "price_median": [float(med)],
                 "price_p95": [float(p95)],
             }
         )
 
-    pcts = (
-        li.select("l_returnflag", "l_extendedprice")
+    return (
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+        )
         .groupBy("l_returnflag")
         .applyInPandas(
-            pct, schema="l_returnflag string, price_median double, price_p95 double"
+            stats,
+            schema="l_returnflag string, price_stddev double, "
+            "disc_var double, qty_price_corr double, "
+            "qty_price_covar double, price_median double, "
+            "price_p95 double",
         )
         # round JVM-side: F.round is HALF_UP like the oracle's round()
         # (Python's round would be banker's)
         .select(
             "l_returnflag",
+            F.round("price_stddev", 4).alias("price_stddev"),
+            F.round("disc_var", 6).alias("disc_var"),
+            F.round("qty_price_corr", 6).alias("qty_price_corr"),
+            F.round("qty_price_covar", 4).alias("qty_price_covar"),
             F.round("price_median", 4).alias("price_median"),
             F.round("price_p95", 4).alias("price_p95"),
         )
     )
-    return moments.join(F.broadcast(pcts), "l_returnflag")
 
 
 @register(

@@ -1573,12 +1573,16 @@ def _block_pair_topk(block_pairs: DataFrame, k: int) -> DataFrame:
                 # sweep): packing sorts ids ASCENDING, so ONE stable
                 # argsort of -sims along axis 1 yields exactly the
                 # final (rounded sim desc, neighbor_id asc) order per
-                # row.  Self-matches exist only when A and B are the
-                # SAME bucket/block (each vector lives in exactly one),
-                # i.e. on the diagonal — masked to -inf, which sorts
-                # last and is dropped by the finite filter.
-                if len(ia) == len(ib) and bool((ia == ib).all()):
-                    np.fill_diagonal(sims, -np.inf)
+                # row.  Self-matches are masked by ID EQUALITY to
+                # -inf, which sorts last and is dropped by the finite
+                # filter: for corpus-partition sweeps (A and B are the
+                # same bucket/block — each vector lives in exactly
+                # one) this is precisely the old diagonal mask; for
+                # query-side-restricted sweeps (the sampled
+                # certificate packs only the query vectors, so A ⊂ B)
+                # the self cell sits off-diagonal.  O(|A||B|) int64
+                # compares — 64x cheaper than the matmul next to it.
+                sims[ia[:, None] == ib[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 top = np.take_along_axis(sims, order, axis=1)
@@ -1815,11 +1819,42 @@ def _knn_ann_index_cached(
     return packed, p
 
 
+def _knn_query_pack_cached(
+    spark: SparkSession, sf_dir: str, exact: DataFrame, p: int
+) -> DataFrame:
+    """The sampled audit's QUERY-SIDE packed relation — the stride
+    sample's vectors bucket-packed under the served index's plane
+    count.  The sample is deterministic per corpus (stride + cap), so
+    this is index-adjacent session state exactly like the membership
+    relation: built once (one broadcast-semi-filtered corpus pass),
+    localCheckpointed, persisted/reloaded by models.py, priced in
+    bench cold_sec, released by ``registry.clear_model_cache``."""
+    mc = _mc(spark)
+    key = ("knn_query_pack", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = v.join(
+        F.broadcast(exact.select("vec_id").distinct()), "vec_id"
+    )
+    qsigs = _ann_signatures(
+        qv, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
+    ).withColumnRenamed("sig", "bucket")
+    pack = _pack_buckets_salted(
+        qsigs.select("vec_id", "embedding", "bucket")
+    ).localCheckpoint(eager=True)
+    mc[key] = (pack,)
+    return pack
+
+
 def knn_graph_ann_neighbors(
     spark: SparkSession,
     sf_dir: str,
     probe_radius: int = KNN_ANN_MULTIPROBE,
     index: tuple[DataFrame, int] | None = None,
+    queries: DataFrame | None = None,
+    probing_pack: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair kNN graph — the production sibling of
     :func:`knn_graph`: every vector's top-:data:`KNN_GRAPH_K` cosine
@@ -1903,7 +1938,35 @@ def knn_graph_ann_neighbors(
                 mask |= 1 << b
             flips.append(F.col("blk").bitwiseXOR(F.lit(mask)))
     probe_arr = F.array(*flips)
-    left = packed.select(
+    if probing_pack is not None:
+        # pre-built query-side pack (the sampled certificate passes
+        # its session-cached one, _knn_query_pack_cached)
+        probing = probing_pack
+    elif queries is not None:
+        # QUERY-SIDE restriction (the sampled certificate's shape, and
+        # the general "query the served index" path): pack only the
+        # query vectors on the probing side — one narrow signature
+        # pass over the broadcast-semi-filtered corpus — and probe the
+        # full served index with them.  Per query the candidate set
+        # (members of buckets within the probe radius of its own) is
+        # IDENTICAL to the full sweep's, so the output equals the full
+        # graph restricted to the query set; the flop count drops from
+        # N·occ·probes·d to |Q|·occ·probes·d.  Self-matches are
+        # handled by the scorer's id-equality mask (queries also live
+        # inside the index blocks, off the diagonal here).
+        v = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        qv = v.join(F.broadcast(queries.select("vec_id")), "vec_id")
+        qsigs = _ann_signatures(
+            qv, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
+        ).withColumnRenamed("sig", "bucket")
+        probing = _pack_buckets_salted(
+            qsigs.select("vec_id", "embedding", "bucket")
+        )
+    else:
+        probing = packed
+    left = probing.select(
         F.col("ids").alias("ids_a"),
         F.col("mat").alias("mat_a"),
         F.explode(probe_arr).alias("pblk"),
@@ -1913,6 +1976,17 @@ def knn_graph_ann_neighbors(
         F.col("ids").alias("ids_b"),
         F.col("mat").alias("mat_b"),
     )
+    if probing is not packed:
+        # bounded query side (the sampled audit / "query the served
+        # index" path): the probing relation is |Q|-vectors small while
+        # the index side is the corpus — broadcast the query blocks so
+        # the probe join never shuffles the index (both relations are
+        # stat-less checkpoint/kernel outputs, so without the hint
+        # Spark sort-merges and shuffles BOTH sides — measured 2x the
+        # whole sampled sweep's wall at sf0.1).  The full self-sweep
+        # keeps the shuffle join: there left IS the index times
+        # (1+planes), never broadcastable at scale.
+        left = F.broadcast(left)
     pairs = left.join(right, "pblk").drop("pblk")
     return _block_pair_topk(pairs, KNN_GRAPH_K)
 
@@ -2177,8 +2251,20 @@ def knn_graph_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cert = _ann_certificate(
         spark,
         sf_dir,
+        # query-side-restricted sweep (r15): probe the served index
+        # with ONLY the sampled vectors — per sampled query the
+        # candidate set is identical to the full sweep's, so this is
+        # the full graph restricted to the sample at 1/stride of the
+        # scoring flops (the audit shape the docstring promises).
+        # The deterministic sample's pack is session state like the
+        # index itself (_knn_query_pack_cached).
         knn_graph_ann_neighbors(
-            spark, sf_dir, index=_knn_ann_index_cached(spark, sf_dir)
+            spark,
+            sf_dir,
+            index=(idx := _knn_ann_index_cached(spark, sf_dir)),
+            probing_pack=_knn_query_pack_cached(
+                spark, sf_dir, exact, idx[1]
+            ),
         ).withColumnRenamed("vec_id", "query_id"),
         membership.withColumnRenamed("vec_id", "query_id"),
         exact=exact.withColumnRenamed("vec_id", "query_id"),
@@ -2201,15 +2287,25 @@ KNN_ANN_TUNING_PLANES = (4, 8, 12, 16, 20, 24)
 KNN_ANN_TUNING_RADII = (0, 1, 2)
 
 
+#: the per-plane agreement probability, projected ONCE before the
+#: config aggregates (random-hyperplane LSH — Goemans-Williamson /
+#: Charikar SimHash).  Projecting q as a column instead of inlining
+#: the acos into every chain factor keeps the 36 aggregate expression
+#: trees small: inlined, each (24, 2) config carried ~72 acos
+#: subtrees and Catalyst re-analysis alone cost ~2.8 s per bench rep
+#: (the plan memo is cleared per rep by design).
+_HYPERPLANE_Q_SQL = "(1.0 - acos(least(greatest(cos_sim, -1.0), 1.0)) / pi())"
+
+
 def _hyperplane_capture_expr(p: int, radius: int) -> str:
     """Analytic probability that one exact kNN edge survives the
     candidate sweep at ``p`` planes / probe radius ``radius``: with
-    per-plane agreement probability ``q = 1 - acos(cos_sim)/pi``
-    (random-hyperplane LSH — Goemans-Williamson / Charikar SimHash),
-    the two endpoints' signatures differ by a Binomial(p, 1-q) bit
-    count, so capture = ``sum_{j<=radius} C(p,j) q^(p-j) (1-q)^j``.
-    Powers expand to repeated multiplication — identical IEEE product
-    chains in both engines (libm ``pow`` is implementation-defined,
+    per-plane agreement probability ``q`` (:data:`_HYPERPLANE_Q_SQL`,
+    projected as a column named ``q`` by both engines), the two
+    endpoints' signatures differ by a Binomial(p, 1-q) bit count, so
+    capture = ``sum_{j<=radius} C(p,j) q^(p-j) (1-q)^j``.  Powers
+    expand to repeated multiplication — identical IEEE product chains
+    in both engines (libm ``pow`` is implementation-defined,
     multiplication is not; the lsh_tuning_curve recipe) — over the
     same 6-dp-rounded cos_sim both relations share.  ``acos``/``pi``
     may differ by an ulp across libm builds; the final 6-dp rounding
@@ -2217,11 +2313,10 @@ def _hyperplane_capture_expr(p: int, radius: int) -> str:
     amplify an ulp into the rounding quantum)."""
     import math
 
-    q = "(1.0 - acos(least(greatest(cos_sim, -1.0), 1.0)) / pi())"
-    miss = f"(1.0 - {q})"
+    miss = "(1.0 - q)"
     terms = []
     for j in range(radius + 1):
-        factors = [q] * (p - j) + [miss] * j
+        factors = ["q"] * (p - j) + [miss] * j
         prod = " * ".join(factors)
         terms.append(f"({math.comb(p, j)}.0 * ({prod}))")
     return "(" + " + ".join(terms) + ")"
@@ -2238,7 +2333,7 @@ def _knn_ann_tuning_oracle() -> str:
        CAST(count(*) AS BIGINT) AS n_edges,
        round(avg({cap}), 6) AS expected_capture,
        round(min({cap}), 6) AS min_capture
-FROM topk"""
+FROM edges_q"""
             )
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -2258,7 +2353,8 @@ topk AS MATERIALIZED (
            ) AS rn
     FROM scored
   ) WHERE rn <= {KNN_GRAPH_K}
-)
+),
+edges_q AS (SELECT {_HYPERPLANE_Q_SQL} AS q FROM topk)
 {body}"""
 
 
@@ -2293,7 +2389,9 @@ def knn_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded planes is pinned against this expectation in
     tests/test_r15_knn_lifecycle.py and measured per-config in the
     committed KNN_ANN_TUNING.json (tools/probe_knn_ann_tuning.py)."""
-    edges = _knn_exact_cached(spark, sf_dir).select("cos_sim")
+    edges = _knn_exact_cached(spark, sf_dir).selectExpr(
+        f"{_HYPERPLANE_Q_SQL} AS q"
+    )
     aggs = [F.count(F.lit(1)).alias("n_edges")]
     for p in KNN_ANN_TUNING_PLANES:
         for r in KNN_ANN_TUNING_RADII:

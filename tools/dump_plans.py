@@ -130,6 +130,11 @@ HEADLINERS = {
     "test_knn_graph_ann_is_candidate_bounded), same per-pair BLAS "
     "scorer + window merge as the exact sweep; plane count scales "
     "log2(N/occ) so the pair relation grows ~linearly with the corpus",
+    "knn_ann_tuning_curve": "ANN configuration evidence (r15): ONE "
+    "aggregate pass over the session-cached k·N exact relation (Scan "
+    "ExistingRDD — never a rebuilt O(N²d) sweep), 18 (planes, radius) "
+    "configs as 36 agg columns + stack unpivot; no Join anywhere "
+    "(pinned by test_knn_ann_tuning_curve_is_one_agg_pass)",
 }
 
 

@@ -63,6 +63,7 @@ def main() -> int:
         exact.select("vec_id", "neighbor_id", "cos_sim")
         .join(sa, "vec_id")
         .join(sb, "neighbor_id")
+        .selectExpr("sig_a", "sig_b", f"{S._HYPERPLANE_Q_SQL} AS q")
     )
 
     aggs = [F.count(F.lit(1)).alias("n_edges")]

@@ -144,6 +144,32 @@ def main() -> int:
             .toPandas()
         )
 
+    def stats_pandas_groups_pass():
+        # stats_funcs minus the statistics: the same 4-column fact
+        # scan + group shuffle + Arrow group pass with the per-group
+        # numpy work replaced by a length — the floor any exact
+        # per-group-buffering plan of that shape pays.
+        import pandas as pd
+
+        def count_only(pdf):
+            return pd.DataFrame(
+                {
+                    "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                    "n": [float(len(pdf))],
+                }
+            )
+
+        (
+            load_table(spark, sf, "lineitem")
+            .select(
+                "l_returnflag", "l_extendedprice", "l_quantity",
+                "l_discount",
+            )
+            .groupBy("l_returnflag")
+            .applyInPandas(count_only, schema="l_returnflag string, n double")
+            .toPandas()
+        )
+
     def range_join_scan_agg():
         # range_join_bands minus the join: the same orders scan +
         # 20-group combinable aggregation (banding key derived as a
@@ -340,6 +366,7 @@ def main() -> int:
         _knn_ann_index_cached,
         _knn_ann_membership,
         _knn_exact_sampled,
+        _knn_query_pack_cached,
     )
     from s3_manifest_spark.registry import session_model_cache
 
@@ -348,14 +375,42 @@ def main() -> int:
             spark, sf, index=_knn_ann_index_cached(spark, sf)
         ).toPandas()
 
+    def sampled_sweep():
+        # the sampled certificate's actual warm sweep: broadcast the
+        # session-cached query pack against the served index
+        idx = _knn_ann_index_cached(spark, sf)
+        exact = _knn_exact_sampled(spark, sf)
+        knn_graph_ann_neighbors(
+            spark,
+            sf,
+            index=idx,
+            probing_pack=_knn_query_pack_cached(spark, sf, exact, idx[1]),
+        ).toPandas()
+
     def sampled_exact_blas():
         session_model_cache(spark).pop(("knn_exact_sampled", sf), None)
         _knn_exact_sampled(spark, sf).toPandas()
 
     def sampled_membership():
+        # pop + rebuild THROUGH the caching wrapper so the leg times
+        # the honest rebuild but leaves the cache populated for the
+        # interleaved warm query leg
+        from s3_manifest_spark.operators.similarity import (
+            _membership_cached,
+        )
+
         session_model_cache(spark).pop(("ann_membership_knn_s", sf), None)
         exact = _knn_exact_sampled(spark, sf)
-        _knn_ann_membership(spark, sf, exact).toPandas()
+        _membership_cached(
+            spark, sf, "knn_s",
+            lambda: _knn_ann_membership(spark, sf, exact),
+        ).toPandas()
+
+    def sampled_query_pack_build():
+        session_model_cache(spark).pop(("knn_query_pack", sf), None)
+        idx = _knn_ann_index_cached(spark, sf)
+        exact = _knn_exact_sampled(spark, sf)
+        _knn_query_pack_cached(spark, sf, exact, idx[1]).toPandas()
 
     legs = {
         "documents_python_pass": identity_docs,
@@ -365,6 +420,8 @@ def main() -> int:
         "q:manifest_prefix_filter": run_query("manifest_prefix_filter"),
         "manifest_prune_model_agg": prune_model_agg,
         "skew_perkey_agg": skew_perkey_agg,
+        "stats_pandas_groups_pass": stats_pandas_groups_pass,
+        "q:stats_funcs": run_query("stats_funcs"),
         "range_join_scan_agg": range_join_scan_agg,
         "q:range_join_bands": run_query("range_join_bands"),
         "local_relation_roundtrip": local_relation_roundtrip,
@@ -399,8 +456,10 @@ def main() -> int:
         ),
         "ann:knn_graph_ann_neighbors": run_neighbors(knn_graph_ann_neighbors),
         "ann:knn_graph_ann_neighbors_served": served_index_sweep,
+        "ann:knn_sampled_sweep": sampled_sweep,
         "cert:knn_sampled_exact_blas": sampled_exact_blas,
         "cert:knn_sampled_membership": sampled_membership,
+        "cert:knn_query_pack_build": sampled_query_pack_build,
         "q:knn_graph_ann": run_query("knn_graph_ann"),
         "q:knn_graph_ann_sampled": run_query("knn_graph_ann_sampled"),
         "q:similarity_ann_lsh": run_query("similarity_ann_lsh"),
