@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scaling probe for the streamed kNN-ANN index maintainer (r15):
+drain wall + read-time pack wall at 1x and 10x the sf0.1 embedding
+corpus, min-of-N with a fresh spool/store per rep.
+
+What should scale how:
+
+- the DRAIN is one Arrow matmul pass + partition-parallel parquet
+  appends per micro-batch — no join, no shuffle, no state-store
+  lookup (append-only by per-vector closure), so its wall grows
+  ~linearly with the INGESTED bytes.  At a fixed daily ingest the
+  per-day cost is flat no matter how big the served index already is
+  (an append never reads existing store files) — the property this
+  probe certifies by ALSO draining a 1x batch into a pre-filled 10x
+  store (leg `append_1x_into_10x_store`).
+- the READ-TIME PACK (occupancy-salted compaction into the served
+  relation) is one bucket-keyed exchange over the store — ~linear in
+  index size, priced per served-index refresh, not per trigger.
+
+Writes KNN_MAINTAINER_SCALE.json.  Usage:
+    python tools/probe_knn_maintainer_scale.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from s3_manifest_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+RUNS = 3
+
+spark = get_spark(
+    app_name="knn-maintainer-scale-probe",
+    master=f"local[{CPUS}]",
+    extra_confs={
+        "spark.driver.memory": "24g",
+        "spark.sql.shuffle.partitions": CPUS,
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3_manifest_spark.operators.similarity import (  # noqa: E402
+    _knn_ann_planes,
+    _pack_buckets_salted,
+)
+from s3_manifest_spark.sources.tables import parquet_row_count  # noqa: E402
+from s3_manifest_spark.streaming import knn_index as ki  # noqa: E402
+
+# JVM + Python-worker warmup
+spark.read.parquet(f"{SF}/embeddings.parquet").count()
+spark.range(32).repartition(32).mapInPandas(
+    lambda it: it, schema="id long"
+).count()
+
+base = tempfile.mkdtemp(prefix="knn-maint-scale-")
+big = os.path.join(base, "big")
+os.makedirs(big, exist_ok=True)
+
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+out = None
+for i in range(COPIES):
+    c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
+    out = c if out is None else out.unionAll(c)
+out.coalesce(8).write.mode("overwrite").parquet(f"{big}/embeddings.parquet")
+
+
+def min_of(fn):
+    best = None
+    for _ in range(RUNS):
+        getattr(spark, "_smsp_plan_cache", {}).clear()
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+result = {"sf_dir": SF, "copies": COPIES, "cpus": int(CPUS), "runs": RUNS}
+try:
+    stores: dict[str, str] = {}
+    for label, sf_dir in (("1x", SF), (f"{COPIES}x", big)):
+        n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+        p = _knn_ann_planes(n)
+        spool = ki._spool_embeddings(spark, sf_dir)
+
+        def drain():
+            stores[label] = ki.drain_embedding_feed(spark, spool, planes=p)
+
+        t_drain = min_of(drain)
+
+        def pack():
+            _pack_buckets_salted(
+                ki.read_knn_index_store(spark, stores[label], p)
+            ).count()
+
+        t_pack = min_of(pack)
+        result[label] = {
+            "n_vectors": n,
+            "planes": p,
+            "drain_sec": t_drain,
+            "pack_sec": t_pack,
+        }
+        print(label, result[label])
+
+    # the append-only property: draining the 1x corpus as a new batch
+    # into the ALREADY-10x-FULL store must cost ~the 1x drain, not
+    # anything proportional to the store (an append never reads it).
+    big_store = stores[f"{COPIES}x"]
+    n1 = parquet_row_count(f"{SF}/embeddings.parquet")
+    pbig = _knn_ann_planes(parquet_row_count(f"{big}/embeddings.parquet"))
+    spool1 = ki._spool_embeddings(spark, SF)
+
+    def append_small():
+        sigs = ki._ann_signatures(
+            spark.read.parquet(spool1).select("vec_id", "embedding"),
+            seed_offset=ki.KNN_ANN_SEED_OFFSET,
+            planes=pbig,
+        ).withColumnRenamed("sig", "bucket")
+        sigs.select("vec_id", "bucket", "embedding").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(big_store, "batch_append_probe"))
+
+    result["append_1x_into_10x_store_sec"] = min_of(append_small)
+    result["drain_growth"] = round(
+        result[f"{COPIES}x"]["drain_sec"] / result["1x"]["drain_sec"], 2
+    )
+    result["pack_growth"] = round(
+        result[f"{COPIES}x"]["pack_sec"] / result["1x"]["pack_sec"], 2
+    )
+    print(
+        f"growth at {COPIES}x data: drain={result['drain_growth']}x "
+        f"pack={result['pack_growth']}x; 1x-batch append into "
+        f"{COPIES}x store = {result['append_1x_into_10x_store_sec']}s "
+        f"(1x drain = {result['1x']['drain_sec']}s)"
+    )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "KNN_MAINTAINER_SCALE.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+finally:
+    shutil.rmtree(base, ignore_errors=True)
