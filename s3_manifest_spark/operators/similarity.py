@@ -1803,7 +1803,11 @@ def _knn_ann_index_cached(
     mc = _mc(spark)
     key = ("knn_ann_index", sf_dir)
     cached = mc.get(key)
-    if cached is not None:
+    # legacy guard: a store persisted before the plane count traveled
+    # with the relation loads as a 1-tuple — REBUILD rather than pair
+    # the packed relation with a re-derived count (the exact silent
+    # mismatch the tuple exists to prevent).
+    if cached is not None and len(cached) >= 2:
         packed, p = cached[0], int(cached[1])
         return packed, p
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1940,7 +1944,16 @@ def knn_graph_ann_neighbors(
     probe_arr = F.array(*flips)
     if probing_pack is not None:
         # pre-built query-side pack (the sampled certificate passes
-        # its session-cached one, _knn_query_pack_cached)
+        # its session-cached one, _knn_query_pack_cached).  Only valid
+        # WITH an explicit index: signatures are comparable only under
+        # one plane matrix, and a pack built against a served index
+        # probed at a file-derived count would silently flip the wrong
+        # bits (the ADVICE-r14 mismatch, query-side edition).
+        if index is None:
+            raise ValueError(
+                "probing_pack requires an explicit index=(packed, "
+                "planes) built under the same plane count"
+            )
         probing = probing_pack
     elif queries is not None:
         # QUERY-SIDE restriction (the sampled certificate's shape, and

@@ -342,3 +342,29 @@ def test_knn_ann_tuning_expectation_tracks_empirical(spark):
         exp = row["expected_capture"]
         sigma = math.sqrt(max(exp * (1 - exp), 1e-9) / len(edges))
         assert abs(emp - exp) <= 4 * sigma + 0.01, (p, r, emp, exp)
+
+
+def test_legacy_index_cache_tuple_triggers_rebuild(spark):
+    """A pre-r15 persisted store loads the index as a 1-tuple (no
+    plane count): the cache read must REBUILD rather than pair the
+    packed relation with a re-derived count."""
+    mc = S._mc(spark)
+    key = ("knn_ann_index", SF)
+    fresh_packed, fresh_p = S._knn_ann_index_cached(spark, SF)
+    try:
+        mc[key] = (fresh_packed,)  # simulate a legacy store load
+        packed, p = S._knn_ann_index_cached(spark, SF)
+        assert p == fresh_p
+        assert len(mc[key]) == 2  # rebuilt entry carries the count
+    finally:
+        mc.pop(key, None)
+
+
+def test_probing_pack_requires_explicit_index(spark):
+    """A query-side pack without its index's plane count is the silent
+    bit-mismatch shape — reject it loudly."""
+    import pytest
+
+    packed, p = S._knn_ann_index_cached(spark, SF)
+    with pytest.raises(ValueError, match="probing_pack requires"):
+        S.knn_graph_ann_neighbors(spark, SF, probing_pack=packed)
