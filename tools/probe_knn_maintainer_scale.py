@@ -148,7 +148,10 @@ try:
         f"(1x drain = {result['1x']['drain_sec']}s)"
     )
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "KNN_MAINTAINER_SCALE.json"), "w") as f:
+    suffix = "" if COPIES == 10 else f"_{COPIES}x"
+    with open(
+        os.path.join(here, f"KNN_MAINTAINER_SCALE{suffix}.json"), "w"
+    ) as f:
         json.dump(result, f, indent=1, sort_keys=True)
 finally:
     shutil.rmtree(base, ignore_errors=True)
