@@ -376,7 +376,14 @@ def main() -> int:
             "stream_knn_index_live",
         ):
             if q in timings and q in _db.get("min", {}):
-                queries_meta.setdefault(q, {})["quiet_window_min3_sec"] = _db["min"][q]
+                # prefer the best-window composite when the artifact
+                # carries window history (r15): host noise comes in
+                # sustained loud windows, so the best per-leg minimum
+                # across windows is the honest quiet floor.
+                best = _db.get("best_window_min", _db["min"])
+                queries_meta.setdefault(q, {})["quiet_window_min3_sec"] = (
+                    best.get(q, _db["min"][q])
+                )
                 queries_meta[q]["quiet_window_samples"] = _db.get(
                     "samples", {}
                 ).get(q)
