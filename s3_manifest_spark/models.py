@@ -82,9 +82,9 @@ _KINDS = {
     # must be probed with the planes it was packed under, never a
     # count re-derived from the current corpus file.
     "knn_ann_index": "frames+scalars",
-    "knn_query_pack": "frames",
-    "ann_membership_knn": "frames",
-    "ann_membership_knn_s": "frames",
+    "knn_query_pack": "frames+scalars",
+    "ann_membership_knn": "frames+scalars",
+    "ann_membership_knn_s": "frames+scalars",
     "ann_membership_lsh": "frames",
     "ann_membership_ivf": "frames",
     "ann_membership_pq": "frames",

@@ -126,16 +126,27 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty = pdf["l_quantity"].to_numpy(dtype="float64")
         disc = pdf["l_discount"].to_numpy(dtype="float64")
         med, p95 = np.percentile(price, [50.0, 95.0])
-        cov = np.cov(qty, price, ddof=1)
+        # Degenerate-group semantics must match the JVM/oracle sample
+        # aggregates, which return NULL — not numpy's NaN — for n<2
+        # (stddev_samp/var_samp/covar_samp/corr) and for zero-variance
+        # corr (ADVICE r15; latent on TPC-H fixtures, real on any
+        # singleton or constant group).
+        if len(price) < 2:
+            stddev = var = corr = covar = None
+        else:
+            cov = np.cov(qty, price, ddof=1)
+            stddev = float(np.std(price, ddof=1))
+            var = float(np.var(disc, ddof=1))
+            covar = float(cov[0, 1])
+            denom = cov[0, 0] * cov[1, 1]
+            corr = float(cov[0, 1] / np.sqrt(denom)) if denom > 0.0 else None
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "price_stddev": [float(np.std(price, ddof=1))],
-                "disc_var": [float(np.var(disc, ddof=1))],
-                "qty_price_corr": [
-                    float(cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1]))
-                ],
-                "qty_price_covar": [float(cov[0, 1])],
+                "price_stddev": [stddev],
+                "disc_var": [var],
+                "qty_price_corr": [corr],
+                "qty_price_covar": [covar],
                 "price_median": [float(med)],
                 "price_p95": [float(p95)],
             }

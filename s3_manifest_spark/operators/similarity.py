@@ -578,7 +578,9 @@ def _mc(spark: SparkSession) -> dict:
     return mc
 
 
-def _membership_cached(spark: SparkSession, sf_dir: str, kind: str, builder):
+def _membership_cached(
+    spark: SparkSession, sf_dir: str, kind: str, builder, planes=None
+):
     """Canonical probe-membership relation for one ANN family —
     per (query_id, exact-member): must candidate generation surface
     this member?  Derived ONLY from the trained index model + the
@@ -587,15 +589,26 @@ def _membership_cached(spark: SparkSession, sf_dir: str, kind: str, builder):
     persisted (k·queries tiny rows), released by
     ``registry.clear_model_cache``, cold build priced in cold_sec.
     The broken-ANN falsification tests bypass this cache by passing
-    their own (broken) membership to ``_ann_certificate`` directly."""
+    their own (broken) membership to ``_ann_certificate`` directly.
+
+    ``planes`` (the hyperplane-LSH families): the membership's
+    should_find promise is stated at a specific bit width, so the
+    cached relation travels with it as a scalar ('frames+scalars' in
+    models.py) and a hit under a DIFFERENT served plane count rebuilds
+    instead of grading the sweep against the wrong promise (ADVICE
+    r15: after an index reload across a _knn_ann_planes boundary the
+    file-derived count and the served index's count diverge)."""
     mc = _mc(spark)
     key = (f"ann_membership_{kind}", sf_dir)
     cached = mc.get(key)
     if cached is not None:
-        return cached[0]
+        if planes is None:
+            return cached[0]
+        if len(cached) >= 2 and int(cached[1]) == int(planes):
+            return cached[0]
     m = builder().persist()
     m.count()
-    mc[key] = (m,)
+    mc[key] = (m,) if planes is None else (m, int(planes))
     return m
 
 
@@ -1836,7 +1849,12 @@ def _knn_query_pack_cached(
     mc = _mc(spark)
     key = ("knn_query_pack", sf_dir)
     cached = mc.get(key)
-    if cached is not None:
+    # The pack's bit width must equal the SERVED index's — a pack
+    # persisted under a different plane count (legacy planes-less
+    # 1-tuple, or a store saved across a _knn_ann_planes boundary)
+    # would silently flip the wrong bits at probe time (ADVICE r15,
+    # query-side edition of the knn_ann_index legacy guard above).
+    if cached is not None and len(cached) >= 2 and int(cached[1]) == int(p):
         return cached[0]
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = v.join(
@@ -1848,7 +1866,7 @@ def _knn_query_pack_cached(
     pack = _pack_buckets_salted(
         qsigs.select("vec_id", "embedding", "bucket")
     ).localCheckpoint(eager=True)
-    mc[key] = (pack,)
+    mc[key] = (pack, int(p))
     return pack
 
 
@@ -1970,7 +1988,7 @@ def knn_graph_ann_neighbors(
         v = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        qv = v.join(F.broadcast(queries.select("vec_id")), "vec_id")
+        qv = v.join(F.broadcast(queries.select("vec_id").distinct()), "vec_id")
         qsigs = _ann_signatures(
             qv, seed_offset=KNN_ANN_SEED_OFFSET, planes=p
         ).withColumnRenamed("sig", "bucket")
@@ -2030,7 +2048,7 @@ def _knn_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_ann_membership(
-    spark: SparkSession, sf_dir: str, exact: DataFrame
+    spark: SparkSession, sf_dir: str, exact: DataFrame, planes: int | None = None
 ) -> DataFrame:
     """(vec_id, neighbor_id, should_find) for the kNN-graph ANN: the
     exact member's canonical bucket is within Hamming radius
@@ -2039,10 +2057,19 @@ def _knn_ann_membership(
     sweep under test.  Signatures are one narrow corpus pass (no
     embedding carried); the two equi-joins move only the N·k exact
     relation, so the membership build is scan + two bounded joins,
-    never an all-pairs relation."""
+    never an all-pairs relation.
+
+    ``planes``: the SERVED index's bit width (ADVICE r15) — the
+    should_find promise must be stated at the width the sweep actually
+    probes, which after an index reload across a :func:`_knn_ann_planes`
+    boundary differs from the file-derived count.  Defaults to the
+    file-derived count for the fresh-build path."""
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
-    p = _knn_ann_planes(n)
+    if planes is not None:
+        p = int(planes)
+    else:
+        n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+        p = _knn_ann_planes(n)
     sigs = _ann_signatures(
         v, seed_offset=KNN_ANN_SEED_OFFSET, with_embedding=False, planes=p
     )
@@ -2114,17 +2141,19 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment) must appear in the candidate sweep's output.  The raw neighbor
     relation stays available as ``knn_graph_ann_neighbors``."""
     exact = _knn_exact_cached(spark, sf_dir)
+    idx = _knn_ann_index_cached(spark, sf_dir)
     membership = _membership_cached(
         spark,
         sf_dir,
         "knn",
-        lambda: _knn_ann_membership(spark, sf_dir, exact),
+        lambda: _knn_ann_membership(spark, sf_dir, exact, planes=idx[1]),
+        planes=idx[1],
     )
     cert = _ann_certificate(
         spark,
         sf_dir,
         knn_graph_ann_neighbors(
-            spark, sf_dir, index=_knn_ann_index_cached(spark, sf_dir)
+            spark, sf_dir, index=idx
         ).withColumnRenamed("vec_id", "query_id"),
         membership.withColumnRenamed("vec_id", "query_id"),
         exact=exact.withColumnRenamed("vec_id", "query_id"),
@@ -2255,11 +2284,13 @@ def knn_graph_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     it restricted to the sample).  Larger audit loads stream in
     MAX_QUERIES-sized sample batches."""
     exact = _knn_exact_sampled(spark, sf_dir)
+    idx = _knn_ann_index_cached(spark, sf_dir)
     membership = _membership_cached(
         spark,
         sf_dir,
         "knn_s",
-        lambda: _knn_ann_membership(spark, sf_dir, exact),
+        lambda: _knn_ann_membership(spark, sf_dir, exact, planes=idx[1]),
+        planes=idx[1],
     )
     cert = _ann_certificate(
         spark,
@@ -2274,7 +2305,7 @@ def knn_graph_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_graph_ann_neighbors(
             spark,
             sf_dir,
-            index=(idx := _knn_ann_index_cached(spark, sf_dir)),
+            index=idx,
             probing_pack=_knn_query_pack_cached(
                 spark, sf_dir, exact, idx[1]
             ),

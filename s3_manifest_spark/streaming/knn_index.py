@@ -196,7 +196,11 @@ def stream_knn_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "knn",
-        lambda: _knn_ann_membership(spark, sf_dir, exact),
+        # the drained store's plane count IS p here (verified against
+        # the store metadata on every append/read), so the membership's
+        # should_find promise is stated at the width the sweep probes.
+        lambda: _knn_ann_membership(spark, sf_dir, exact, planes=p),
+        planes=p,
     )
     cert = _ann_certificate(
         spark,

@@ -1,0 +1,278 @@
+"""Round-16 pins for the ADVICE-r15 items: the query pack and the
+membership relation traveling with their plane count (and rebuilding on
+a mismatch instead of silently probing the wrong bit width), the
+queries= path deduplicating repeated vec_ids, and the stats_funcs
+Arrow kernel matching the JVM/oracle NULL semantics on degenerate
+groups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from s3_manifest_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 (medium): _knn_query_pack_cached persists (pack, planes)
+# ---------------------------------------------------------------------------
+
+
+def test_query_pack_cache_carries_plane_count(spark):
+    mc = S._mc(spark)
+    key = ("knn_query_pack", SF)
+    mc.pop(key, None)
+    exact = S._knn_exact_sampled(spark, SF)
+    _, p = S._knn_ann_index_cached(spark, SF)
+    try:
+        S._knn_query_pack_cached(spark, SF, exact, p)
+        cached = mc[key]
+        assert len(cached) == 2 and int(cached[1]) == int(p)
+    finally:
+        mc.pop(key, None)
+
+
+def test_query_pack_plane_mismatch_triggers_rebuild(spark):
+    """A pack persisted under a different plane count than the served
+    index (legacy 1-tuple, partial store, or a _knn_ann_planes boundary
+    crossing) must REBUILD at the caller's count — a stale hit is the
+    silent bit-width mismatch the tuple exists to prevent."""
+    mc = S._mc(spark)
+    key = ("knn_query_pack", SF)
+    mc.pop(key, None)
+    exact = S._knn_exact_sampled(spark, SF)
+    _, p = S._knn_ann_index_cached(spark, SF)
+    fresh = S._knn_query_pack_cached(spark, SF, exact, p)
+    try:
+        # legacy planes-less 1-tuple -> rebuild
+        mc[key] = (fresh,)
+        S._knn_query_pack_cached(spark, SF, exact, p)
+        assert len(mc[key]) == 2 and int(mc[key][1]) == int(p)
+        # stored under a different count than the caller's -> rebuild
+        mc[key] = (fresh, p + 3)
+        S._knn_query_pack_cached(spark, SF, exact, p)
+        assert int(mc[key][1]) == int(p)
+    finally:
+        mc.pop(key, None)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 (low): membership keyed on the served plane count
+# ---------------------------------------------------------------------------
+
+
+def test_membership_cache_keyed_on_planes(spark):
+    """A membership relation certifies should_find at a specific bit
+    width; a cached hit under a DIFFERENT served plane count must
+    rebuild so the completeness certificate grades the promise the
+    sweep actually probes."""
+    mc = S._mc(spark)
+    key = ("ann_membership_knn", SF)
+    saved = mc.pop(key, None)
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(1).select(
+            "id",
+        )
+
+    try:
+        m1 = S._membership_cached(spark, SF, "knn", builder, planes=12)
+        assert calls == [1]
+        assert len(mc[key]) == 2 and int(mc[key][1]) == 12
+        # same planes -> served from cache
+        m2 = S._membership_cached(spark, SF, "knn", builder, planes=12)
+        assert calls == [1] and m2 is m1
+        # different planes -> rebuild
+        S._membership_cached(spark, SF, "knn", builder, planes=15)
+        assert calls == [1, 1]
+        assert int(mc[key][1]) == 15
+        # legacy planes-less entry -> rebuild when a count is demanded
+        mc[key] = (m1,)
+        S._membership_cached(spark, SF, "knn", builder, planes=15)
+        assert calls == [1, 1, 1]
+    finally:
+        mc.pop(key, None)
+        if saved is not None:
+            mc[key] = saved
+
+
+def test_knn_ann_membership_accepts_served_plane_count(spark, monkeypatch):
+    """The should_find flags at the served index's count must match an
+    independent numpy recomputation at that SAME count — and differ
+    from the file-derived count's flags on a corpus where the two
+    widths disagree (the post-reload shape ADVICE r15 names)."""
+    rng = np.random.RandomState(47)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], 0)
+        for i in range(60)
+    ]
+    monkeypatch.setattr(
+        S, "load_table", lambda s, d, n, widen=False: _emb(spark, rows)
+    )
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    p_file = S._knn_ann_planes(parquet_row_count(f"{SF}/embeddings.parquet"))
+    p_idx = p_file + 4
+
+    exact = spark.createDataFrame(
+        [(int(i), int((i + 1) % 60)) for i in range(60)],
+        "vec_id long, neighbor_id long",
+    )
+    got = {
+        (r.vec_id, r.neighbor_id): r.should_find
+        for r in S._knn_ann_membership(
+            spark, SF, exact, planes=p_idx
+        ).collect()
+    }
+
+    planes = np.random.RandomState(
+        S.LSH_SEED + S.KNN_ANN_SEED_OFFSET
+    ).standard_normal((p_idx, 8))
+    m = np.array([r[1] for r in rows])
+    powers = 1 << np.arange(p_idx, dtype=np.int64)
+    sigs = (((m @ planes.T) > 0) * powers).sum(axis=1).astype("int64")
+    for i in range(60):
+        j = (i + 1) % 60
+        want = (
+            bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+            <= S.KNN_ANN_MULTIPROBE
+        )
+        assert got[(i, j)] == want, (i, j)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 (low): queries= path deduplicates repeated vec_ids
+# ---------------------------------------------------------------------------
+
+
+def test_queries_path_dedups_repeated_vec_ids(spark, monkeypatch):
+    """A caller passing a relation with repeated vec_ids (e.g. the
+    exact kNN edges, k rows per query) must get ONE output set per
+    query, not duplicates multiplied through the inner join."""
+    rng = np.random.RandomState(53)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], 0)
+        for i in range(40)
+    ]
+    monkeypatch.setattr(
+        S, "load_table", lambda s, d, n, widen=False: _emb(spark, rows)
+    )
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    p = S._knn_ann_planes(parquet_row_count(f"{SF}/embeddings.parquet"))
+    sigs = S._ann_signatures(
+        _emb(spark, rows).select("vec_id", "embedding"),
+        seed_offset=S.KNN_ANN_SEED_OFFSET,
+        planes=p,
+    ).withColumnRenamed("sig", "bucket")
+    idx = (
+        S._pack_buckets_salted(sigs.select("vec_id", "embedding", "bucket")),
+        p,
+    )
+    q_ids = [0, 3, 7]
+    uniq = spark.createDataFrame([(i,) for i in q_ids], "vec_id long")
+    dup = spark.createDataFrame(
+        [(i,) for i in q_ids for _ in range(4)], "vec_id long"
+    )
+    want = (
+        S.knn_graph_ann_neighbors(spark, SF, index=idx, queries=uniq)
+        .toPandas()
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        S.knn_graph_ann_neighbors(spark, SF, index=idx, queries=dup)
+        .toPandas()
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 (low): stats_funcs degenerate groups -> NULL, not NaN
+# ---------------------------------------------------------------------------
+
+
+def test_stats_funcs_degenerate_groups_null_like_oracle(spark, monkeypatch):
+    """Singleton groups (n<2) and zero-variance corr must come back
+    NULL (the JVM stddev_samp/var_samp/corr and the DuckDB oracle's
+    behavior), not numpy NaN — NaN hashes differently from NULL in the
+    driver's compare."""
+    import duckdb
+
+    from s3_manifest_spark.operators import analytics as A
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["S", "C", "C", "C", "N", "N", "N"],
+            "l_extendedprice": [10.0, 5.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+            "l_quantity": [1.0, 2.0, 2.0, 2.0, 4.0, 5.0, 6.0],
+            "l_discount": [0.1, 0.2, 0.2, 0.2, 0.01, 0.02, 0.03],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        A, "load_table", lambda s, d, n, widen=False: sdf
+    )
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in A.stats_funcs(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.register("lineitem", pdf)
+    want = {
+        r[0]: dict(
+            zip(
+                [
+                    "l_returnflag",
+                    "price_stddev",
+                    "disc_var",
+                    "qty_price_corr",
+                    "qty_price_covar",
+                    "price_median",
+                    "price_p95",
+                ],
+                r,
+            )
+        )
+        for r in con.execute(
+            """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_extendedprice), 4),
+                   round(var_samp(l_discount), 6),
+                   round(corr(l_quantity, l_extendedprice), 6),
+                   round(covar_samp(l_quantity, l_extendedprice), 4),
+                   round(quantile_cont(l_extendedprice, 0.5), 4),
+                   round(quantile_cont(l_extendedprice, 0.95), 4)
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert set(got) == {"S", "C", "N"}
+    # singleton: every sample aggregate NULL on both engines
+    for col in (
+        "price_stddev",
+        "disc_var",
+        "qty_price_corr",
+        "qty_price_covar",
+    ):
+        assert got["S"][col] is None, col
+        assert want["S"][col] is None, col
+    # constant group: zero-variance corr NULL, stddev/var/cov 0.0
+    assert got["C"]["qty_price_corr"] is None
+    assert want["C"]["qty_price_corr"] is None
+    assert got["C"]["price_stddev"] == want["C"]["price_stddev"] == 0.0
+    # healthy group: values agree with the oracle
+    for col in got["N"]:
+        assert got["N"][col] == want["N"][col], (col, got["N"], want["N"])
