@@ -411,6 +411,31 @@ def main() -> int:
     ):
         if q in timings:
             queries_meta.setdefault(q, {})["ann_certificate"] = True
+    # Completeness is not recall (VERDICT r15 item 5): the certificate
+    # flag says the sweep surfaced everything its buckets PROMISE; the
+    # tuning curve's analytic number at the ACTIVE (planes, radius)
+    # says how much they promise.  Surface it on the kNN-graph ANN
+    # rows so a consumer reads one number before trusting the graph.
+    try:
+        from s3_manifest_spark.operators.similarity import (
+            KNN_ANN_MULTIPROBE,
+            knn_ann_expected_capture,
+        )
+
+        ec = knn_ann_expected_capture(spark, sf_dir)
+        for q in (
+            "knn_graph_ann",
+            "knn_graph_ann_sampled",
+            "stream_knn_index_live",
+        ):
+            if q in timings:
+                meta = queries_meta.setdefault(q, {})
+                meta["expected_capture"] = ec
+                meta["expected_capture_radius"] = KNN_ANN_MULTIPROBE
+    except Exception as e:  # never fail the bench on an annotation
+        queries_meta.setdefault("knn_graph_ann", {})[
+            "expected_capture_error"
+        ] = str(e)
     # profile_table_approx is a sketch CERTIFICATE: the Spark wall
     # includes the exact multi-column distincts recomputed to bound
     # the HLL estimates, while the oracle runs only the exact side.

@@ -102,68 +102,67 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group key ships each group's columns once through Arrow and
     takes ``np.percentile`` (C quickselect, same (n-1)·q linear
     interpolation as Spark's percentile and DuckDB's quantile_cont —
-    parity is driver-hash-checked).  The MOMENTS ride the SAME Arrow
-    pass (r15 — previously a second JVM aggregation): the percentile
-    shuffle already ships every group row, so folding stddev/var/
-    corr/cov into the same kernel (numpy two-pass — numerically
-    stable, agrees with both engines' single-pass co-moments to
-    ~1e-10, absorbed by the 4-6 dp output rounding) removes an ENTIRE
-    second fact-table scan + aggregation job for the cost of two
-    extra double columns through the exchange the query pays anyway —
-    the trade that wins at any scale where the scan dominates.  At
-    100 TB the per-group buffering itself is the limit: the sketch
-    path (``approx_percentile``) or the sort-based
+    parity is driver-hash-checked).  The kernel ships ONLY the
+    percentile column: the moments are JVM map-side-combinable
+    aggregates at full stage width, broadcast-joined to the 3-row
+    percentile result (see the inline note — the r15 fold of the
+    moments into the kernel was measured a net loss).  At 100 TB the
+    per-group buffering itself is the limit: the sketch path
+    (``approx_percentile``) or the sort-based
     :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`
     replaces exactness-per-group buffering entirely.
     """
     li = load_table(spark, sf_dir, "lineitem")
 
-    def stats(pdf):
+    def pctl(pdf):
         import numpy as np
         import pandas as pd
 
         price = pdf["l_extendedprice"].to_numpy(dtype="float64")
-        qty = pdf["l_quantity"].to_numpy(dtype="float64")
-        disc = pdf["l_discount"].to_numpy(dtype="float64")
         med, p95 = np.percentile(price, [50.0, 95.0])
-        # Degenerate-group semantics must match the JVM/oracle sample
-        # aggregates, which return NULL — not numpy's NaN — for n<2
-        # (stddev_samp/var_samp/covar_samp/corr) and for zero-variance
-        # corr (ADVICE r15; latent on TPC-H fixtures, real on any
-        # singleton or constant group).
-        if len(price) < 2:
-            stddev = var = corr = covar = None
-        else:
-            cov = np.cov(qty, price, ddof=1)
-            stddev = float(np.std(price, ddof=1))
-            var = float(np.var(disc, ddof=1))
-            covar = float(cov[0, 1])
-            denom = cov[0, 0] * cov[1, 1]
-            corr = float(cov[0, 1] / np.sqrt(denom)) if denom > 0.0 else None
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "price_stddev": [stddev],
-                "disc_var": [var],
-                "qty_price_corr": [corr],
-                "qty_price_covar": [covar],
                 "price_median": [float(med)],
                 "price_p95": [float(p95)],
             }
         )
 
-    return (
+    pctls = (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            pctl,
+            schema="l_returnflag string, price_median double, "
+            "price_p95 double",
+        )
+    )
+    # Moments stay JVM-side (r16 — reverting half of the r15 fold):
+    # stddev/var/corr/covar are map-side-combinable whole-stage-codegen
+    # aggregates that run 32-wide, while the percentile kernel is ONE
+    # task per group (3 groups) — folding the moments into it shipped
+    # four columns of the whole fact table through a parallelism-3
+    # Arrow exchange to save a scan that costs ~0.05 s.  Splitting
+    # ships one column through Arrow and computes the moments at full
+    # stage width; the two 3-row results broadcast-join.  JVM sample
+    # aggregates also give the NULL-on-degenerate-group semantics
+    # (n<2, zero-variance corr) the oracle has natively (ADVICE r15).
+    moments = (
         li.select(
             "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
         )
         .groupBy("l_returnflag")
-        .applyInPandas(
-            stats,
-            schema="l_returnflag string, price_stddev double, "
-            "disc_var double, qty_price_corr double, "
-            "qty_price_covar double, price_median double, "
-            "price_p95 double",
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_discount").alias("disc_var"),
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias(
+                "qty_price_covar"
+            ),
         )
+    )
+    return (
+        moments.join(F.broadcast(pctls), "l_returnflag")
         # round JVM-side: F.round is HALF_UP like the oracle's round()
         # (Python's round would be banker's)
         .select(

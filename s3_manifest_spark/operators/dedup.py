@@ -2076,18 +2076,25 @@ def probe_incremental(
         F.col("bb.band").alias("band"),
         F.col("bb.bh").alias("bh"),
     )
-    # persisted: the candidate relation feeds THREE broadcast builds
-    # (pair attach + two side prefilters) — without the persist each
-    # broadcast re-runs the bucket join + distinct
+    # persisted: the candidate relation feeds the pair attach and the
+    # old-side prefilter — without the persist each broadcast re-runs
+    # the bucket join + distinct.  (r16: an eager-localCheckpoint
+    # variant was A/B-measured interleaved at sf0.1 — the checkpoint's
+    # job scheduling + block writes repay the ~0.2 s of Catalyst
+    # re-analysis it saves; the lazy persist stays.)
     candidates = track_persist(
         buckets_old.join(F.broadcast(new_bands), ["band", "bh"])
         .select("doc_new", "n_new", "doc_old", "n_old")
         .distinct()
     )
-    # exact verify on candidate docs only, both sides prefiltered
-    sa = sh_new.join(
-        F.broadcast(candidates.select("doc_new").distinct()), "doc_new"
-    ).select("doc_new", "fp")
+    # exact verify on candidate docs only.  The NEW side needs no
+    # prefilter (r16): the attach join below is itself a broadcast
+    # hash join on doc_new, so non-candidate rows drop there — a
+    # semi-filter first just re-broadcasts the same relation and adds
+    # a second pass over sh_new for zero row reduction at the attach.
+    # The OLD side's prefilter is load-bearing: it bounds the corpus
+    # side of the (doc_old, fp) join to candidate docs.
+    sa = sh_new.select("doc_new", "fp")
     sb = sh_old.join(
         F.broadcast(candidates.select("doc_old").distinct()), "doc_old"
     ).select("doc_old", "fp")

@@ -2460,6 +2460,44 @@ def knn_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ann_expected_capture(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int | None = None,
+    radius: int = KNN_ANN_MULTIPROBE,
+) -> float:
+    """Expected per-edge RECALL of the production kNN-ANN sweep at its
+    ACTIVE (planes, radius) — the tuning curve's number evaluated at
+    the dial the sweep actually runs (VERDICT r15 item 5: the
+    completeness certificate says the sweep returned everything its
+    buckets promised; THIS number says how much they promise, and a
+    consumer should read it before trusting the graph).  Same analytic
+    expression, same exact-edge relation, same rounding as
+    :func:`knn_ann_tuning_curve` — at a grid config the two agree
+    exactly (pinned by test_r16_consolidation).  Session-cached as a
+    scalar alongside the index it describes; bench.py surfaces it as
+    ``expected_capture`` in the certificate rows' queries_meta."""
+    if planes is None:
+        planes = _knn_ann_planes(
+            parquet_row_count(f"{sf_dir}/embeddings.parquet")
+        )
+    mc = _mc(spark)
+    key = ("knn_ann_capture", sf_dir, int(planes), int(radius))
+    cached = mc.get(key)
+    if cached is not None:
+        return float(cached[0])
+    cap = _hyperplane_capture_expr(int(planes), int(radius))
+    row = (
+        _knn_exact_cached(spark, sf_dir)
+        .selectExpr(f"{_HYPERPLANE_Q_SQL} AS q")
+        .agg(F.round(F.avg(F.expr(cap)), 6).alias("ec"))
+        .collect()[0]
+    )
+    value = float(row["ec"])
+    mc[key] = (value,)
+    return value
+
+
 #: centroid components are rounded to this many decimals on BOTH
 #: engines before the cosine pass: the quantum (5e-8) is ~7 orders
 #: above cross-engine float-sum noise (~1e-15 relative), so the

@@ -276,3 +276,130 @@ def test_stats_funcs_degenerate_groups_null_like_oracle(spark, monkeypatch):
     # healthy group: values agree with the oracle
     for col in got["N"]:
         assert got["N"][col] == want["N"][col], (col, got["N"], want["N"])
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r15 item 4: delta-pack of the streamed kNN index
+# ---------------------------------------------------------------------------
+
+
+def _norm_packed(df):
+    pdf = df.toPandas()
+    return sorted(
+        (int(r["blk"]), tuple(r["ids"]), tuple(np.round(r["mat"], 6)))
+        for _, r in pdf.iterrows()
+    )
+
+
+def test_delta_pack_equals_full_pack(spark):
+    """delta_pack_knn_index(prev_packed, append) must equal the full
+    pack of (old ∪ new) exactly — untouched buckets reuse their served
+    blocks byte-identically (per-bucket salting), touched buckets
+    repack at their new occupancy."""
+    from s3_manifest_spark.streaming.knn_index import delta_pack_knn_index
+
+    rng = np.random.RandomState(61)
+    dim = 8
+
+    def rows_df(ids):
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(dim)], 0)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).select("vec_id", "embedding")
+
+    old = rows_df(range(200))
+    new = rows_df(range(200, 260))
+    p = 6  # few planes -> plenty of shared + hot buckets to salt
+
+    def sig(df):
+        return S._ann_signatures(
+            df, seed_offset=S.KNN_ANN_SEED_OFFSET, planes=p
+        ).withColumnRenamed("sig", "bucket").select(
+            "vec_id", "bucket", "embedding"
+        )
+
+    old_rows, new_rows = sig(old), sig(new)
+    prev_packed = S._pack_buckets_salted(old_rows)
+    got = delta_pack_knn_index(prev_packed, new_rows)
+    want = S._pack_buckets_salted(old_rows.unionByName(new_rows))
+    assert _norm_packed(got) == _norm_packed(want)
+    # the delta genuinely touched a strict subset: some served blocks
+    # must survive untouched for the reuse claim to mean anything
+    touched = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
+    all_blks = {r.blk for r in prev_packed.select("blk").distinct().collect()}
+    assert touched - all_blks or all_blks - touched
+
+
+def test_delta_pack_resalts_hot_bucket(spark):
+    """An append that pushes one bucket past KNN_ANN_MAX_BLOCK must
+    re-split THAT bucket into more sub-blocks (salt count is a
+    function of new occupancy), while leaving other buckets' block
+    rows identical to the served relation."""
+    from s3_manifest_spark.streaming.knn_index import delta_pack_knn_index
+
+    rng = np.random.RandomState(67)
+    dim = 4
+    cap = S.KNN_ANN_MAX_BLOCK
+
+    def mk(ids, bucket):
+        rows = [
+            (int(i), int(bucket), [float(x) for x in rng.standard_normal(dim)])
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, bucket long, embedding array<float>"
+        )
+
+    # bucket 1 at exactly cap (1 sub-block served); bucket 2 small
+    old_rows = mk(range(cap), 1).unionByName(mk(range(cap, cap + 3), 2))
+    prev_packed = S._pack_buckets_salted(old_rows)
+    served_b1 = [r for r in _norm_packed(prev_packed) if r[0] == 1]
+    served_b2 = [r for r in _norm_packed(prev_packed) if r[0] == 2]
+    assert len(served_b1) == 1
+    # append cap more members to bucket 1 -> must split into 2 salts
+    new_rows = mk(range(1000, 1000 + cap), 1)
+    got = _norm_packed(delta_pack_knn_index(prev_packed, new_rows))
+    got_b1 = [r for r in got if r[0] == 1]
+    got_b2 = [r for r in got if r[0] == 2]
+    assert len(got_b1) == 2
+    assert got_b2 == served_b2  # untouched bucket reused as-is
+    want = _norm_packed(
+        S._pack_buckets_salted(old_rows.unionByName(new_rows))
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r15 item 5: expected_capture surfaced next to completeness
+# ---------------------------------------------------------------------------
+
+
+def test_expected_capture_matches_registered_curve_row(spark):
+    """knn_ann_expected_capture at a grid config must equal the
+    registered tuning curve's expected_capture for that (planes,
+    radius) row — same expression, same edges, same rounding."""
+    curve = {
+        (r.planes, r.probe_radius): r.expected_capture
+        for r in S.knn_ann_tuning_curve(spark, SF).collect()
+    }
+    for p, rad in ((8, 1), (16, 0), (12, 2)):
+        got = S.knn_ann_expected_capture(spark, SF, planes=p, radius=rad)
+        assert got == curve[(p, rad)], (p, rad, got, curve[(p, rad)])
+
+
+def test_expected_capture_default_is_active_dial(spark):
+    """With no overrides the number describes the PRODUCTION dial —
+    the corpus-adaptive plane count at KNN_ANN_MULTIPROBE — and lands
+    in (0, 1]."""
+    from s3_manifest_spark.sources.tables import parquet_row_count
+
+    p = S._knn_ann_planes(parquet_row_count(f"{SF}/embeddings.parquet"))
+    got = S.knn_ann_expected_capture(spark, SF)
+    explicit = S.knn_ann_expected_capture(
+        spark, SF, planes=p, radius=S.KNN_ANN_MULTIPROBE
+    )
+    assert got == explicit
+    assert 0.0 < got <= 1.0

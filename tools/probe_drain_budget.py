@@ -64,12 +64,32 @@ def main() -> int:
             samples[name].append(round(time.perf_counter() - t0, 4))
 
     mins = {n: min(s) for n, s in samples.items()}
+
+    # Itemize the output-collect term (r16): the budget reps toPandas
+    # the registered output because that is what the driver and bench
+    # pay, but for the CDC maintainer the output IS the 445k-row
+    # manifest snapshot — a count()-only leg separates "drain work"
+    # from "Arrow-collecting the result", so a loud collect can't be
+    # misread as a drain regression (the decompose probe's wall is
+    # count-based and matches the r12 itemization leg for leg).
+    count_samples: dict[str, list] = {n: [] for n in DRAINS}
+    for _ in range(max(3, RUNS // 2)):
+        for name in DRAINS:
+            getattr(spark, "_smsp_plan_cache", {}).clear()
+            t0 = time.perf_counter()
+            qs[name](spark, sf).count()
+            count_samples[name].append(round(time.perf_counter() - t0, 4))
+    count_mins = {n: min(s) for n, s in count_samples.items()}
     out = {
         "sf_dir": sf,
         "cpus": int(cpus),
         "runs": RUNS,
         "samples": samples,
         "min": mins,
+        "count_only_min": count_mins,
+        "collect_delta": {
+            n: round(max(0.0, mins[n] - count_mins[n]), 4) for n in DRAINS
+        },
         "sum_min_sec": round(sum(mins.values()), 4),
         # the r12 Σ ≤ 4.0 s commitment named the index+cdc maintainer
         # PAIR — kept for continuity; the FAMILY target below covers

@@ -135,6 +135,84 @@ try:
         ).parquet(os.path.join(big_store, "batch_append_probe"))
 
     result["append_1x_into_10x_store_sec"] = min_of(append_small)
+
+    # r16 (VERDICT r15 item 4): served-index refresh after that append.
+    # pack_full re-packs the whole store (the old path, O(store));
+    # pack_delta reuses the untouched served blocks and repacks only
+    # the buckets the append touched (O(append · occupancy)) — the
+    # ratio is the incremental-maintenance win at scale.
+    served = _pack_buckets_salted(
+        ki.read_knn_index_store(spark, big_store, pbig)
+    ).localCheckpoint(eager=True)
+    append_rows = ki._ann_signatures(
+        spark.read.parquet(spool1).select(
+            F.col("vec_id") + F.lit((COPIES + 1) * 10**9), "embedding"
+        ).toDF("vec_id", "embedding"),
+        seed_offset=ki.KNN_ANN_SEED_OFFSET,
+        planes=pbig,
+    ).withColumnRenamed("sig", "bucket").select(
+        "vec_id", "bucket", "embedding"
+    ).localCheckpoint(eager=True)
+
+    def pack_full():
+        _pack_buckets_salted(
+            ki.read_knn_index_store(spark, big_store, pbig).unionByName(
+                append_rows
+            )
+        ).count()
+
+    def pack_delta():
+        ki.delta_pack_knn_index(served, append_rows).count()
+
+    result["refresh_pack_full_sec"] = min_of(pack_full)
+    result["refresh_pack_delta_sec"] = min_of(pack_delta)
+    result["delta_pack_speedup"] = round(
+        result["refresh_pack_full_sec"]
+        / max(result["refresh_pack_delta_sec"], 1e-9),
+        2,
+    )
+    print(
+        f"refresh after 1x append into {COPIES}x store: full re-pack "
+        f"{result['refresh_pack_full_sec']}s vs delta-pack "
+        f"{result['refresh_pack_delta_sec']}s "
+        f"({result['delta_pack_speedup']}x)"
+    )
+
+    # Small-append leg: with uniform random buckets a batch of A rows
+    # touches ~A distinct buckets, each pulling its WHOLE bucket
+    # (occupancy ~32 members) into the repack — so the delta's row
+    # volume is ~A·occ regardless of store size.  The 1x append above
+    # is 1/COPIES of the store and touches a large bucket fraction;
+    # this leg appends 1/10 of that to show the delta cost tracking
+    # the APPEND, not the store.
+    small_rows = append_rows.filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == 0
+    ).localCheckpoint(eager=True)
+    result["small_append_rows"] = small_rows.count()
+
+    def pack_delta_small():
+        ki.delta_pack_knn_index(served, small_rows).count()
+
+    def pack_full_small():
+        _pack_buckets_salted(
+            ki.read_knn_index_store(spark, big_store, pbig).unionByName(
+                small_rows
+            )
+        ).count()
+
+    result["refresh_small_pack_full_sec"] = min_of(pack_full_small)
+    result["refresh_small_pack_delta_sec"] = min_of(pack_delta_small)
+    result["small_delta_pack_speedup"] = round(
+        result["refresh_small_pack_full_sec"]
+        / max(result["refresh_small_pack_delta_sec"], 1e-9),
+        2,
+    )
+    print(
+        f"small append ({result['small_append_rows']} rows): full "
+        f"{result['refresh_small_pack_full_sec']}s vs delta "
+        f"{result['refresh_small_pack_delta_sec']}s "
+        f"({result['small_delta_pack_speedup']}x)"
+    )
     result["drain_growth"] = round(
         result[f"{COPIES}x"]["drain_sec"] / result["1x"]["drain_sec"], 2
     )
