@@ -236,6 +236,59 @@ def delta_pack_knn_index(
     return untouched.unionByName(repacked)
 
 
+#: Delta-vs-full refresh crossover margin: the delta path repacks
+#: ~A·occ member rows for an A-row append (uniform buckets: each
+#: appended row pulls its whole ~occ-member bucket), so it wins only
+#: while A·occ ≪ store.  The measured crossover sits near A ≈ 1% of
+#: the store at occ≈24 (KNN_MAINTAINER_SCALE_100x.json: 3.3× faster at
+#: 0.1%, slower at 1%); the policy switches an order of magnitude
+#: below it.
+KNN_REFRESH_DELTA_FRACTION = 1.0 / 1000.0
+
+
+def refresh_knn_index(
+    spark: SparkSession,
+    prev_packed: DataFrame,
+    new_rows: DataFrame,
+    store_rows: int,
+    append_rows: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Served-index refresh with the SCALE.md cadence policy applied:
+    ``(refreshed_packed, path)`` where ``path`` is ``"delta"`` for an
+    append small enough that the delta-pack's A·occ row volume beats a
+    full re-pack (:data:`KNN_REFRESH_DELTA_FRACTION` of the store), or
+    ``"full"`` for bulk loads, which are rebuilds, not appends.  Both
+    paths produce the identical packed relation (the delta path is
+    pinned equal to the full pack); only the work differs.
+
+    ``append_rows``: pass the batch size when the caller already knows
+    it (a streaming sink does — it's the micro-batch's row count);
+    otherwise it is counted here (one job over the append, never the
+    store)."""
+    if append_rows is None:
+        append_rows = new_rows.count()
+    if append_rows <= max(1, int(store_rows * KNN_REFRESH_DELTA_FRACTION)):
+        return delta_pack_knn_index(prev_packed, new_rows), "delta"
+    all_members = prev_packed.select(
+        F.col("blk").alias("bucket"),
+        F.explode(
+            F.expr(
+                "transform(ids, (id, i) -> struct(id as vec_id, "
+                "slice(mat, i * int(size(mat) / size(ids)) + 1, "
+                "int(size(mat) / size(ids))) as embedding))"
+            )
+        ).alias("m"),
+    ).select("m.vec_id", "bucket", "m.embedding")
+    return (
+        _pack_buckets_salted(
+            all_members.unionByName(
+                new_rows.select("vec_id", "bucket", "embedding")
+            )
+        ),
+        "full",
+    )
+
+
 @register("stream_knn_index_live", oracle=_KNN_ANN_CERT_SQL)
 def stream_knn_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the embedding feed through the streaming kNN-ANN index

@@ -403,3 +403,54 @@ def test_expected_capture_default_is_active_dial(spark):
     )
     assert got == explicit
     assert 0.0 < got <= 1.0
+
+
+def test_refresh_knn_index_policy_and_equality(spark):
+    """refresh_knn_index applies the SCALE.md cadence policy (delta for
+    small appends, full re-pack for bulk loads) and BOTH paths produce
+    the identical packed relation."""
+    from s3_manifest_spark.streaming.knn_index import (
+        KNN_REFRESH_DELTA_FRACTION,
+        refresh_knn_index,
+    )
+
+    rng = np.random.RandomState(71)
+    dim = 8
+
+    def rows_df(ids):
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(dim)])
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    p = 6
+    n_store = 300
+
+    def sig(df):
+        return S._ann_signatures(
+            df, seed_offset=S.KNN_ANN_SEED_OFFSET, planes=p
+        ).withColumnRenamed("sig", "bucket").select(
+            "vec_id", "bucket", "embedding"
+        )
+
+    old_rows = sig(rows_df(range(n_store)))
+    prev = S._pack_buckets_salted(old_rows).localCheckpoint(eager=True)
+
+    # a 1-row append sits under fraction*store -> delta path
+    small = sig(rows_df([10_000]))
+    got_small, path_small = refresh_knn_index(spark, prev, small, n_store)
+    assert path_small == "delta"
+    want_small = S._pack_buckets_salted(old_rows.unionByName(small))
+    assert _norm_packed(got_small) == _norm_packed(want_small)
+
+    # a bulk append (half the store) -> full re-pack path
+    bulk = sig(rows_df(range(20_000, 20_000 + n_store // 2)))
+    got_bulk, path_bulk = refresh_knn_index(spark, prev, bulk, n_store)
+    assert path_bulk == "full"
+    want_bulk = S._pack_buckets_salted(old_rows.unionByName(bulk))
+    assert _norm_packed(got_bulk) == _norm_packed(want_bulk)
+
+    assert 0 < KNN_REFRESH_DELTA_FRACTION < 0.01
