@@ -419,10 +419,16 @@ def main() -> int:
     try:
         from s3_manifest_spark.operators.similarity import (
             KNN_ANN_MULTIPROBE,
+            _knn_ann_index_cached,
             knn_ann_expected_capture,
         )
 
-        ec = knn_ann_expected_capture(spark, sf_dir)
+        # state the recall at the SERVED index's width, which after a
+        # models-store reload across a plane boundary differs from the
+        # file-derived count (r16 review)
+        ec = knn_ann_expected_capture(
+            spark, sf_dir, planes=_knn_ann_index_cached(spark, sf_dir)[1]
+        )
         for q in (
             "knn_graph_ann",
             "knn_graph_ann_sampled",

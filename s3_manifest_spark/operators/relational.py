@@ -124,16 +124,23 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_key = "spark.sql.autoBroadcastJoinThreshold"
     adaptive_key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
     old_static = spark.conf.get(static_key)
-    # "-1" is this conf's actual default ("fall back to the static
-    # threshold") — also the safe conf.get default, since Spark 4
-    # validates the default value against the conf's byte type.
-    old_adaptive = spark.conf.get(adaptive_key, "-1")
+    # The adaptive threshold is an OPTIONAL conf: unset means "fall
+    # back to the static threshold", while an EXPLICIT "-1" disables
+    # AQE broadcast conversion outright — so the restore must unset
+    # when it was unset, not write -1 back (writing -1 would kill AQE
+    # sort-merge→broadcast conversion for every later query in the
+    # session).  conf.get(key, None) reads without Spark 4's
+    # default-value type validation.
+    old_adaptive = spark.conf.get(adaptive_key, None)
     spark.conf.set(adaptive_key, old_static)
     spark.conf.set(static_key, "-1")
 
     def _restore(k=static_key, ak=adaptive_key, s=old_static, a=old_adaptive):
         spark.conf.set(k, s)
-        spark.conf.set(ak, a)
+        if a is None:
+            spark.conf.unset(ak)
+        else:
+            spark.conf.set(ak, a)
 
     defer_cleanup(_restore)
     j = li.join(dims, li.l_orderkey == dims.o_orderkey)

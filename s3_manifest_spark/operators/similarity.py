@@ -606,6 +606,11 @@ def _membership_cached(
             return cached[0]
         if len(cached) >= 2 and int(cached[1]) == int(planes):
             return cached[0]
+        # superseded width: release the old frame's blocks before the
+        # rebuild overwrites the only handle to them (r16 review —
+        # otherwise a plane-boundary reload leaks one persisted N·k
+        # frame per rebuild)
+        cached[0].unpersist(blocking=False)
     m = builder().persist()
     m.count()
     mc[key] = (m,) if planes is None else (m, int(planes))
@@ -1823,6 +1828,12 @@ def _knn_ann_index_cached(
     if cached is not None and len(cached) >= 2:
         packed, p = cached[0], int(cached[1])
         return packed, p
+    if cached is not None:
+        # legacy 1-tuple being rebuilt: free its checkpoint blocks
+        # before overwriting the only handle (r16 review)
+        from s3_manifest_spark.registry import _release_checkpoint_blocks
+
+        _release_checkpoint_blocks(cached[0])
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     p = _knn_ann_planes(n)
@@ -1856,6 +1867,13 @@ def _knn_query_pack_cached(
     # query-side edition of the knn_ann_index legacy guard above).
     if cached is not None and len(cached) >= 2 and int(cached[1]) == int(p):
         return cached[0]
+    if cached is not None:
+        # superseded width (legacy 1-tuple or plane-boundary reload):
+        # free the stale pack's checkpoint blocks before the rebuild
+        # drops the only handle (r16 review)
+        from s3_manifest_spark.registry import _release_checkpoint_blocks
+
+        _release_checkpoint_blocks(cached[0])
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = v.join(
         F.broadcast(exact.select("vec_id").distinct()), "vec_id"

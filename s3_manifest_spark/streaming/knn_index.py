@@ -203,7 +203,14 @@ def delta_pack_knn_index(
     the touched blocks, and the packer's bucket-keyed exchange over
     touched members only — O(|append| · occupancy) rows, independent
     of store size (measured flat in KNN_MAINTAINER_SCALE_100x.json's
-    ``pack_delta`` leg)."""
+    ``pack_delta`` leg).
+
+    ``new_rows`` must be a MATERIALIZED relation (checkpoint / cached
+    parquet read): the plan consumes it twice (touched-bucket
+    broadcast + repack union), so a lazy kernel output would re-pay
+    its computation per consumer and a non-deterministic source could
+    split inconsistently between the reuse and repack legs.  The
+    policy wrapper :func:`refresh_knn_index` checkpoints it for you."""
     touched = new_rows.select("bucket").distinct()
     untouched = prev_packed.join(
         F.broadcast(touched),
@@ -247,7 +254,6 @@ KNN_REFRESH_DELTA_FRACTION = 1.0 / 1000.0
 
 
 def refresh_knn_index(
-    spark: SparkSession,
     prev_packed: DataFrame,
     new_rows: DataFrame,
     store_rows: int,
@@ -261,10 +267,20 @@ def refresh_knn_index(
     paths produce the identical packed relation (the delta path is
     pinned equal to the full pack); only the work differs.
 
+    ``new_rows`` is materialized here (eager localCheckpoint): the
+    refresh plan consumes it up to three times (count, touched-bucket
+    broadcast, repack union), so a lazy append — e.g. the signature
+    pass over an incoming batch — would re-pay its computation per
+    consumer, and a non-deterministic source could even split
+    inconsistently between the reuse and repack legs (r16 review).
+
     ``append_rows``: pass the batch size when the caller already knows
     it (a streaming sink does — it's the micro-batch's row count);
     otherwise it is counted here (one job over the append, never the
     store)."""
+    new_rows = new_rows.select(
+        "vec_id", "bucket", "embedding"
+    ).localCheckpoint(eager=True)
     if append_rows is None:
         append_rows = new_rows.count()
     if append_rows <= max(1, int(store_rows * KNN_REFRESH_DELTA_FRACTION)):

@@ -441,14 +441,14 @@ def test_refresh_knn_index_policy_and_equality(spark):
 
     # a 1-row append sits under fraction*store -> delta path
     small = sig(rows_df([10_000]))
-    got_small, path_small = refresh_knn_index(spark, prev, small, n_store)
+    got_small, path_small = refresh_knn_index(prev, small, n_store)
     assert path_small == "delta"
     want_small = S._pack_buckets_salted(old_rows.unionByName(small))
     assert _norm_packed(got_small) == _norm_packed(want_small)
 
     # a bulk append (half the store) -> full re-pack path
     bulk = sig(rows_df(range(20_000, 20_000 + n_store // 2)))
-    got_bulk, path_bulk = refresh_knn_index(spark, prev, bulk, n_store)
+    got_bulk, path_bulk = refresh_knn_index(prev, bulk, n_store)
     assert path_bulk == "full"
     want_bulk = S._pack_buckets_salted(old_rows.unionByName(bulk))
     assert _norm_packed(got_bulk) == _norm_packed(want_bulk)

@@ -119,7 +119,24 @@ def main() -> int:
     # the previous windows' minima forward (capped) so the artifact
     # shows the re-measurement discipline and the best window achieved
     # on this tree.
+    # Windows are only comparable on an identical ENGINE SOURCE TREE:
+    # the carry below is keyed on this hash so a committed change to
+    # the package can never inherit a faster tree's floor (which would
+    # mask a real drain regression as "loud window" forever — r16
+    # review).
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(here, "s3_manifest_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn), "rb") as f:
+                    h.update(f.read())
+    out["tree_hash"] = h.hexdigest()[:16]
+
     prior = []
+    old = {}
     try:
         with open(path) as f:
             old = json.load(f)
@@ -127,10 +144,24 @@ def main() -> int:
         prior.append({"min": old.get("min"), "sum_min_sec": old.get("sum_min_sec")})
     except Exception:
         pass
+    same_tree = old.get("tree_hash") == out["tree_hash"]
+    if not same_tree:
+        # source changed since the last window: history stays visible
+        # but does not feed the floor composite
+        prior = [dict(w, stale_tree=True) for w in prior]
     out["prior_windows"] = prior
     best = dict(out["min"])
     for w in prior:
+        if w.get("stale_tree"):
+            continue
         for q, v in (w.get("min") or {}).items():
+            if q in best and v is not None:
+                best[q] = min(best[q], v)
+    # carry the running best forward too (prior_windows is capped at
+    # the last 4 windows; without this a good early window rolls off
+    # and the composite silently regresses) — same-tree only.
+    if same_tree:
+        for q, v in (old.get("best_window_min") or {}).items():
             if q in best and v is not None:
                 best[q] = min(best[q], v)
     out["best_window_min"] = best

@@ -42,7 +42,8 @@ def main() -> int:
     shared = sorted(
         q
         for q in qn
-        if q in qo and LO <= oo[q] < HI and LO <= on_[q] < HI
+        if q in qo and q in oo and q in on_
+        and LO <= oo[q] < HI and LO <= on_[q] < HI
     )
     out = {
         "old_ref": ref,
@@ -62,12 +63,14 @@ def main() -> int:
             "oracle_sec": round(sum(on_[q] for q in shared), 2),
         },
         "migrated_out": sorted(
-            q for q in qn if q in qo and LO <= oo[q] < HI
-            and not LO <= on_[q] < HI
+            q for q in qn
+            if q in qo and q in oo and q in on_
+            and LO <= oo[q] < HI and not LO <= on_[q] < HI
         ),
         "migrated_in": sorted(
-            q for q in qn if q in qo and LO <= on_[q] < HI
-            and not LO <= oo[q] < HI
+            q for q in qn
+            if q in qo and q in oo and q in on_
+            and LO <= on_[q] < HI and not LO <= oo[q] < HI
         ),
     }
     for side in ("old", "new"):

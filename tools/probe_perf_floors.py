@@ -396,14 +396,21 @@ def main() -> int:
         # the honest rebuild but leaves the cache populated for the
         # interleaved warm query leg
         from s3_manifest_spark.operators.similarity import (
+            _knn_ann_index_cached,
             _membership_cached,
         )
 
         session_model_cache(spark).pop(("ann_membership_knn_s", sf), None)
         exact = _knn_exact_sampled(spark, sf)
+        idx = _knn_ann_index_cached(spark, sf)
+        # planes must match the query leg's (r16): a planes-less
+        # rebuild stores a legacy 1-tuple the query leg's planes check
+        # rejects — the warm leg would silently re-pay the rebuild
+        # every alternation (the r15 wrapper-rebuild trap, again).
         _membership_cached(
             spark, sf, "knn_s",
-            lambda: _knn_ann_membership(spark, sf, exact),
+            lambda: _knn_ann_membership(spark, sf, exact, planes=idx[1]),
+            planes=idx[1],
         ).toPandas()
 
     def sampled_query_pack_build():
