@@ -454,3 +454,50 @@ def test_refresh_knn_index_policy_and_equality(spark):
     assert _norm_packed(got_bulk) == _norm_packed(want_bulk)
 
     assert 0 < KNN_REFRESH_DELTA_FRACTION < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Property pin: delta-pack == full pack under arbitrary append shapes
+# ---------------------------------------------------------------------------
+
+
+def test_delta_pack_property_random_appends(spark):
+    """For arbitrary (store, append) splits — including empty appends,
+    all-new buckets, all-touched buckets, and appends that push buckets
+    over the salt cap — delta_pack_knn_index(prev, append) equals the
+    full pack of the union.  A deterministic seed sweep stands in for
+    hypothesis here: each example costs several Spark jobs, so the
+    sweep keeps the example count bounded while still varying store
+    size, append size, bucket skew, and dimension."""
+    from s3_manifest_spark.streaming.knn_index import delta_pack_knn_index
+
+    for seed, n_old, n_new, n_buckets, dim in (
+        (1, 40, 0, 8, 4),      # empty append: result == prev exactly
+        (2, 30, 30, 4, 4),     # heavy overlap, hot buckets past the cap
+        (3, 25, 10, 1000, 6),  # sparse buckets: appends land in NEW buckets
+        (4, 5, 60, 6, 3),      # append dominates the store
+        (5, 64, 7, 2, 5),      # two buckets only, both necessarily touched
+    ):
+        rng = np.random.RandomState(seed)
+
+        def mk(ids):
+            rows = [
+                (
+                    int(i),
+                    int(rng.randint(0, n_buckets)),
+                    [float(x) for x in rng.standard_normal(dim)],
+                )
+                for i in ids
+            ]
+            return spark.createDataFrame(
+                rows, "vec_id long, bucket long, embedding array<float>"
+            )
+
+        old_rows = mk(range(n_old))
+        new_rows = mk(range(10_000, 10_000 + n_new))
+        prev = S._pack_buckets_salted(old_rows)
+        got = _norm_packed(delta_pack_knn_index(prev, new_rows))
+        want = _norm_packed(
+            S._pack_buckets_salted(old_rows.unionByName(new_rows))
+        )
+        assert got == want, (seed, n_old, n_new, n_buckets, dim)
