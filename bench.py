@@ -423,16 +423,20 @@ def main() -> int:
             knn_ann_expected_capture,
         )
 
-        # state the recall at the SERVED index's width, which after a
-        # models-store reload across a plane boundary differs from the
-        # file-derived count (r16 review)
-        ec = knn_ann_expected_capture(
+        # state the recall at the width each row actually PROBES (r16
+        # review): the batch certificates probe the SERVED index's
+        # width (which after a models-store reload across a plane
+        # boundary differs from the file-derived count), while the
+        # streamed maintainer drains the current corpus at the
+        # file-derived count by construction.
+        served = knn_ann_expected_capture(
             spark, sf_dir, planes=_knn_ann_index_cached(spark, sf_dir)[1]
         )
-        for q in (
-            "knn_graph_ann",
-            "knn_graph_ann_sampled",
-            "stream_knn_index_live",
+        filed = knn_ann_expected_capture(spark, sf_dir)
+        for q, ec in (
+            ("knn_graph_ann", served),
+            ("knn_graph_ann_sampled", served),
+            ("stream_knn_index_live", filed),
         ):
             if q in timings:
                 meta = queries_meta.setdefault(q, {})

@@ -162,7 +162,16 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        moments.join(F.broadcast(pctls), "l_returnflag")
+        # null-SAFE key equality (r16 review): GROUP BY keeps a NULL
+        # key as its own group on both engines, and a plain inner join
+        # on l_returnflag would silently drop that group from the
+        # split plan — latent on TPC-H (column non-null), a row-count
+        # divergence on any real corpus.
+        moments.join(
+            F.broadcast(pctls.withColumnRenamed("l_returnflag", "_rf")),
+            moments["l_returnflag"].eqNullSafe(F.col("_rf")),
+        )
+        .drop("_rf")
         # round JVM-side: F.round is HALF_UP like the oracle's round()
         # (Python's round would be banker's)
         .select(

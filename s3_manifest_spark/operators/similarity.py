@@ -593,27 +593,54 @@ def _membership_cached(
 
     ``planes`` (the hyperplane-LSH families): the membership's
     should_find promise is stated at a specific bit width, so the
-    cached relation travels with it as a scalar ('frames+scalars' in
-    models.py) and a hit under a DIFFERENT served plane count rebuilds
-    instead of grading the sweep against the wrong promise (ADVICE
-    r15: after an index reload across a _knn_ann_planes boundary the
-    file-derived count and the served index's count diverge)."""
+    cached relations travel with their widths as scalars
+    ('frames+scalars' in models.py, frames-first: (m1, m2, w1, w2))
+    and a demand for an UNCACHED width rebuilds instead of grading the
+    sweep against the wrong promise (ADVICE r15: after an index reload
+    across a _knn_ann_planes boundary the file-derived count and the
+    served index's count diverge).  Up to TWO widths live side by
+    side: in the boundary-reload scenario ``knn_graph_ann`` (served
+    width) and ``stream_knn_index_live`` (file-derived width)
+    alternate within one bench pass, and a single-slot cache would
+    rebuild-and-leak the corpus-pass relation per alternation (r16
+    review)."""
+    from s3_manifest_spark.registry import _release_checkpoint_blocks
+
+    def release(f):
+        # both releases — unpersist covers store-loaded frames
+        # (models.py persists parquet reads), the checkpoint release
+        # covers session-built LogicalRDDs; each a no-op for the other
+        f.unpersist(blocking=False)
+        _release_checkpoint_blocks(f)
+
     mc = _mc(spark)
     key = (f"ann_membership_{kind}", sf_dir)
     cached = mc.get(key)
+    frames: list = []
+    widths: list[int] = []
     if cached is not None:
+        frames = [v for v in cached if isinstance(v, DataFrame)]
+        widths = [int(v) for v in cached if not isinstance(v, DataFrame)]
         if planes is None:
-            return cached[0]
-        if len(cached) >= 2 and int(cached[1]) == int(planes):
-            return cached[0]
-        # superseded width: release the old frame's blocks before the
-        # rebuild overwrites the only handle to them (r16 review —
-        # otherwise a plane-boundary reload leaks one persisted N·k
-        # frame per rebuild)
-        cached[0].unpersist(blocking=False)
+            return frames[0]
+        if len(widths) == len(frames) and int(planes) in widths:
+            return frames[widths.index(int(planes))]
+        if len(widths) != len(frames):
+            # legacy planes-less store (widths unknown): evict it
+            for f in frames:
+                release(f)
+            frames, widths = [], []
     m = builder().persist()
     m.count()
-    mc[key] = (m,) if planes is None else (m, int(planes))
+    if planes is None:
+        mc[key] = (m,)
+        return m
+    frames.append(m)
+    widths.append(int(planes))
+    if len(frames) > 2:  # bounded: evict the oldest width
+        release(frames.pop(0))
+        widths.pop(0)
+    mc[key] = tuple(frames) + tuple(widths)
     return m
 
 
@@ -1829,10 +1856,15 @@ def _knn_ann_index_cached(
         packed, p = cached[0], int(cached[1])
         return packed, p
     if cached is not None:
-        # legacy 1-tuple being rebuilt: free its checkpoint blocks
-        # before overwriting the only handle (r16 review)
+        # legacy 1-tuple being rebuilt: free the old frame before
+        # overwriting the only handle (r16 review).  BOTH releases:
+        # unpersist covers store-loaded frames (models.py persists
+        # parquet reads — plan-keyed, not LogicalRDD), the checkpoint
+        # release covers session-built ones; each is a no-op for the
+        # other shape.
         from s3_manifest_spark.registry import _release_checkpoint_blocks
 
+        cached[0].unpersist(blocking=False)
         _release_checkpoint_blocks(cached[0])
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
@@ -1869,10 +1901,13 @@ def _knn_query_pack_cached(
         return cached[0]
     if cached is not None:
         # superseded width (legacy 1-tuple or plane-boundary reload):
-        # free the stale pack's checkpoint blocks before the rebuild
-        # drops the only handle (r16 review)
+        # free the stale pack before the rebuild drops the only handle
+        # (r16 review).  Both releases — unpersist for store-loaded
+        # frames, checkpoint release for session-built ones; each a
+        # no-op for the other shape.
         from s3_manifest_spark.registry import _release_checkpoint_blocks
 
+        cached[0].unpersist(blocking=False)
         _release_checkpoint_blocks(cached[0])
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = v.join(

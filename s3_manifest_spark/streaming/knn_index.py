@@ -177,6 +177,26 @@ def read_knn_index_store(
     )
 
 
+def _unpack_blocks(packed: DataFrame) -> DataFrame:
+    """Invert a packed bucket relation back to (vec_id, bucket,
+    embedding) member rows: ids index the flattened mat in fixed
+    dim-strides (dim recovered as size(mat)/size(ids) — it is uniform
+    per relation by construction).  Shared by the delta and full
+    refresh paths so a future block-layout change cannot silently
+    decode the two differently and break the pinned delta==full
+    equality."""
+    return packed.select(
+        F.col("blk").alias("bucket"),
+        F.explode(
+            F.expr(
+                "transform(ids, (id, i) -> struct(id as vec_id, "
+                "slice(mat, i * int(size(mat) / size(ids)) + 1, "
+                "int(size(mat) / size(ids))) as embedding))"
+            )
+        ).alias("m"),
+    ).select("m.vec_id", "bucket", "m.embedding")
+
+
 def delta_pack_knn_index(
     prev_packed: DataFrame, new_rows: DataFrame
 ) -> DataFrame:
@@ -205,35 +225,29 @@ def delta_pack_knn_index(
     of store size (measured flat in KNN_MAINTAINER_SCALE_100x.json's
     ``pack_delta`` leg).
 
-    ``new_rows`` must be a MATERIALIZED relation (checkpoint / cached
-    parquet read): the plan consumes it twice (touched-bucket
-    broadcast + repack union), so a lazy kernel output would re-pay
-    its computation per consumer and a non-deterministic source could
-    split inconsistently between the reuse and repack legs.  The
-    policy wrapper :func:`refresh_knn_index` checkpoints it for you."""
+    BOTH inputs must be MATERIALIZED relations (checkpoint / cached
+    parquet read): ``new_rows`` is consumed twice (touched-bucket
+    broadcast + repack union) and ``prev_packed`` twice (anti + semi
+    split), so a lazy plan on either side re-pays its computation per
+    consumer — for a lazily-built served relation that is the O(store)
+    pack exchange twice, the exact cost the delta path exists to avoid
+    — and a non-deterministic source could split inconsistently
+    between the reuse and repack legs.  The registered paths satisfy
+    this (``_knn_ann_index_cached`` localCheckpoints the served
+    relation; :func:`refresh_knn_index` checkpoints the append for
+    you)."""
     touched = new_rows.select("bucket").distinct()
     untouched = prev_packed.join(
         F.broadcast(touched),
         prev_packed["blk"] == touched["bucket"],
         "left_anti",
     )
-    old_members = (
+    old_members = _unpack_blocks(
         prev_packed.join(
             F.broadcast(touched),
             prev_packed["blk"] == touched["bucket"],
             "left_semi",
         )
-        .select(
-            F.col("blk").alias("bucket"),
-            F.explode(
-                F.expr(
-                    "transform(ids, (id, i) -> struct(id as vec_id, "
-                    "slice(mat, i * int(size(mat) / size(ids)) + 1, "
-                    "int(size(mat) / size(ids))) as embedding))"
-                )
-            ).alias("m"),
-        )
-        .select("m.vec_id", "bucket", "m.embedding")
     )
     repacked = _pack_buckets_salted(
         old_members.unionByName(
@@ -285,19 +299,9 @@ def refresh_knn_index(
         append_rows = new_rows.count()
     if append_rows <= max(1, int(store_rows * KNN_REFRESH_DELTA_FRACTION)):
         return delta_pack_knn_index(prev_packed, new_rows), "delta"
-    all_members = prev_packed.select(
-        F.col("blk").alias("bucket"),
-        F.explode(
-            F.expr(
-                "transform(ids, (id, i) -> struct(id as vec_id, "
-                "slice(mat, i * int(size(mat) / size(ids)) + 1, "
-                "int(size(mat) / size(ids))) as embedding))"
-            )
-        ).alias("m"),
-    ).select("m.vec_id", "bucket", "m.embedding")
     return (
         _pack_buckets_salted(
-            all_members.unionByName(
+            _unpack_blocks(prev_packed).unionByName(
                 new_rows.select("vec_id", "bucket", "embedding")
             )
         ),

@@ -86,14 +86,34 @@ def test_membership_cache_keyed_on_planes(spark):
         # same planes -> served from cache
         m2 = S._membership_cached(spark, SF, "knn", builder, planes=12)
         assert calls == [1] and m2 is m1
-        # different planes -> rebuild
-        S._membership_cached(spark, SF, "knn", builder, planes=15)
+        # different planes -> rebuild, cached ALONGSIDE the first
+        # width (two-slot cache: the boundary-reload scenario has two
+        # live widths alternating per bench pass — neither thrashes)
+        m3 = S._membership_cached(spark, SF, "knn", builder, planes=15)
         assert calls == [1, 1]
-        assert int(mc[key][1]) == 15
+        assert sorted(
+            int(v) for v in mc[key] if not hasattr(v, "columns")
+        ) == [12, 15]
+        # BOTH widths now serve from cache without rebuilds
+        assert (
+            S._membership_cached(spark, SF, "knn", builder, planes=12)
+            is m1
+        )
+        assert (
+            S._membership_cached(spark, SF, "knn", builder, planes=15)
+            is m3
+        )
+        assert calls == [1, 1]
+        # a third width evicts the oldest (bounded at two)
+        S._membership_cached(spark, SF, "knn", builder, planes=18)
+        assert calls == [1, 1, 1]
+        assert sorted(
+            int(v) for v in mc[key] if not hasattr(v, "columns")
+        ) == [15, 18]
         # legacy planes-less entry -> rebuild when a count is demanded
         mc[key] = (m1,)
         S._membership_cached(spark, SF, "knn", builder, planes=15)
-        assert calls == [1, 1, 1]
+        assert calls == [1, 1, 1, 1]
     finally:
         mc.pop(key, None)
         if saved is not None:
@@ -501,3 +521,25 @@ def test_delta_pack_property_random_appends(spark):
             S._pack_buckets_salted(old_rows.unionByName(new_rows))
         )
         assert got == want, (seed, n_old, n_new, n_buckets, dim)
+
+
+def test_stats_funcs_keeps_null_keyed_group(spark, monkeypatch):
+    """GROUP BY keeps a NULL l_returnflag as its own group on both
+    engines — the moments ⋈ percentiles split must too (null-safe
+    join; a plain inner join drops it)."""
+    from s3_manifest_spark.operators import analytics as A
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": [None, None, "N", "N", "N"],
+            "l_extendedprice": [7.0, 9.0, 1.0, 2.0, 3.0],
+            "l_quantity": [1.0, 2.0, 4.0, 5.0, 6.0],
+            "l_discount": [0.1, 0.3, 0.01, 0.02, 0.03],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(A, "load_table", lambda s, d, n, widen=False: sdf)
+    got = {r["l_returnflag"]: r.asDict() for r in A.stats_funcs(spark, SF).collect()}
+    assert set(got) == {None, "N"}
+    assert got[None]["price_median"] == 8.0
+    assert got[None]["qty_price_covar"] is not None

@@ -72,8 +72,11 @@ def main() -> int:
     # from "Arrow-collecting the result", so a loud collect can't be
     # misread as a drain regression (the decompose probe's wall is
     # count-based and matches the r12 itemization leg for leg).
+    # full RUNS here too: drains need >=8 reps to hit their floor
+    # (memory note: 3-4 rep sessions read 8-18% high), and an inflated
+    # count_only_min understates the collect_delta it exists to isolate
     count_samples: dict[str, list] = {n: [] for n in DRAINS}
-    for _ in range(max(3, RUNS // 2)):
+    for _ in range(RUNS):
         for name in DRAINS:
             getattr(spark, "_smsp_plan_cache", {}).clear()
             t0 = time.perf_counter()
