@@ -132,17 +132,27 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session).  conf.get(key, None) reads without Spark 4's
     # default-value type validation.
     old_adaptive = spark.conf.get(adaptive_key, None)
-    spark.conf.set(adaptive_key, old_static)
-    spark.conf.set(static_key, "-1")
+    # Re-entrancy guard (ADVICE r16): if the static threshold is
+    # ALREADY "-1" (a second invocation before the deferred restore
+    # drains — possible when this query is composed inside another
+    # registered query), the swap would copy the override into
+    # adaptive_key and disable AQE broadcast conversion for this very
+    # plan.  The first invocation's deferred restore already covers
+    # the session; skip the swap entirely.
+    if old_static != "-1":
+        spark.conf.set(adaptive_key, old_static)
+        spark.conf.set(static_key, "-1")
 
-    def _restore(k=static_key, ak=adaptive_key, s=old_static, a=old_adaptive):
-        spark.conf.set(k, s)
-        if a is None:
-            spark.conf.unset(ak)
-        else:
-            spark.conf.set(ak, a)
+        def _restore(
+            k=static_key, ak=adaptive_key, s=old_static, a=old_adaptive
+        ):
+            spark.conf.set(k, s)
+            if a is None:
+                spark.conf.unset(ak)
+            else:
+                spark.conf.set(ak, a)
 
-    defer_cleanup(_restore)
+        defer_cleanup(_restore)
     j = li.join(dims, li.l_orderkey == dims.o_orderkey)
     return j.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

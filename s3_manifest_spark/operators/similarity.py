@@ -704,33 +704,35 @@ def _ann_certificate(
     # cold_sec) rather than being rebuilt per certificate call.
     if exact is None:
         exact = _exact_topk_cached(spark, sf_dir)
-    eagg = exact.groupBy("query_id").agg(
-        F.min("cos_sim").alias("exact_kth_sim")
-    )
     if callable(membership):
         membership = membership(exact)
     found = ann.select(
         "query_id", "neighbor_id", F.lit(True).alias("found")
     )
-    checks = (
-        exact.select("query_id", "neighbor_id")
+    # ONE aggregation carries both certificate columns (r17): the
+    # k-th exact sim is a min over exactly the rows the completeness
+    # check already groups (the exact relation left-joined to
+    # membership and the sweep output), so computing it in the same
+    # groupBy deletes the former eagg-side aggregate plus the final
+    # query_id equi-join — one fewer exchange/broadcast per
+    # certificate query, identical values (min and round commute
+    # with the join removal; both engines round once, after the min).
+    return (
+        exact.select("query_id", "neighbor_id", "cos_sim")
         .join(membership, ["query_id", "neighbor_id"], "left")
         .join(found, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
+            F.round(F.min("cos_sim"), 6).alias("exact_kth_sim"),
             F.min(
                 F.when(
                     F.coalesce(F.col("should_find"), F.lit(False))
                     & ~F.coalesce(F.col("found"), F.lit(False)),
                     F.lit(False),
                 ).otherwise(F.lit(True))
-            ).alias("ann_complete_ok")
+            ).alias("ann_complete_ok"),
         )
-    )
-    return eagg.join(checks, "query_id").select(
-        "query_id",
-        F.round("exact_kth_sim", 6).alias("exact_kth_sim"),
-        "ann_complete_ok",
+        .select("query_id", "exact_kth_sim", "ann_complete_ok")
     )
 
 

@@ -291,22 +291,65 @@ def refresh_knn_index(
     ``append_rows``: pass the batch size when the caller already knows
     it (a streaming sink does — it's the micro-batch's row count);
     otherwise it is counted here (one job over the append, never the
-    store)."""
+    store).
+
+    LIFECYCLE (ADVICE r16): the eager append checkpoint created here
+    has no automatic release path — a long-lived per-micro-batch
+    refresh loop that never frees it accumulates checkpoint blocks
+    until GC + ContextCleaner get around to them.  Once the refreshed
+    relation is MATERIALIZED (checkpointed/persisted/written), call
+    :func:`release_refresh_inputs` on it — the append handle rides on
+    the returned frame as ``_smsp_refresh_append`` — passing the
+    superseded ``prev_packed`` too if nothing else serves it.  While
+    the refreshed relation is still lazy, both inputs are live plan
+    dependencies and MUST NOT be released."""
     new_rows = new_rows.select(
         "vec_id", "bucket", "embedding"
     ).localCheckpoint(eager=True)
     if append_rows is None:
         append_rows = new_rows.count()
     if append_rows <= max(1, int(store_rows * KNN_REFRESH_DELTA_FRACTION)):
-        return delta_pack_knn_index(prev_packed, new_rows), "delta"
-    return (
-        _pack_buckets_salted(
-            _unpack_blocks(prev_packed).unionByName(
-                new_rows.select("vec_id", "bucket", "embedding")
-            )
-        ),
-        "full",
-    )
+        refreshed, path = delta_pack_knn_index(prev_packed, new_rows), "delta"
+    else:
+        refreshed, path = (
+            _pack_buckets_salted(
+                _unpack_blocks(prev_packed).unionByName(
+                    new_rows.select("vec_id", "bucket", "embedding")
+                )
+            ),
+            "full",
+        )
+    # Ride the append-checkpoint handle on the result so the caller
+    # can release it without threading a third tuple element through
+    # every call site (the (packed, path) contract is pinned by
+    # tests and the maintainer-scale probes).
+    refreshed._smsp_refresh_append = new_rows
+    return refreshed, path
+
+
+def release_refresh_inputs(refreshed: DataFrame, prev_packed=None) -> None:
+    """Free the blocks a :func:`refresh_knn_index` call pinned, AFTER
+    ``refreshed`` has been materialized: the internal append checkpoint
+    (riding on the frame as ``_smsp_refresh_append``) and, when the
+    caller passes it, the superseded served relation.  Both release
+    paths per the r16 rule — ``unpersist`` covers store-loaded
+    (plan-keyed persisted) frames, the checkpoint release covers
+    session-built LogicalRDDs; each is a no-op for the other shape."""
+    from s3_manifest_spark.registry import _release_checkpoint_blocks
+
+    targets = [getattr(refreshed, "_smsp_refresh_append", None)]
+    if prev_packed is not None:
+        targets.append(prev_packed)
+    for df in targets:
+        if df is None:
+            continue
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        _release_checkpoint_blocks(df)
+    if getattr(refreshed, "_smsp_refresh_append", None) is not None:
+        refreshed._smsp_refresh_append = None
 
 
 @register("stream_knn_index_live", oracle=_KNN_ANN_CERT_SQL)
