@@ -40,6 +40,12 @@ def _configure(spark: SparkSession) -> SparkSession:
     # partitions — pure task overhead at fixture scale).
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Size-driven post-shuffle coalescing (see session.py: -20-30%
+    # across the small-exchange classes; CPU-dense queries opt back
+    # out per query via registry.prefer_parallel_exchanges).
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

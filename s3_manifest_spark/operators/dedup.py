@@ -272,6 +272,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic), and the string oracle hash-check pins exactly
     that.
     """
+    # CPU-dense-per-byte exchanges (a KB of fingerprint rows carries
+    # the whole pair-expansion + Jaccard evaluation): keep the
+    # post-shuffle stages at the cluster's parallelism instead of the
+    # session's size-driven coalescing — byte-sized targets collapse
+    # this plan onto 1-2 tasks and serialize the CPU (measured 2x,
+    # FLOOR_CONF_AB.json).
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     sh = shingle_fingerprints(
         load_table(spark, sf_dir, "documents", widen=True), with_count=True
     )
@@ -2254,6 +2263,12 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-dp-rounded jaccard (:func:`_capture_expr`), min is
     order-independent, avg rounds to 6 dp (absorbs summation-order
     last-ulp noise) — the ml.py rounding-contract recipe."""
+    # rides dedup_ngram_jaccard's plan: same CPU-dense exchanges,
+    # same parallelism-first opt-out (re-entrant — the inner call's
+    # is a no-op under ours).
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
     aggs = [F.count(F.lit(1)).alias("n_pairs")]
     for b, r in LSH_TUNING_CONFIGS:
@@ -2396,6 +2411,11 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints; the string-shingle oracle hash-check re-certifies
     fingerprint injectivity on the corpus.
     """
+    # same CPU-dense exchange family as dedup_ngram_jaccard — see the
+    # opt-out note there (measured 2x under size-driven coalescing).
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     sh = shingle_fingerprints(
         load_table(spark, sf_dir, "documents", widen=True), with_count=True
     )

@@ -86,6 +86,37 @@ def defer_cleanup(fn: Callable[[], None]) -> None:
     _DEFERRED_CLEANUPS.append(fn)
 
 
+def prefer_parallel_exchanges(spark) -> None:
+    """Query-scoped opt-out of size-driven AQE partition coalescing
+    (the session default since r17): restore Spark's
+    parallelism-first policy for THIS query's execution, reverting at
+    the next registry invocation (the lazy-plan-safe conf-swap
+    pattern, star_join_revenue's precedent).
+
+    For plans whose exchanges are CPU-DENSE PER BYTE — fingerprint /
+    shingle-hash aggregations where a kilobyte of shuffle rows carries
+    seconds of aggregate evaluation — byte-sized coalescing collapses
+    the post-shuffle stage onto one or two tasks and serializes the
+    CPU (measured 2x on dedup_ngram_jaccard / doc_containment /
+    lsh_tuning_curve, FLOOR_CONF_AB.json); parallelism-first keeps
+    those stages wide.  Idempotent and re-entrant: a nested second
+    call sees the policy already parallelism-first and does nothing.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    old = spark.conf.get(key, None)
+    if old == "true":
+        return
+    spark.conf.set(key, "true")
+
+    def _restore(k=key, o=old):
+        if o is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, o)
+
+    defer_cleanup(_restore)
+
+
 class Releasable:
     """Wrap a non-DataFrame resource held by a model-cache entry so
     :func:`clear_model_cache` can free it — e.g. the py4j RDD handle

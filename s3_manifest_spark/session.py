@@ -46,6 +46,20 @@ _SEMANTIC_CONFS = {
 _SCALE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions by SIZE (advisory 64 MB / min
+    # 1 MB), not down to the cluster's parallelism (r17, measured
+    # -20-30% across the floor/mid classes interleaved —
+    # FLOOR_CONF_AB.json): with the default parallelism-first policy
+    # a kilobyte-sized exchange still schedules #parallelism tasks of
+    # pure overhead.  At scale partition counts are size-driven
+    # either way, so the setting only stops the optimizer from
+    # keeping tiny partitions alive for parallelism's sake.  Queries
+    # whose exchanges are CPU-dense per byte (fingerprint aggregates:
+    # dedup_ngram_jaccard, doc_containment, lsh_tuning_curve —
+    # measured 2x worse size-coalesced) opt back into
+    # parallelism-first per query via
+    # registry.prefer_parallel_exchanges.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # 10 MB default broadcast threshold is fine; dims here are tiny and
     # we add explicit broadcast() hints where the dimension is known small.
