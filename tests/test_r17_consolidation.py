@@ -179,3 +179,29 @@ def test_prefer_parallel_exchanges_scoped_and_reentrant(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_drain_confs_scoped_and_restored(spark):
+    """The drain conf manager must apply the drain-scoped settings
+    (few state partitions, no trailing no-data micro-batch) inside the
+    context and restore the caller's session values afterwards — the
+    no-data default must NOT leak out of a drain into batch queries or
+    long-lived streams started later in the session."""
+    from s3_manifest_spark.streaming.windows import (
+        DRAIN_NO_DATA_BATCHES,
+        STREAM_SHUFFLE_PARTITIONS,
+        _drain_confs,
+    )
+
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    sp_key = "spark.sql.shuffle.partitions"
+    spark.conf.set(nd_key, "true")
+    old_parts = spark.conf.get(sp_key)
+    try:
+        with _drain_confs(spark):
+            assert spark.conf.get(nd_key) == DRAIN_NO_DATA_BATCHES == "false"
+            assert spark.conf.get(sp_key) == STREAM_SHUFFLE_PARTITIONS
+        assert spark.conf.get(nd_key) == "true"
+        assert spark.conf.get(sp_key) == old_parts
+    finally:
+        spark.conf.unset(nd_key)
