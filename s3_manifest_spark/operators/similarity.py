@@ -56,6 +56,27 @@ def _query_pdf(v):
     )
 
 
+def _query_pdf_cached(spark: SparkSession, sf_dir: str, v):
+    """Session-cached :func:`_query_pdf` (r17): the query set is
+    deterministic per corpus (stride + cap + lowest-ids-win) and
+    bounded (MAX_QUERIES × dim float64, ~2 MB), yet every warm serving
+    call was re-paying a full scan + sort + limit + collect JOB just
+    to re-derive it — at fixture scale that job floor is most of the
+    serving wall (guide §1.2: remove the pass outright).  Exactly the
+    `_knn_query_pack_cached` lifecycle: index-adjacent session state,
+    built once, priced in bench cold_sec, dropped by
+    ``registry.clear_model_cache`` (a plain pandas frame — no Spark
+    resources to free)."""
+    mc = session_model_cache(spark)
+    key = ("query_pdf", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached
+    pdf = _query_pdf(v)
+    mc[key] = pdf
+    return pdf
+
+
 @register(
     "similarity_topk",
     oracle=f"""
@@ -96,7 +117,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qpdf = _query_pdf(v)
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -324,7 +345,7 @@ def similarity_ivf_neighbors(
     centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     # -- query probe lists (queries are corpus rows; tiny, driver-side)
-    qpdf = _query_pdf(v)
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -447,56 +468,56 @@ def similarity_ann_lsh_neighbors(
     a near neighbor's most likely disagreement is ONE flipped
     hyperplane, so probing the 1-bit-flip buckets buys most of a
     second hash table's recall for zero extra corpus state).  Only the
-    tiny broadcast QUERY side fans out (1+planes rows per query); the
-    corpus is bucketed once by a pure projection.
+    tiny QUERY side fans out (1+planes probe buckets per query),
+    driver-resident and broadcast as a variable.
 
-    At 100 TB: one narrow scan to bucket (no shuffle — the signature
-    kernel is a narrow map), one broadcast join keyed by bucket id,
-    and per-bucket scoring whose cost is probed-bucket occupancy, not
-    N.  Recall/cost tunes via LSH_PLANES (bucket granularity) and
-    LSH_MULTIPROBE (probe fan-out).
+    At 100 TB: ONE narrow corpus pass (no shuffle, no join — the
+    kernel computes each batch's signatures, tests probe membership
+    against the broadcast query probes, scores only probed rows, and
+    keeps its local top-k under the final ordering), then a window
+    merge over ≤ k·batches candidate rows per query.  Scoring cost is
+    probed-bucket occupancy, not N.  Recall/cost tunes via LSH_PLANES
+    (bucket granularity) and LSH_MULTIPROBE (probe fan-out).
     """
     import numpy as np
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = _ann_signatures(v).withColumnRenamed("sig", "bucket")
-    # probe set per query: own signature + the LSH_PLANES 1-bit flips
-    # (radius 1; deeper radii would chain the same expansion)
-    probe_sigs = F.array(
-        F.col("qbucket"),
-        *[
-            F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-            for p in range(LSH_PLANES)
-            if LSH_MULTIPROBE >= 1
-        ],
-    )
+    # Query side is driver-resident (r17, the IVF/_knn_query_probes
+    # precedent): signatures + radius-1 probe sets are derived from the
+    # session-cached query set with the SAME RandomState plane
+    # construction _ann_signatures uses, then broadcast as a variable —
+    # the former query-side DataFrame (scan + sort + limit + signature
+    # kernel) launched a full broadcast-build job per call, and the
+    # probe equi-join fanned the corpus through a join just to decide
+    # bucket membership a kernel can test with one np.isin.  The sweep
+    # is now ONE mapInPandas pass over the corpus (signature + probe
+    # test + scoring + per-batch partial top-k under the final
+    # ordering), with the window merging ≤ k·batches candidates per
+    # query — the similarity_topk/IVF physical shape.  Arithmetic is
+    # unchanged: same float64 per-row dot products (einsum, no BLAS
+    # reassociation), same 6-dp rounding, same (rounded sim desc, id
+    # asc) order; per-batch top-k is sound because every global top-k
+    # member is a top-k member of its own batch.
+    #
     # query_seed_offset != 0 is the deliberate BROKEN mode the
     # certificate test uses: queries hashed with different planes than
     # the corpus probe unrelated buckets, collapsing recall to ~random.
-    q = (
-        _ann_signatures(
-            # same deterministic hard cap as _query_pdf: without it the
-            # broadcast query fan-out grows as N/stride, unbounded
-            v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-            .orderBy("vec_id")
-            .limit(MAX_QUERIES),
-            seed_offset=query_seed_offset,
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("sig").alias("qbucket"),
-        )
-        .select(
-            "query_id", "qe", F.explode(probe_sigs).alias("probe_bucket")
-        )
-    )
-    paired = bucketed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("probe_bucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
+    qids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    powers = 1 << np.arange(LSH_PLANES, dtype=np.int64)
+    qplanes = np.random.RandomState(
+        LSH_SEED + query_seed_offset
+    ).standard_normal((LSH_PLANES, qm.shape[1]))
+    qsigs = (((qm @ qplanes.T) > 0) * powers).sum(axis=1).astype("int64")
+    # probe set per query: own signature + the LSH_PLANES 1-bit flips
+    # (radius 1; deeper radii would chain the same expansion)
+    flips = (1 << np.arange(LSH_PLANES, dtype=np.int64)) if LSH_MULTIPROBE >= 1 else np.empty(0, dtype=np.int64)
+    probe_sets = [np.concatenate(([s], s ^ flips)) for s in qsigs]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qn, probe_sets))
+    k = TOP_K
 
     def score(batches):
         empty = pd.DataFrame(
@@ -506,23 +527,47 @@ def similarity_ann_lsh_neighbors(
                 "cos_sim": np.empty(0, dtype=np.float64),
             }
         )
+        planes = None
+        ids_q, queries, probes = bc.value
         for b in batches:
             if not len(b):
                 yield empty
                 continue
-            qe = np.stack(b["qe"].to_numpy()).astype("float64")
-            ne = np.stack(b["embedding"].to_numpy()).astype("float64")
-            qe /= np.linalg.norm(qe, axis=1, keepdims=True)
-            ne /= np.linalg.norm(ne, axis=1, keepdims=True)
+            ids = b["vec_id"].to_numpy(dtype="int64")
+            e = np.stack(b["embedding"].to_numpy()).astype("float64")
+            if planes is None:
+                # corpus planes are ALWAYS the canonical seed — only
+                # the query side shifts in broken mode, as before
+                planes = np.random.RandomState(LSH_SEED).standard_normal(
+                    (LSH_PLANES, e.shape[1])
+                )
+            sigs = (((e @ planes.T) > 0) * powers).sum(axis=1)
+            en = e / np.linalg.norm(e, axis=1, keepdims=True)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids_q):
+                keep = np.isin(sigs, probes[j]) & (ids != qid)
+                if not keep.any():
+                    continue
+                sims = np.round(
+                    np.einsum("ij,j->i", en[keep], queries[j]), 6
+                )
+                cand_ids = ids[keep]
+                order = np.lexsort((cand_ids, -sims))[:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_s.append(sims[order])
+            if not out_q:
+                yield empty
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": b["query_id"].to_numpy().astype("int64"),
-                    "neighbor_id": b["neighbor_id"].to_numpy().astype("int64"),
-                    "cos_sim": np.round(np.einsum("ij,ij->i", qe, ne), 6),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
                 }
             )
 
-    scored = paired.mapInPandas(
+    scored = v.mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql import Window
@@ -706,8 +751,16 @@ def _ann_certificate(
         exact = _exact_topk_cached(spark, sf_dir)
     if callable(membership):
         membership = membership(exact)
-    found = ann.select(
-        "query_id", "neighbor_id", F.lit(True).alias("found")
+    # BOUNDED side, broadcast explicitly (r17, guide §3.1): the ANN
+    # output is ≤ TOP_K × MAX_QUERIES rows by construction, but it
+    # hangs below a mapInPandas whose size the planner cannot
+    # estimate, so the static plan picked a SortMergeJoin — two
+    # Exchange+Sort pairs over the certificate's tiny relations
+    # (similarity_ann_lsh_before.txt ops 97/98 + 124/125).  The hint
+    # makes it a BroadcastHashJoin in the initial plan for all seven
+    # certificate queries sharing this helper.
+    found = F.broadcast(
+        ann.select("query_id", "neighbor_id", F.lit(True).alias("found"))
     )
     # ONE aggregation carries both certificate columns (r17): the
     # k-th exact sim is a min over exactly the rows the completeness
@@ -996,7 +1049,7 @@ def similarity_pq_neighbors(
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = _pq_codebooks(spark, sf_dir)
-    qpdf = _query_pdf(v)
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -1463,7 +1516,7 @@ def _exact_topk_dims(spark: SparkSession, sf_dir: str, dims: int) -> DataFrame:
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qpdf = _query_pdf(v)
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")[:, :dims]
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -2969,7 +3022,7 @@ def similarity_ivf_pq_neighbors(
     cent = _ivf_centroids(spark, sf_dir)
     centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     books = _pq_codebooks(spark, sf_dir)
-    qpdf = _query_pdf(v)
+    qpdf = _query_pdf_cached(spark, sf_dir, v)
     qids = qpdf["vec_id"].to_numpy(dtype="int64")
     qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
