@@ -675,8 +675,14 @@ def _membership_cached(
             for f in frames:
                 release(f)
             frames, widths = [], []
-    m = builder().persist()
-    m.count()
+    # DRIVER-LOCAL relation, not a persisted frame (r17): membership
+    # is k·queries bounded rows by construction (it is derived from
+    # the exact relation), and a LocalRelation broadcasts into the
+    # certificate joins driver-side — no InMemoryTableScan job per
+    # call.  Builders that already return a LocalRelation round-trip
+    # through the driver for free.
+    built = builder()
+    m = spark.createDataFrame(built.toPandas(), schema=built.schema)
     if planes is None:
         mc[key] = (m,)
         return m
@@ -702,8 +708,17 @@ def _exact_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = mc.get(key)
     if cached is not None:
         return cached[0]
-    exact = similarity_topk(spark, sf_dir).persist()
-    exact.count()
+    # DRIVER-LOCAL relation, not a persisted frame (r17, the
+    # _knn_exact_sampled precedent): the relation is ≤ TOP_K ×
+    # MAX_QUERIES rows by construction, and a LocalRelation
+    # materializes into the certificates' joins without launching the
+    # per-call InMemoryTableScan job a persisted frame pays (and can
+    # never be CacheManager-served back to a fresh similarity_topk
+    # plan — the r12/r14 plan-match rule for free).
+    exact = spark.createDataFrame(
+        similarity_topk(spark, sf_dir).toPandas(),
+        schema="query_id long, neighbor_id long, cos_sim double",
+    )
     mc[key] = (exact,)
     return exact
 
@@ -714,6 +729,7 @@ def _ann_certificate(
     ann: DataFrame,
     membership,
     exact: DataFrame | None = None,
+    broadcast_found: bool = True,
 ) -> DataFrame:
     """Per-query ANN COMPLETENESS certificate (the in-bound-flag
     pattern of percentile_digest, adapted to what an LSH/IVF actually
@@ -751,17 +767,23 @@ def _ann_certificate(
         exact = _exact_topk_cached(spark, sf_dir)
     if callable(membership):
         membership = membership(exact)
-    # BOUNDED side, broadcast explicitly (r17, guide §3.1): the ANN
-    # output is ≤ TOP_K × MAX_QUERIES rows by construction, but it
-    # hangs below a mapInPandas whose size the planner cannot
-    # estimate, so the static plan picked a SortMergeJoin — two
-    # Exchange+Sort pairs over the certificate's tiny relations
-    # (similarity_ann_lsh_before.txt ops 97/98 + 124/125).  The hint
-    # makes it a BroadcastHashJoin in the initial plan for all seven
-    # certificate queries sharing this helper.
-    found = F.broadcast(
-        ann.select("query_id", "neighbor_id", F.lit(True).alias("found"))
-    )
+    # Query-bounded certificates broadcast the found side explicitly
+    # (r17, guide §3.1): their ANN output is ≤ TOP_K × MAX_QUERIES
+    # rows by construction, but it hangs below a mapInPandas whose
+    # size the planner cannot estimate, so the static plan picked a
+    # SortMergeJoin — two Exchange+Sort pairs over the certificate's
+    # tiny relations (similarity_ann_lsh_before.txt ops 97/98 +
+    # 124/125); the hint makes it a BroadcastHashJoin (measured
+    # similarity_ann_lsh 1.04→0.59 s).  The CORPUS-WIDE certificates
+    # (knn_graph_ann, stream_knn_index_live — every vector is a query)
+    # pass broadcast_found=False: there the found side carries the
+    # whole N·k sweep, and forcing a BroadcastExchange serializes the
+    # sweep through a driver collect before the join can start
+    # (interleaved A/B: 3.46 vs 2.58 s min-of-6) — they keep the
+    # shuffled join and let AQE pick the runtime strategy.
+    found = ann.select("query_id", "neighbor_id", F.lit(True).alias("found"))
+    if broadcast_found:
+        found = F.broadcast(found)
     # ONE aggregation carries both certificate columns (r17): the
     # k-th exact sim is a min over exactly the rows the completeness
     # check already groups (the exact relation left-joined to
@@ -2323,7 +2345,15 @@ def _knn_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer closure captures only ``k``) — so a warm re-run of the
     knn_graph QUERY itself would be silently served from this cache
     and the bench would report the cached read, not the sweep.  The
-    checkpoint's LogicalRDD can never plan-match a fresh query."""
+    checkpoint's LogicalRDD can never plan-match a fresh query.
+
+    NOT driver-localized (r17, measured): unlike the query-bounded
+    similarity/sampled exact relations, this one is the STREAMED side
+    of the corpus-wide certificate join — a single-partition
+    LocalRelation serializes its exchange write, and the interleaved
+    A/B read local ≈0.15-0.2 s SLOWER than the distributed checkpoint
+    (min-of-8: 1.53 vs 1.34 s).  Driver-localization is for BUILD
+    (broadcast) sides and tiny streamed relations only."""
     mc = _mc(spark)
     key = ("knn_exact", sf_dir)
     cached = mc.get(key)
@@ -2444,6 +2474,9 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("vec_id", "query_id"),
         membership.withColumnRenamed("vec_id", "query_id"),
         exact=exact.withColumnRenamed("vec_id", "query_id"),
+        # corpus-wide: the found side IS the N·k sweep — see the
+        # broadcast_found note in _ann_certificate
+        broadcast_found=False,
     )
     return cert.withColumnRenamed("query_id", "vec_id")
 
@@ -2582,15 +2615,10 @@ def knn_graph_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "knn_s",
-        # localized like the exact side (r17): |S|·k bounded rows, so
-        # the session-cached relation is a driver-local frame whose
-        # broadcast into the certificate joins launches no scan job.
-        lambda: spark.createDataFrame(
-            _knn_ann_membership(
-                spark, sf_dir, exact, planes=idx[1]
-            ).toPandas(),
-            schema="vec_id long, neighbor_id long, should_find boolean",
-        ),
+        # |S|·k bounded rows; _membership_cached localizes the built
+        # relation driver-side (r17), so its broadcast into the
+        # certificate joins launches no scan job.
+        lambda: _knn_ann_membership(spark, sf_dir, exact, planes=idx[1]),
         planes=idx[1],
     )
     cert = _ann_certificate(

@@ -386,5 +386,8 @@ def stream_knn_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("vec_id", "query_id"),
         membership.withColumnRenamed("vec_id", "query_id"),
         exact=exact.withColumnRenamed("vec_id", "query_id"),
+        # corpus-wide certificate, same as knn_graph_ann: never force
+        # the N·k sweep through a BroadcastExchange driver collect
+        broadcast_found=False,
     )
     return cert.withColumnRenamed("query_id", "vec_id")
