@@ -112,6 +112,13 @@ def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~s3_manifest_spark.operators.quantiles.percentile_dist_exact`
     replaces exactness-per-group buffering entirely.
     """
+    # The 3-group Arrow percentile kernel needs its exchange kept at
+    # parallelism ≥ group count: size-driven coalescing folds the
+    # 3 group tasks onto 1-2 partitions and serializes them
+    # (interleaved A/B min-of-5, two windows: 0.82→0.69 / 0.74→0.63 s).
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     li = load_table(spark, sf_dir, "lineitem")
 
     def pctl(pdf):

@@ -570,6 +570,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path, where span ids only need to be consistent, not
     engine-portable md5.
     """
+    # CPU-dense exchange (span-hash rows carry the whole distinct/agg
+    # evaluation): size-driven coalescing serializes it — keep the
+    # post-shuffle stage wide (interleaved A/B min-of-5, two windows:
+    # 0.69→0.53 and 0.56→0.48 s).
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     W = SPAN_WINDOW
     docs = load_table(spark, sf_dir, "documents", widen=True)
 
@@ -725,6 +732,11 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     available via :func:`rolling_span_groups`; tests additionally pin
     the property-level kernel (tests/test_rolling_hash_property.py).
     """
+    # CPU-dense span-hash exchange, same policy as the md5 twin
+    # (interleaved A/B min-of-5, two windows: −12.7% / −6.9%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     return (
         rolling_span_groups(spark, sf_dir)
         .groupBy("n_docs", "n_occ", "example_doc")
@@ -1636,6 +1648,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3 pairs must agree on ≥1 chunk — so the join key is a
     chunk value, not a cross product.
     """
+    # chunk-value join + vote kernel are CPU-dense per byte: keep the
+    # exchanges wide (interleaved A/B min-of-5, two windows: −18.6% /
+    # −2.0%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     docs = load_table(spark, sf_dir, "documents", widen=True)
     fp = simhash_fingerprints(docs)
 
