@@ -186,6 +186,12 @@ def ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so countDistinct's Expand stays.  Floor decomposition rides
     PROBE_FLOORS.json (trigram_expand_count leg).
     """
+    # CPU-dense per byte (token expansion + vocabulary agg): keep the
+    # exchanges wide under the r17 size-driven coalescing default
+    # (interleaved A/B min-of-5, two windows: −39.3% / −40.3%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     # widen=True: the expansion lambda is interpreted per-row work and
     # the fixture is a single row group — without the (production-
     # self-disabling) widen gate the whole corpus expands on ONE task.
@@ -273,6 +279,11 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (n_chunks = 0, ratio 0) — at 100 TB that join is
     doc_id-keyed and colocates with the rollup.
     """
+    # CPU-dense digest expansion + count window: keep exchanges wide
+    # (interleaved A/B min-of-5, two windows: −19.0% / −12.4%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     # widen=True: interpreted per-row expansion over a single-row-group
     # fixture (see ngram_corpus_topk)
     docs = load_table(spark, sf_dir, "documents", widen=True)
@@ -362,6 +373,12 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary doesn't); the final top-K is TakeOrdered under the
     total order (rounded lift desc, bigram asc).
     """
+    # CPU-dense token expansion + vocabulary aggregates: keep the
+    # exchanges wide (interleaved A/B min-of-5, two windows:
+    # −23.0% / −14.0%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     # widen=True: interpreted per-row expansion over a single-row-group
     # fixture (see ngram_corpus_topk)
     docs = load_table(spark, sf_dir, "documents", widen=True)

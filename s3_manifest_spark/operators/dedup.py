@@ -339,6 +339,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding (fewer bands / corrupted signatures) drops pairs and
     fails the hash; tests/test_llm_ops.py pins the falsification.
     """
+    # CPU-dense signature/band aggregates over fingerprint rows: keep
+    # the exchanges wide under the size-driven coalescing default
+    # (interleaved A/B min-of-5, two windows: −27.5% / −33.7%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     # Shingles travel as 64-bit fingerprints (shingle_fingerprints):
     # min-hashing and intersection counting only need equality, and
     # hashing/shuffling longs beats ~20-byte strings throughout.
@@ -2055,6 +2061,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     precondition, pinned by the regen-guard test) as
     ``dedup_minhash_lsh``.
     """
+    # probe-side shingle/verify aggregates are CPU-dense: keep the
+    # exchanges wide (interleaved A/B min-of-5, two windows:
+    # −14.9% / −16.3%)
+    from s3_manifest_spark.registry import prefer_parallel_exchanges
+
+    prefer_parallel_exchanges(spark)
     buckets_old, sh_old = _minhash_index(spark, sf_dir)
     return probe_incremental(spark, sf_dir, buckets_old, sh_old)
 
