@@ -215,13 +215,21 @@ DRAIN_NO_DATA_BATCHES = "false"
 
 
 @contextlib.contextmanager
-def _drain_confs(spark: SparkSession):
+def _drain_confs(spark: SparkSession, partitions: str | None = None):
     """Scoped session confs for a bounded availableNow drain: few
     state-store partitions (fixture-sized state) and no trailing
     no-data micro-batch (see DRAIN_NO_DATA_BATCHES).  Restores prior
-    values on exit."""
+    values on exit.
+
+    ``partitions`` overrides :data:`STREAM_SHUFFLE_PARTITIONS` for
+    drains whose per-partition work is CPU-dense Python rather than a
+    JVM state-store commit — the state-partition count is also the
+    Python-worker parallelism of an ``applyInPandasWithState`` fold,
+    so those drains want MORE partitions, not fewer (see
+    run_user_state_stream)."""
     pairs = {
-        "spark.sql.shuffle.partitions": STREAM_SHUFFLE_PARTITIONS,
+        "spark.sql.shuffle.partitions": partitions
+        or STREAM_SHUFFLE_PARTITIONS,
         "spark.sql.streaming.noDataMicroBatches.enabled": DRAIN_NO_DATA_BATCHES,
     }
     old = {k: spark.conf.get(k, None) for k in pairs}
@@ -322,7 +330,16 @@ def run_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_state_{abs(hash(sf_dir)) % 10_000_000}"
-    _drain(profiles, name, "update")
+    # The state-partition count IS this drain's Python parallelism:
+    # each partition runs ONE applyInPandasWithState worker iterating
+    # its keys serially, so the 4-store default tuned for JVM
+    # aggregate drains serializes the per-key fold.  16 (capped at
+    # the session's cores so low-core benches don't schedule idle
+    # waves) measured −37%/−26% across two interleaved windows
+    # (min-of-5: 2.94→1.86 / 4.20→3.12 s); 32 added task-wave
+    # variance without beating 16.
+    cpus = spark.sparkContext.defaultParallelism
+    _drain(profiles, name, "update", partitions=str(min(16, cpus)))
     return spark.table(name)
 
 
@@ -429,8 +446,10 @@ def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
     return build_spool(f"events{tag}-x{copies}", [src], "v2", build)
 
 
-def _drain(df: DataFrame, name: str, mode: str) -> None:
-    with _drain_confs(df.sparkSession), tempfile.TemporaryDirectory(
+def _drain(
+    df: DataFrame, name: str, mode: str, partitions: str | None = None
+) -> None:
+    with _drain_confs(df.sparkSession, partitions), tempfile.TemporaryDirectory(
         prefix="smsp-ckpt-", dir=scratch_base()
     ) as ckpt:
         q = (
