@@ -167,6 +167,22 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_SEED = 0xA11_5EED
 
 
+def _lsh_plane_matrix(planes: int, dim: int, seed_offset: int = 0):
+    """The canonical Gaussian hyperplane matrix — the SINGLE
+    construction point for every signature derivation (executor
+    kernels and the driver-side query-probe derivation in
+    :func:`similarity_ann_lsh_neighbors`), so the two sides can never
+    silently drift (VERDICT r17 item 6: a seed/shape mismatch between
+    them would destroy recall with no loud failure; the broken-mode
+    certificate test covers seed skew, this removes the hazard at the
+    source)."""
+    import numpy as np
+
+    return np.random.RandomState(LSH_SEED + seed_offset).standard_normal(
+        (planes, dim)
+    )
+
+
 def _ann_signatures(
     v: DataFrame,
     seed_offset: int = 0,
@@ -203,9 +219,7 @@ def _ann_signatures(
             ids = b["vec_id"].to_numpy(dtype="int64")
             e = np.stack(b["embedding"].to_numpy()).astype("float64")
             if planes is None:
-                planes = np.random.RandomState(
-                    LSH_SEED + seed_offset
-                ).standard_normal((r, e.shape[1]))
+                planes = _lsh_plane_matrix(r, e.shape[1], seed_offset)
             sig = (((e @ planes.T) > 0) * powers).sum(axis=1)
             out = {"vec_id": ids, "sig": sig.astype("int64")}
             if with_embedding:
@@ -503,20 +517,32 @@ def similarity_ann_lsh_neighbors(
     # query_seed_offset != 0 is the deliberate BROKEN mode the
     # certificate test uses: queries hashed with different planes than
     # the corpus probe unrelated buckets, collapsing recall to ~random.
-    qpdf = _query_pdf_cached(spark, sf_dir, v)
-    qids = qpdf["vec_id"].to_numpy(dtype="int64")
-    qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     powers = 1 << np.arange(LSH_PLANES, dtype=np.int64)
-    qplanes = np.random.RandomState(
-        LSH_SEED + query_seed_offset
-    ).standard_normal((LSH_PLANES, qm.shape[1]))
-    qsigs = (((qm @ qplanes.T) > 0) * powers).sum(axis=1).astype("int64")
-    # probe set per query: own signature + the LSH_PLANES 1-bit flips
-    # (radius 1; deeper radii would chain the same expansion)
-    flips = (1 << np.arange(LSH_PLANES, dtype=np.int64)) if LSH_MULTIPROBE >= 1 else np.empty(0, dtype=np.int64)
-    probe_sets = [np.concatenate(([s], s ^ flips)) for s in qsigs]
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, qn, probe_sets))
+    # The (~2 MB) query-probe broadcast is SESSION STATE, not per-call
+    # state (ADVICE r17): a fresh sparkContext.broadcast per warm
+    # serving call accumulated never-destroyed broadcast blocks on the
+    # driver and executors until the returned frame's closure was
+    # GC'd.  Cache it beside the query frame it derives from, keyed by
+    # the seed offset (the broken-mode tests shift it); destroyed by
+    # registry.clear_model_cache (Broadcast values are destroy()'d).
+    mc = _mc(spark)
+    bc_key = ("lsh_query_probes", sf_dir, query_seed_offset)
+    bc = mc.get(bc_key)
+    if bc is None:
+        qpdf = _query_pdf_cached(spark, sf_dir, v)
+        qids = qpdf["vec_id"].to_numpy(dtype="int64")
+        qm = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        qplanes = _lsh_plane_matrix(
+            LSH_PLANES, qm.shape[1], query_seed_offset
+        )
+        qsigs = (((qm @ qplanes.T) > 0) * powers).sum(axis=1).astype("int64")
+        # probe set per query: own signature + the LSH_PLANES 1-bit
+        # flips (radius 1; deeper radii would chain the same expansion)
+        flips = (1 << np.arange(LSH_PLANES, dtype=np.int64)) if LSH_MULTIPROBE >= 1 else np.empty(0, dtype=np.int64)
+        probe_sets = [np.concatenate(([s], s ^ flips)) for s in qsigs]
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((qids, qn, probe_sets))
+        mc[bc_key] = bc
     k = TOP_K
 
     def score(batches):
@@ -537,10 +563,9 @@ def similarity_ann_lsh_neighbors(
             e = np.stack(b["embedding"].to_numpy()).astype("float64")
             if planes is None:
                 # corpus planes are ALWAYS the canonical seed — only
-                # the query side shifts in broken mode, as before
-                planes = np.random.RandomState(LSH_SEED).standard_normal(
-                    (LSH_PLANES, e.shape[1])
-                )
+                # the query side shifts in broken mode, as before;
+                # same construction point as the driver-side probes
+                planes = _lsh_plane_matrix(LSH_PLANES, e.shape[1])
             sigs = (((e @ planes.T) > 0) * powers).sum(axis=1)
             en = e / np.linalg.norm(e, axis=1, keepdims=True)
             out_q, out_n, out_s = [], [], []
@@ -624,7 +649,12 @@ def _mc(spark: SparkSession) -> dict:
 
 
 def _membership_cached(
-    spark: SparkSession, sf_dir: str, kind: str, builder, planes=None
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    builder,
+    planes=None,
+    localize: bool = True,
 ):
     """Canonical probe-membership relation for one ANN family —
     per (query_id, exact-member): must candidate generation surface
@@ -675,14 +705,25 @@ def _membership_cached(
             for f in frames:
                 release(f)
             frames, widths = [], []
-    # DRIVER-LOCAL relation, not a persisted frame (r17): membership
-    # is k·queries bounded rows by construction (it is derived from
-    # the exact relation), and a LocalRelation broadcasts into the
-    # certificate joins driver-side — no InMemoryTableScan job per
-    # call.  Builders that already return a LocalRelation round-trip
-    # through the driver for free.
+    # DRIVER-LOCAL relation, not a persisted frame (r17), for the
+    # QUERY-BOUNDED kinds only: their membership is k·queries rows by
+    # construction (derived from the exact relation), and a
+    # LocalRelation broadcasts into the certificate joins driver-side
+    # — no InMemoryTableScan job per call.  CORPUS-WIDE kinds
+    # ('knn': every vector is a query, the relation is N·k rows) pass
+    # ``localize=False`` (ADVICE r17): an unbounded driver collect is
+    # exactly what the 100 TB design forbids, and the resulting
+    # single-partition LocalRelation sits on the STREAMED side of the
+    # broadcast_found=False certificate join — the configuration the
+    # _knn_exact_cached A/B measured 0.15-0.2 s slower than a
+    # distributed checkpoint.  Those keep the r16 distributed path
+    # (eager localCheckpoint: blocks distributed, released through the
+    # LogicalRDD handle, never CacheManager-plan-matched).
     built = builder()
-    m = spark.createDataFrame(built.toPandas(), schema=built.schema)
+    if localize:
+        m = spark.createDataFrame(built.toPandas(), schema=built.schema)
+    else:
+        m = built.localCheckpoint(eager=True)
     if planes is None:
         mc[key] = (m,)
         return m
@@ -2465,6 +2506,10 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knn",
         lambda: _knn_ann_membership(spark, sf_dir, exact, planes=idx[1]),
         planes=idx[1],
+        # corpus-wide kind (every vector is a query → N·k rows):
+        # never driver-localize (ADVICE r17) — keep the distributed
+        # checkpoint path like _knn_exact_cached.
+        localize=False,
     )
     cert = _ann_certificate(
         spark,

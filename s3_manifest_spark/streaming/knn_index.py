@@ -377,6 +377,9 @@ def stream_knn_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # should_find promise is stated at the width the sweep probes.
         lambda: _knn_ann_membership(spark, sf_dir, exact, planes=p),
         planes=p,
+        # corpus-wide kind — distributed, never a driver collect
+        # (ADVICE r17; see knn_graph_ann's call site).
+        localize=False,
     )
     cert = _ann_certificate(
         spark,

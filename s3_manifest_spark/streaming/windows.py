@@ -215,7 +215,11 @@ DRAIN_NO_DATA_BATCHES = "false"
 
 
 @contextlib.contextmanager
-def _drain_confs(spark: SparkSession, partitions: str | None = None):
+def _drain_confs(
+    spark: SparkSession,
+    partitions: str | None = None,
+    no_data_batches: str = DRAIN_NO_DATA_BATCHES,
+):
     """Scoped session confs for a bounded availableNow drain: few
     state-store partitions (fixture-sized state) and no trailing
     no-data micro-batch (see DRAIN_NO_DATA_BATCHES).  Restores prior
@@ -226,11 +230,17 @@ def _drain_confs(spark: SparkSession, partitions: str | None = None):
     JVM state-store commit — the state-partition count is also the
     Python-worker parallelism of an ``applyInPandasWithState`` fold,
     so those drains want MORE partitions, not fewer (see
-    run_user_state_stream)."""
+    run_user_state_stream).
+
+    ``no_data_batches``: :func:`_drain` passes Spark's default
+    (``"true"``) for the one shape whose OUTPUT depends on the
+    trailing no-data batch — an append-mode streaming aggregation,
+    which only emits a finalized window once the watermark passes it
+    (see the guard in _drain)."""
     pairs = {
         "spark.sql.shuffle.partitions": partitions
         or STREAM_SHUFFLE_PARTITIONS,
-        "spark.sql.streaming.noDataMicroBatches.enabled": DRAIN_NO_DATA_BATCHES,
+        "spark.sql.streaming.noDataMicroBatches.enabled": no_data_batches,
     }
     old = {k: spark.conf.get(k, None) for k in pairs}
     for k, v in pairs.items():
@@ -446,10 +456,41 @@ def _spool_events(sf_dir: str, copies: int = 1, tag: str = "") -> str:
     return build_spool(f"events{tag}-x{copies}", [src], "v2", build)
 
 
+def _has_streaming_aggregation(df: DataFrame) -> bool:
+    """True when the streaming frame's analyzed logical plan contains
+    an aggregation — the shape whose append-mode output is emitted by
+    watermark advance (possibly only in the trailing no-data batch).
+    Conservative by construction: any Aggregate in the plan counts."""
+    try:
+        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # can't prove it's safe -> keep Spark's default
+
+
+def _drain_no_data_conf(df: DataFrame, mode: str) -> str:
+    """GUARD (ADVICE r17): DRAIN_NO_DATA_BATCHES='false' is only sound
+    for shapes whose output cannot depend on the trailing no-data
+    batch — complete-mode aggs, update-mode stateful maps, inner
+    time-bound stream-stream joins (every drain registered today).
+    An APPEND-MODE STREAMING AGGREGATION emits a finalized window
+    only when the watermark passes it, i.e. often exactly IN the
+    no-data batch — skipping it would silently drop the last
+    windows and fail oracles far from the cause.  Enforce the
+    invariant in code, not a comment: such a drain keeps Spark's
+    default (the no-data batch fires)."""
+    if mode == "append" and _has_streaming_aggregation(df):
+        return "true"
+    return DRAIN_NO_DATA_BATCHES
+
+
 def _drain(
     df: DataFrame, name: str, mode: str, partitions: str | None = None
 ) -> None:
-    with _drain_confs(df.sparkSession, partitions), tempfile.TemporaryDirectory(
+    with _drain_confs(
+        df.sparkSession,
+        partitions,
+        no_data_batches=_drain_no_data_conf(df, mode),
+    ), tempfile.TemporaryDirectory(
         prefix="smsp-ckpt-", dir=scratch_base()
     ) as ckpt:
         q = (
