@@ -74,6 +74,12 @@ _KINDS = {
     "tfidf_dfreq": "broadcast_json",
     "bigram_lm": "frames+scalars",
     "minhash_index": "frames",
+    # full-corpus shingle-fingerprint posting relation (r18): the
+    # shared input of the shingle family (ngram-Jaccard, containment,
+    # MinHash banding, df profile, incremental probe) — derived index
+    # state per SURVEY §7.4a, the batch twin of the streaming index
+    # maintainer's durable shingles store.
+    "shingle_fps": "frames",
     "ann_exact": "frames",
     "knn_exact": "frames",
     "knn_exact_sampled": "frames",

@@ -157,6 +157,34 @@ def shingle_fingerprints(docs: DataFrame, with_count: bool = False) -> DataFrame
     return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached full-corpus shingle-fingerprint posting relation
+    ``(doc_id, fp, n)`` — DERIVED INDEX STATE under the SURVEY §7.4a
+    cache policy: it is exactly the relation the streaming index
+    maintainer (streaming/index_update.py) maintains as its durable
+    ``shingles`` store, and the input every shingle-family query
+    (ngram-Jaccard pairs, containment, MinHash banding, df profile,
+    the incremental probe's new side) re-derived with its own Arrow
+    corpus pass each call (VERDICT r17 item 8: three of the bench's
+    top seven rows shared that recomputation).
+
+    ``localCheckpoint``, never ``.persist()`` (the r12 model-frame
+    rule): blocks owned by the model alone, released by
+    ``registry.clear_model_cache`` through the LogicalRDD handle; the
+    cold build is priced in bench cold_sec like every session model.
+    """
+    mc = session_model_cache(spark)
+    key = ("shingle_fps", sf_dir)
+    cached = mc.get(key)
+    if cached is not None:
+        return cached[0]
+    sh = shingle_fingerprints(
+        load_table(spark, sf_dir, "documents", widen=True), with_count=True
+    ).localCheckpoint(eager=True)
+    mc[key] = (sh,)
+    return sh
+
+
 def _batch_doc_fps(pdf):
     """Batch-vectorized shingle-fingerprint core shared by
     :func:`shingle_fingerprints` and the contamination screen kernel:
@@ -281,9 +309,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_manifest_spark.registry import prefer_parallel_exchanges
 
     prefer_parallel_exchanges(spark)
-    sh = shingle_fingerprints(
-        load_table(spark, sf_dir, "documents", widen=True), with_count=True
-    )
+    # posting relation from the session shingle index (_shingles_cached
+    # — one corpus kernel pass per session, not per call)
+    sh = _shingles_cached(spark, sf_dir)
     grp = (
         sh.groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
@@ -355,13 +383,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, so when max_df covers the whole corpus the cap is provably
     # inert and its shuffle is skipped outright (the parquet row count
     # is a metadata read).
-    raw_sh = shingle_fingerprints(
-        load_table(spark, sf_dir, "documents", widen=True), with_count=True
-    )
+    raw_sh = _shingles_cached(spark, sf_dir)
     n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
     if MINHASH_MAX_DF < n_docs:
-        raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
-    sh = track_persist(raw_sh)
+        # the cap's keyed shuffle output is per-call state again
+        sh = track_persist(
+            cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
+        )
+    else:
+        # cap provably inert: the session checkpoint is already
+        # materialized — every consumer below reads its blocks directly
+        sh = raw_sh
     sig = sh.groupBy("doc_id").agg(
         F.first("n").alias("n"),
         *[
@@ -1966,10 +1998,13 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
     if cached is not None:
         return cached
 
-    old_docs = load_table(spark, sf_dir, "documents", widen=True).filter(
+    # the old-snapshot split is a row filter of the session shingle
+    # index (per-doc distinct counts are a property of each doc's own
+    # text, so the full-corpus relation restricted to old doc_ids IS
+    # the old-corpus relation) — no second corpus kernel pass
+    raw_sh = _shingles_cached(spark, sf_dir).filter(
         F.col("doc_id") % SNAPSHOT_MOD != 0
     )
-    raw_sh = shingle_fingerprints(old_docs, with_count=True)
     n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
     if MINHASH_MAX_DF < n_docs:
         raw_sh = cap_document_frequency(raw_sh, MINHASH_MAX_DF, col="fp")
@@ -2078,10 +2113,11 @@ def probe_incremental(
     ``dedup_incremental``'s body, shared with the streaming index
     maintainer (streaming/index_update.py), which answers the same
     question from an index it built by draining a document feed."""
-    new_docs = load_table(spark, sf_dir, "documents", widen=True).filter(
+    # incoming-batch split = row filter of the session shingle index
+    # (see _minhash_index: per-doc counts are per-doc properties)
+    raw_new = _shingles_cached(spark, sf_dir).filter(
         F.col("doc_id") % SNAPSHOT_MOD == 0
     )
-    raw_new = shingle_fingerprints(new_docs, with_count=True)
     n_docs = parquet_row_count(f"{sf_dir}/documents.parquet")
     if MINHASH_MAX_DF < n_docs:
         raw_new = cap_document_frequency(raw_new, MINHASH_MAX_DF, col="fp")
@@ -2376,9 +2412,10 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a hash match therefore also re-certifies the fingerprint
     kernel's injectivity on this corpus (the dedup_ngram_jaccard
     collision argument: deterministic fps, ~5e-8)."""
-    sh = shingle_fingerprints(
-        load_table(spark, sf_dir, "documents", widen=True)
-    )
+    # rides the session shingle index; the df aggregation only reads
+    # (doc_id, fp), so the cached relation's extra count column is
+    # projected away before the exchange
+    sh = _shingles_cached(spark, sf_dir).select("doc_id", "fp")
     dfreq = sh.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     return dfreq.groupBy(
         F.expr(_df_bucket_case("df")).cast("long").alias("df_bucket")
@@ -2446,9 +2483,7 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_manifest_spark.registry import prefer_parallel_exchanges
 
     prefer_parallel_exchanges(spark)
-    sh = shingle_fingerprints(
-        load_table(spark, sf_dir, "documents", widen=True), with_count=True
-    )
+    sh = _shingles_cached(spark, sf_dir)
     grp = (
         sh.groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
