@@ -81,6 +81,27 @@ def main() -> int:
     except Exception:
         con = None  # oracle timings are informative, never fail the bench
 
+    # SESSION-MODEL-CACHE POLICY (VERDICT r17 item 6 — the written
+    # boundary for what may ride the warm min-of-N):
+    #   MAY live in spark._smsp_model_cache: TRAINED or DERIVED INDEX
+    #   STATE — quantizers/codebooks, LSH/ANN index relations and their
+    #   probe-width metadata, exact-baseline relations a certificate
+    #   verifies against, CDC state, bloom bitsets, fingerprint/shingle
+    #   posting relations — i.e. artifacts a resident engine builds
+    #   once and serves many times, each BOUNDED (k·queries rows, or
+    #   one corpus-derived index whose build is the product's own
+    #   build path).
+    #   MAY NOT: per-call relational INPUTS or OUTPUTS of a query
+    #   (anything keyed on the query's own result), cross-process or
+    #   /root/testdata-keyed result caches, or partial aggregates of a
+    #   specific query's answer.  The test is: would a FAISS-like
+    #   resident service hold this between requests?  If it is only
+    #   this query's answer in disguise, it must not be cached.
+    #   PRICING: every model-cached query is billed its full cold
+    #   train+query path in cold_sec (run-1 clears the cache before
+    #   EVERY query), and cold_total_sec travels in the driver-visible
+    #   one-line JSON so cache migrations are auditable round-over-
+    #   round, not ratcheted.
     # Several passes, report the per-query minimum: the host VM has
     # bursty noisy-neighbor contention (observed 5-10x inflation on
     # identical queries minutes apart — round-5 profiling saw the SAME
@@ -281,6 +302,46 @@ def main() -> int:
     timings = {n: min(s) for n, s in spark_samples.items()}
     total = round(sum(timings.values()), 4)
     oracle_secs = {n: min(s) for n, s in oracle_samples.items() if s}
+
+    # CPU-SCALING CANARY (VERDICT r17 item 3): at sf0.1 the per-query
+    # walls are floor-dominated and size-driven AQE coalescing keeps
+    # tiny exchanges at 1-2 tasks regardless of core count, so the
+    # driver's 8-vs-32-core heuristic cannot tell "bench ignores
+    # $SPARK_GRAFT_CPUS" from "queries are below the parallelism
+    # floor".  This leg is genuinely CPU-bound evidence: a FIXED total
+    # amount of pure numpy compute (CANARY_TASKS tasks x one
+    # deterministic matmul chain each, BLAS pinned to 1 thread by
+    # session.py) whose wall MUST scale ~1/cores while the task count
+    # exceeds the core count.  Measured after the query loops so it
+    # cannot perturb them; min-of-3.
+    CANARY_TASKS = 64
+
+    def _canary_burn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            a = np.full((384, 384), 0.5)
+            for _ in range(24):
+                a = np.tanh(a @ a / 384.0)
+            # fold the result in so the chain cannot be elided
+            pdf["id"] = pdf["id"] + int(a[0, 0] * 0)
+            yield pdf
+
+    canary_samples = []
+    canary_df = (
+        spark.range(CANARY_TASKS)
+        .repartition(CANARY_TASKS)
+        .mapInPandas(_canary_burn, schema="id long")
+    )
+    for _ in range(3):
+        t0 = time.perf_counter()
+        canary_df.count()
+        canary_samples.append(round(time.perf_counter() - t0, 4))
+    canary = {
+        "tasks": CANARY_TASKS,
+        "samples": canary_samples,
+        "min_sec": min(canary_samples),
+    }
 
     # Machine-readable scan-parallelism ceiling: a parquet scan splits
     # at row-group granularity, so on single-row-group fixture files
@@ -758,6 +819,9 @@ def main() -> int:
         "sf": sf,
         "rows": rows,
         "cpus": int(cpus),
+        "cpus_effective": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "cpu_canary": canary,
         "runs_per_query": RUNS,
         "oracle_sec": oracle_secs,
         "oracle_total_sec": round(sum(oracle_secs.values()), 4),
@@ -805,6 +869,15 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "oracle_total_sec": full["oracle_total_sec"],
+        # CPU-contract evidence (VERDICT r17 item 3): effective
+        # parallelism + a fixed-work CPU-bound canary whose 8-vs-32-core
+        # wall ratio must track the core ratio even when the floor-
+        # dominated query walls cannot.
+        "cpus_effective": spark.sparkContext.defaultParallelism,
+        "canary_sec": canary["min_sec"],
+        # cache-migration audit (VERDICT r17 item 6): total cold
+        # train+query cost of every model-cached query this run.
+        "cold_total_sec": round(sum(cold_secs.values()), 2),
         "queries_full": "BENCH_FULL.json",
         # the honest segmentation travels IN the driver-visible tail
         # (VERDICT r9 item 8): per-work-class n/spark/oracle/ratio
