@@ -173,6 +173,18 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``registry.clear_model_cache`` through the LogicalRDD handle; the
     cold build is priced in bench cold_sec like every session model.
     """
+    from s3_manifest_spark.sources import tables as _tables
+
+    if load_table is not _tables.load_table:
+        # a test double was injected (monkeypatched load_table): build
+        # fresh from it and never touch the session cache — the cache
+        # holds CANONICAL-corpus index state only, and serving it here
+        # would silently ignore the injected documents (while caching
+        # the double's output would poison every later caller).
+        return shingle_fingerprints(
+            load_table(spark, sf_dir, "documents", widen=True),
+            with_count=True,
+        )
     mc = session_model_cache(spark)
     key = ("shingle_fps", sf_dir)
     cached = mc.get(key)

@@ -822,6 +822,48 @@ def _ann_certificate(
     # sweep through a driver collect before the join can start
     # (interleaved A/B: 3.46 vs 2.58 s min-of-6) — they keep the
     # shuffled join and let AQE pick the runtime strategy.
+    # FUSED membership (r18, corpus-wide families): when the cached
+    # membership relation already carries the exact member's cos_sim
+    # (pre-fused at build time — _knn_ann_membership), the per-call
+    # exact⋈membership SortMergeJoin disappears, and the sweep side is
+    # aggregated to ONE found-set row per query BEFORE the join
+    # (guide §2.3 — aggregate before you shuffle: the N·k sweep rows
+    # cross one exchange as N set rows; the join and the final groupBy
+    # then share the hash(query_id) partitioning, so the certificate
+    # tail is 2 exchanges instead of 4).  Value-identical: the grouped
+    # rows are exactly the same exact-member rows, min(cos_sim) is
+    # unchanged, and "member missing from the per-query found set" is
+    # the same predicate as "no (query,member) row in the sweep output"
+    # (collect_set dedup is irrelevant — min is duplicate-insensitive).
+    if "cos_sim" in membership.columns:
+        found_sets = ann.groupBy("query_id").agg(
+            F.collect_set("neighbor_id").alias("found_ids")
+        )
+        if broadcast_found:
+            found_sets = F.broadcast(found_sets)
+        return (
+            membership.select(
+                "query_id", "neighbor_id", "cos_sim", "should_find"
+            )
+            .join(found_sets, ["query_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.round(F.min("cos_sim"), 6).alias("exact_kth_sim"),
+                F.min(
+                    F.when(
+                        F.coalesce(F.col("should_find"), F.lit(False))
+                        & ~F.coalesce(
+                            F.array_contains(
+                                F.col("found_ids"), F.col("neighbor_id")
+                            ),
+                            F.lit(False),
+                        ),
+                        F.lit(False),
+                    ).otherwise(F.lit(True))
+                ).alias("ann_complete_ok"),
+            )
+            .select("query_id", "exact_kth_sim", "ann_complete_ok")
+        )
     found = ann.select("query_id", "neighbor_id", F.lit(True).alias("found"))
     if broadcast_found:
         found = F.broadcast(found)
@@ -2421,7 +2463,14 @@ def _knn_ann_membership(
     should_find promise must be stated at the width the sweep actually
     probes, which after an index reload across a :func:`_knn_ann_planes`
     boundary differs from the file-derived count.  Defaults to the
-    file-derived count for the fresh-build path."""
+    file-derived count for the fresh-build path.
+
+    r18: the relation CARRIES ``cos_sim`` from the exact member rows
+    it is built over — the certificate's former per-call
+    exact⋈membership SortMergeJoin is pre-fused here at build time
+    (both inputs are already session index state; the fused relation
+    is the same state, one column wider).  ``_ann_certificate`` takes
+    the join-free path when it sees the column."""
     v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if planes is not None:
         p = int(planes)
@@ -2431,17 +2480,22 @@ def _knn_ann_membership(
     sigs = _ann_signatures(
         v, seed_offset=KNN_ANN_SEED_OFFSET, with_embedding=False, planes=p
     )
-    exact_ids = exact.select("vec_id", "neighbor_id")
+    # carry cos_sim when the exact relation has it (production always
+    # does; synthetic id-only exact relations in tests fall back to the
+    # bare 3-column membership and the certificate's join path)
+    carry = ["cos_sim"] if "cos_sim" in exact.columns else []
+    exact_rows = exact.select("vec_id", "neighbor_id", *carry)
     sa = sigs.select("vec_id", F.col("sig").alias("sig_a"))
     sb = sigs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("sig_b")
     )
     return (
-        exact_ids.join(sa, "vec_id")
+        exact_rows.join(sa, "vec_id")
         .join(sb, "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
+            *carry,
             (
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                 <= KNN_ANN_MULTIPROBE

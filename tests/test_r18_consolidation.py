@@ -128,6 +128,61 @@ def test_lsh_probe_broadcast_is_session_state(spark, sf_dir):
     assert bc._jbroadcast.isValid() is False
 
 
+def test_fused_certificate_equals_join_path(spark, sf_dir):
+    """The r18 corpus-wide certificate path (membership pre-fused with
+    cos_sim at build time + per-query found-set aggregation) must
+    produce row-identical output to the r17 exact⋈membership⋈found
+    join path — on the working sweep AND on a broken sweep (so the
+    completeness flag stays falsifiable through the new shape)."""
+    from s3_manifest_spark.operators.similarity import (
+        _ann_certificate,
+        _knn_ann_membership,
+        _knn_exact_cached,
+        knn_graph_ann_neighbors,
+    )
+    from s3_manifest_spark.registry import clear_model_cache
+
+    clear_model_cache(spark)
+    exact = _knn_exact_cached(spark, sf_dir)
+    fused = _knn_ann_membership(spark, sf_dir, exact)
+    assert "cos_sim" in fused.columns  # production exact → fused build
+    bare = fused.select("vec_id", "neighbor_id", "should_find")
+
+    for radius in (None, 0):  # working sweep, then broken (radius-0)
+        kwargs = {} if radius is None else {"probe_radius": radius}
+        ann = knn_graph_ann_neighbors(spark, sf_dir, **kwargs)
+        args = dict(
+            spark=spark,
+            sf_dir=sf_dir,
+            exact=exact.withColumnRenamed("vec_id", "query_id"),
+            broadcast_found=False,
+        )
+        new = (
+            _ann_certificate(
+                ann=ann.withColumnRenamed("vec_id", "query_id"),
+                membership=fused.withColumnRenamed("vec_id", "query_id"),
+                **args,
+            )
+            .toPandas()
+            .sort_values("query_id")
+            .reset_index(drop=True)
+        )
+        old = (
+            _ann_certificate(
+                ann=ann.withColumnRenamed("vec_id", "query_id"),
+                membership=bare.withColumnRenamed("vec_id", "query_id"),
+                **args,
+            )
+            .toPandas()
+            .sort_values("query_id")
+            .reset_index(drop=True)
+        )
+        assert new.equals(old)
+        if radius == 0:  # the broken sweep must falsify through BOTH paths
+            assert not new["ann_complete_ok"].all()
+    clear_model_cache(spark)
+
+
 def test_lsh_plane_matrix_single_construction_point(spark):
     """Driver probes and executor kernels must derive the SAME plane
     matrix — the shared helper is the construction point, and its

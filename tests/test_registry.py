@@ -40,10 +40,13 @@ def test_registered_wrappers_keep_metadata(q):
 
 
 def test_tracked_persists_are_released_on_next_call(spark, q):
-    """dedup_minhash_lsh persists shingles via track_persist; invoking
-    ANY other registry query afterwards must release those blocks."""
-    df = q["dedup_minhash_lsh"](spark, SF)
-    df.count()  # materialize → shingles persisted
+    """dedup_incremental persists its probe intermediates via
+    track_persist; invoking ANY other registry query afterwards must
+    release those blocks.  (dedup_minhash_lsh, the previous subject,
+    persists only when the document-frequency cap binds — r18 made the
+    inert-cap path read the session shingle checkpoint directly.)"""
+    df = q["dedup_incremental"](spark, SF)
+    df.count()  # materialize → probe intermediates persisted
     assert len(registry._TRACKED_PERSISTS) >= 1
     q["hash_join"](spark, SF).count()
     assert len(registry._TRACKED_PERSISTS) == 0
